@@ -1,0 +1,50 @@
+"""Scalar function surface (SURVEY.md §2.8) — all built-in expressions,
+JVM-side, whole-stage-codegen friendly.  No Python UDFs here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def substr_after_first(col: Column | str, delim: str) -> Column:
+    """Everything after the FIRST occurrence of ``delim``.
+
+    Matches the reference's ``v.substring(v.indexOf("-") + 1)``
+    (reference BasicStreams.scala:57, KTableExample.scala:60): split at
+    the first delimiter — ``substring_index(v, d, -1)`` would be wrong
+    for values containing the delimiter twice.  When the delimiter is
+    absent, ``instr`` = 0 so the start position is 1 and the whole
+    string is returned (reference: indexOf=-1 -> substring(0)).
+    """
+    c = _c(col)
+    return F.substr(c, F.instr(c, delim) + F.lit(1))
+
+
+def safe_long(col: Column | str) -> Column:
+    """String -> BIGINT, null on garbage (SQL CAST semantics).
+
+    The reference's ``v.toLong`` (BasicStreams.scala:58) *throws* on
+    non-numeric input; the engine normalizes to null-on-failure (the
+    documented policy, SURVEY.md §2.8) so one bad record can't kill a
+    100 TB job.  Use :func:`strict_long` for throw parity.
+    """
+    return _c(col).cast("bigint")
+
+
+def strict_long(col: Column | str) -> Column:
+    """String -> BIGINT, raising on garbage — exact ``.toLong`` parity
+    via ANSI try-less cast (``to_number``-style).  Only for tests that
+    need the reference's throwing behavior."""
+    c = _c(col)
+    return F.when(c.cast("bigint").isNull() & c.isNotNull(), F.raise_error(F.concat(F.lit("NumberFormatException: "), c))).otherwise(c.cast("bigint"))
+
+
+def contains(col: Column | str, needle: str) -> Column:
+    """Substring containment (reference BasicStreams.scala:26,56)."""
+    return _c(col).contains(needle)

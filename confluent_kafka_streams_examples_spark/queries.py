@@ -1,0 +1,494 @@
+"""Query registry — the driver contract surface.
+
+Every operator from SURVEY.md §2 (plus the LLM-data-pipeline extensions)
+gets a named query here: a PySpark callable ``(spark, sf_dir) -> DataFrame``
+and, where SQL-expressible, a DuckDB oracle string.  ``__spark_entry__.py``
+re-exports this registry.
+
+Determinism rules (the driver hash-compares values):
+- every computed/aggregate column is aliased identically in Spark and SQL;
+- every *computed* double is rounded (stored doubles pass through exact);
+- top-k / latest-per-key always carry an explicit integer tie-break.
+
+Time arithmetic uses integer microseconds on both sides
+(``unix_micros``/``timestamp_micros`` <-> ``epoch_us``/``make_timestamp``)
+— no float time, no boundary jitter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.functions.scalar import safe_long, substr_after_first
+from confluent_kafka_streams_examples_spark.operators.stream import Stream
+from confluent_kafka_streams_examples_spark.operators.table import Table, latest_per_key
+from confluent_kafka_streams_examples_spark.operators import windows as W
+from confluent_kafka_streams_examples_spark.session import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Reference parity — stateless pipeline (SURVEY §2.2, M0/M1)
+# =====================================================================
+
+@query(
+    "basic_pipeline",
+    oracle="""
+    WITH src AS (
+      SELECT user_id,
+             concat('orderNumber-', CAST(event_id AS VARCHAR)) AS v
+      FROM events
+    )
+    SELECT user_id,
+           CAST(substr(v, strpos(v, '-') + 1) AS BIGINT) AS order_number
+    FROM src
+    WHERE contains(v, 'orderNumber-')
+      AND CAST(substr(v, strpos(v, '-') + 1) AS BIGINT) > 1000
+    """,
+)
+def basic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BasicStreams parity (reference BasicStreams.scala:51-60): the
+    P1 -> P3 -> P1 chain — filter contains 'orderNumber-', take the
+    substring after the FIRST '-', cast to long, keep > 1000.
+
+    One narrow projection, no shuffle; the contains-filter and column
+    pruning push into the parquet scan.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id")
+    src = ev.withColumn(
+        "v", F.concat(F.lit("orderNumber-"), F.col("event_id").cast("string"))
+    )
+    return (
+        Stream(src, key_col="user_id")
+        .filter(F.col("v").contains("orderNumber-"))
+        .map_values(order_number=safe_long(substr_after_first(F.col("v"), "-")))
+        .filter(F.col("order_number") > 1000)
+        .select("user_id", "order_number")
+        .to_df()
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON serde boundary (reference serdes/circe.scala:11-26): parse the
+    props JSON payload, typed extraction, drop-malformed semantics
+    (get_json_object -> null -> filtered, policy E4)."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "props")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .filter(F.col("k") > 50)
+        .select("event_id", "user_id", "k")
+    )
+
+
+# =====================================================================
+# KTable semantics (SURVEY §2.1 S2, §2.2 P2/P4/P7, M3)
+# =====================================================================
+
+@query(
+    "ktable_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable materialization (reference KTableExample.scala:52-56):
+    latest record per key over a changelog.  Batch = one shuffle window
+    dedup; the streaming twin is streaming.ktable.latest_per_key_stream."""
+    ev = load_table(spark, "events", sf_dir)
+    return Table.from_stream(ev, "user_id", "ts", tiebreak_cols=["event_id"]).to_df().select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+
+
+@query(
+    "ktable_filter_extract",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, event_id
+      FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ), v AS (
+      SELECT user_id, concat(event_type, '-', CAST(event_id AS VARCHAR)) AS val
+      FROM latest
+    )
+    SELECT user_id,
+           CAST(substr(val, strpos(val, '-') + 1) AS BIGINT) AS extracted
+    FROM v
+    WHERE contains(val, '-')
+      AND CAST(substr(val, strpos(val, '-') + 1) AS BIGINT) > 100
+    """,
+)
+def ktable_filter_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTableExample pipeline parity (reference KTableExample.scala:52-66):
+    table source -> filter (P2) -> mapValues substring-after-first-dash +
+    cast (P4) -> filter -> toStream (P7)."""
+    ev = load_table(spark, "events", sf_dir)
+    table = Table.from_stream(ev, "user_id", "ts", tiebreak_cols=["event_id"])
+    table = table.map_values(
+        val=F.concat(F.col("event_type"), F.lit("-"), F.col("event_id").cast("string"))
+    )
+    return (
+        table.filter(F.col("val").contains("-"))
+        .map_values(extracted=safe_long(substr_after_first(F.col("val"), "-")))
+        .filter(F.col("extracted") > 100)
+        .to_stream()
+        .select("user_id", "extracted")
+        .to_df()
+    )
+
+
+# =====================================================================
+# Joins (SURVEY §2.3, M3/M4)
+# =====================================================================
+
+@query(
+    "stream_table_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    """,
+)
+def stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — stream-table enrichment join (reference domain at
+    JoinsExample.scala:41-45,274-286).  The fact stream (orders) is
+    enriched against dimension tables; every dimension is broadcast so
+    the 100 TB fact side never shuffles."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir)
+    return (
+        Stream(orders, key_col="o_orderkey")
+        .join_table(customer, F.col("o_custkey") == F.col("c_custkey"), broadcast_table=True)
+        .join_table(nation, F.col("c_nationkey") == F.col("n_nationkey"), broadcast_table=True)
+        .join_table(region, F.col("n_regionkey") == F.col("r_regionkey"), broadcast_table=True)
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name", "r_name")
+        .to_df()
+    )
+
+
+@query(
+    "stream_stream_window_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 300 * 1000000
+    """,
+)
+def stream_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — stream-stream windowed equi-join (reference
+    JoinsExample.scala:47-56: JoinWindows.ofTimeDifferenceWithNoGrace(5s)).
+    Views join purchases by user within ±300s.  Equi-key + time-range
+    predicate -> shuffle hash join on user_id, never a cross join; the
+    streaming twin (watermarked interval join) is streaming.join."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "event_type", "ts")
+    views = Stream(
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        ),
+        key_col="user_id",
+        ts_col="ts",
+    )
+    purchases = Stream(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"), F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        ),
+        key_col="p_user_id",
+        ts_col="p_ts",
+    )
+    l, r = views.df, purchases.df
+    cond = (l.user_id == r.p_user_id) & (
+        F.abs(F.unix_micros(l.ts) - F.unix_micros(r.p_ts)) <= F.lit(300 * 1_000_000)
+    )
+    return l.join(r, cond, "inner").select("user_id", "view_id", "purchase_id")
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4, M2)
+# =====================================================================
+
+@query(
+    "agg_running_total",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total, count(*) AS n_orders
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def agg_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 — groupByKey + running-sum fold (reference
+    AggregationsExample.scala:35-38: aggregate(0.0)((k, order, total) =>
+    order.price + total)).  Batch answer = the final per-key total;
+    partial (map-side) aggregation combines before the single shuffle."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "value")
+    return (
+        Stream(ev, key_col="user_id")
+        .filter(F.col("event_type") == "purchase")
+        .group_by_key()
+        .aggregate(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .to_df()
+    )
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate (TPC-H Q1 shape) — the engine's full
+    numeric-aggregation surface (sum/avg/count + arithmetic) in one
+    two-key groupBy.  The shipdate filter pushes to the parquet scan."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS order_cnt
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: enrichment joins + aggregation (J2 + A2).  All three
+    dimension joins broadcast; the only shuffle is the final 5-group agg
+    — partial aggregation reduces each partition to <= 5 rows first."""
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+# =====================================================================
+# Windowed aggregation (SURVEY §2.5, M4)
+# =====================================================================
+
+@query(
+    "windowed_tumbling",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 + 3600000000) AS window_end,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def windowed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W — tumbling 1h window per event_type (generalization of the
+    reference's only window, the ±5s join window; SURVEY §2.5)."""
+    ev = load_table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    return W.tumbling_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@query(
+    "windowed_hopping",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             (epoch_us(ts) // 1800000000) * 1800000000 AS bkt
+      FROM events
+    )
+    SELECT make_timestamp(bkt - k * 1800000000) AS window_start,
+           make_timestamp(bkt - k * 1800000000 + 3600000000) AS window_end,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total
+    FROM e, unnest([0, 1]) u(k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def windowed_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W — hopping 1h/30m window: each event lands in exactly two
+    windows (duration/slide = 2); epoch-aligned starts match Spark's
+    window() alignment by integer-microsecond arithmetic."""
+    ev = load_table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    return W.hopping_agg(
+        ev, "ts", "1 hour", "30 minutes", ["event_type"],
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@query(
+    "windowed_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS window_start,
+           max(ts) + INTERVAL 30 MINUTES AS window_end,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def windowed_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W — session windows, 30 min inactivity gap, per user.  Batch uses
+    Spark's session_window; the oracle is the gaps-and-islands rewrite.
+    Session end = last event + gap (Spark semantics)."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    return W.session_agg(
+        ev, "ts", "30 minutes", ["user_id"],
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+# =====================================================================
+# Ranking / top-k (SURVEY §2.9 — free from Spark, declared engine surface)
+# =====================================================================
+
+@query(
+    "topk_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — window ranking with deterministic
+    integer tie-break.  One shuffle on the key; no global sort."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+
+
+@query(
+    "events_json_analytics",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(avg(value), 4) AS avg_value,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop analytics over the event stream (serde boundary E4 +
+    aggregation): typed extraction stays JVM-side via get_json_object."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value", "props")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""SparkSession construction + table loading.
+
+Scale notes (100 TB design):
+
+- AQE is enabled: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast conversion replace hand-tuned
+  ``spark.sql.shuffle.partitions`` at cluster scale.
+- ``shuffle.partitions`` default here (32) matches local[32]; on a real
+  cluster this is set to 2-3x total cores and AQE coalesces down.
+- Arrow is enabled for every pandas-UDF boundary.
+- Parquet readers are vectorized by default; filters/column pruning push
+  into the scan (verify with ``plans.describe.explain_str``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension-sized tables that should always be broadcast in joins
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "confluent-kafka-streams-examples-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for local[N] testing but with
+    configs that carry to a multi-executor cluster unchanged."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.spill.compress", "true")
+        # driver testdata stores events.ts as INT64 TIMESTAMP(NANOS), which
+        # the vectorized reader rejects; read as long and convert in
+        # load_table (integer ns -> us, no precision loss)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if not os.environ.get("MASTER") and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one driver-generated parquet table.
+
+    Reads via ``spark.read.parquet`` so predicate pushdown / column pruning
+    reach the scan; callers should ``.select`` only needed columns.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the reader
+    # rejects by default; this SQL conf is dynamic, so set it here so the
+    # engine works under ANY caller-provided SparkSession (driver contract),
+    # not just sessions built by get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) -> read as long ns (see
+    # nanosAsLong config); convert with integer division to TimestampType
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() == "long":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load all tables as a dict (lazy — no IO until an action)."""
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}

@@ -48,3 +48,16 @@ def strict_long(col: Column | str) -> Column:
 def contains(col: Column | str, needle: str) -> Column:
     """Substring containment (reference BasicStreams.scala:26,56)."""
     return _c(col).contains(needle)
+
+
+def round_det(col: Column | str, places: int) -> Column:
+    """Engine-portable half-up rounding: floor(x * 10^p + 0.5) / 10^p.
+
+    Spark's ROUND and DuckDB's ROUND disagree on exact decimal ties
+    (e.g. 0.11625 at 4 dp), which ratios of small integers hit
+    constantly.  This formulation gives identical results in any engine
+    given identical input doubles.  SQL twin:
+    ``floor(x * 1e{p} + 0.5) / 1e{p}``.
+    """
+    scale = float(10**places)
+    return F.floor(_c(col) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)

@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all collect-free and shuffle-minimal:
+
+- exact:    hash-groupBy on the raw text (one shuffle).
+- n-gram Jaccard: inverted-index self-join on word shingles — exact
+  pairwise similarity without an all-pairs cross join.
+- MinHash + LSH: shingle -> K minhashes -> band buckets -> bucket join.
+  The 100 TB path: candidate generation touches only docs sharing a
+  band signature; cost scales with bucket sizes, not n^2.
+- SimHash: frequency-weighted 16-bit fingerprint; near-dups collide.
+
+Portability contract with the DuckDB oracle: every hash is ``md5`` hex
+(identical in Spark and DuckDB); minhash order is *string* order over
+hex digests (uniform, engine-independent); hex->int uses ``conv`` on
+Spark and strpos-arithmetic in SQL — same integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) — one row per token occurrence (frequency preserved)."""
+    return df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — DISTINCT word n-grams per document.
+
+    Built with array higher-order functions (JVM-side): split -> sliding
+    windows via transform over an index sequence -> explode -> distinct.
+    Documents with < n tokens produce no shingles.
+    """
+    tok = F.split(F.col(text_col), " ")
+    # sequence(0, size-n) is inclusive => size-n+1 windows; guard size < n
+    # (sequence(0,-1) would generate a DESCENDING range, not empty!)
+    windows = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(windows).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct text with the representative
+    (minimum) id and the duplicate count.  Single hash-shuffle on the
+    text; at 100 TB pre-hash to a fixed-width key (md5) so the shuffle
+    carries 32 bytes, not document bodies."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via inverted-index join.
+
+    shingle-join produces only pairs sharing >= 1 shingle (never an
+    all-pairs product); Jaccard = shared / (|A| + |B| - shared).
+    Scale note: ultra-common shingles create hot buckets — at 100 TB,
+    drop shingles with document frequency above a cap first (spam
+    n-grams carry no dedup signal) or switch to minhash_lsh_pairs.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = round_det(
+        F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """K-permutation MinHash signature per document in ONE aggregation
+    (single shuffle): permutation j is md5 prefixed with the seed j,
+    min taken in lexicographic hex order (uniform under md5)."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs.
+
+    Signatures split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing ANY full band signature become a candidate pair.  The
+    band join is an equi-join on (band_idx, band_signature) — shuffle
+    keyed on the signature, so cost tracks collision counts, not n^2.
+    Downstream callers verify candidates with ngram_jaccard_pairs on the
+    (tiny) candidate set.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(
+                "", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_sig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_sig")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
+    return (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint (frequency-weighted): each token hashes to a
+    ``bits``-bit value (md5 prefix); fingerprint bit b is the sign of
+    sum(+-1) over token bits.  Near-duplicate docs collide or differ in
+    few bits.  One explode + one groupBy -> single shuffle.
+    """
+    hex_digits = (bits + 3) // 4
+    tok = tokens(df, id_col, text_col)
+    v = F.conv(F.substring(F.md5(F.col("token")), 1, hex_digits), 16, 10).cast("long")
+    tok = tok.withColumn("v", v)
+    bit_sums = [
+        F.sum(2 * F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) - 1).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))

@@ -1,0 +1,107 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema (schemas.MULTIMODAL_BLOB
+convention), partitioning, Arrow batch shape, mapInPandas signature.  The
+actual media decode is STUBBED (no image/audio libraries in this
+container): ``decode_media`` raises NotImplementedError, and
+``fake_decode`` provides a deterministic stand-in (md5-derived
+dimensions) so the full pipeline is executable and oracle-checkable.
+
+Scale notes: binary payloads ride the same columnar batches as any other
+column; mapInPandas streams Arrow record batches so a partition never
+fully materializes in Python memory.  Keep payload partitions bounded
+with spark.sql.files.maxPartitionBytes; never groupBy a payload column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Real decode hook — NOT IMPLEMENTED in this container (no
+    PIL/ffmpeg/librosa).  Swap in the real implementation on a cluster
+    with media libs; everything around it (schema, batching,
+    partitioning) is already exercised via fake_decode."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "container; use fake_decode for the deterministic test path"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: 'dimensions' derived from the
+    payload's md5 (first two bytes) — stable across engines and runs."""
+    h = hashlib.md5(payload).hexdigest()
+    return int(h[0:2], 16), int(h[2:4], 16)
+
+
+def to_blob_table(df: DataFrame, id_col: str, payload_col: str, media_type: str = "image") -> DataFrame:
+    """Wrap an existing column as the multimodal blob convention:
+    (media_id, media_type, payload binary, metadata map)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("orig_len"), F.length(F.col(payload_col)).cast("string")
+        ).alias("metadata"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("fake_width", LongType()),
+        StructField("fake_height", LongType()),
+    ]
+)
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    Iterates Arrow record batches (bounded memory), computes per-payload
+    features in vectorized pandas where possible.  The decode step uses
+    fake_decode (see module docstring); a real cluster swaps decode_media
+    in without touching the plumbing.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            md5s = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            dims = payloads.map(lambda b: fake_decode(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "content_md5": md5s,
+                    "fake_width": dims.map(lambda d: d[0]).astype("int64"),
+                    "fake_height": dims.map(lambda d: d[1]).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(blobs: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: expands each payload row into frame
+    index rows (decode stubbed — indexes only).  Shows the 1->N explode
+    shape a real frame sampler uses; frames inherit the payload row's
+    partitioning."""
+    return blobs.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.length("payload") / every_n).cast("int"))
+        ).alias("frame_idx"),
+    )

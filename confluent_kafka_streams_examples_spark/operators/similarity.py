@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- cosine_topk: brute-force top-k against one query vector.  The dot
+  product is a JVM-side higher-order expression (zip_with + aggregate)
+  — no Python in the loop; the query vector joins in as a broadcast
+  single-row DataFrame (no driver collect).
+- cosine_pairs_partitioned: IVF-style pruned pairwise search — pairs are
+  only computed WITHIN a coarse partition (here the label column; in a
+  real pipeline, a k-means cluster id).  Executed as applyInPandas with
+  one numpy matmul per partition (Arrow-batched, BLAS-backed): the scale
+  path for all-pairs similarity, since cost is sum of per-bucket n_i^2,
+  not global n^2, and buckets parallelize across executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Cast the float32 vector to double and attach its L2 norm (computed
+    once, reused by every comparison)."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbors of one vector by cosine similarity.
+
+    Deterministic: similarity is rounded to 6 dp and ties break on the
+    integer id.  The final top-k is a single ORDER BY ... LIMIT k which
+    Spark executes as TakeOrdered (per-partition heap + driver merge of
+    k rows) — no global sort materialization.
+    """
+    base = with_norm(df, vec_col)
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("_v").alias("_qv"), F.col("_norm").alias("_qnorm")
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm")), 6
+    )
+    return (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", cos)
+        .select(id_col, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_partitioned(
+    df: DataFrame,
+    part_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All similar pairs within each coarse partition (IVF-style pruning).
+
+    applyInPandas: one Arrow batch per partition value, one numpy
+    float64 matmul per batch.  Output (vec_a, vec_b, cos_sim) for
+    vec_a < vec_b and rounded cos >= threshold.
+    """
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = np.round(sims[iu, ju], 6)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]], "cos_sim": cos[keep]}
+        )
+
+    return df.select(part_col, id_col, vec_col).groupBy(part_col).applyInPandas(
+        pairs, schema=out_schema
+    )

@@ -492,3 +492,7 @@ def events_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 4).alias("avg_k"),
         )
     )
+
+
+# LLM-data-pipeline queries register themselves into this registry on import
+from confluent_kafka_streams_examples_spark import queries_llm  # noqa: E402,F401

@@ -1,0 +1,297 @@
+"""LLM-training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal — registered into the same driver-contract registry
+as the reference-parity queries (imported by queries.py).
+
+Oracle portability: every hash is md5 hex (identical in Spark/DuckDB);
+hex->int is ``conv`` on Spark, strpos-arithmetic in DuckDB SQL; all
+computed doubles rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.operators import dedup, similarity, text, multimodal
+from confluent_kafka_streams_examples_spark.queries import query
+from confluent_kafka_streams_examples_spark.session import load_table
+
+# shared oracle CTE: distinct word 3-gram shingles per doc
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+       FROM toks, unnest(range(1, greatest(len(tk)-1, 1))) u(i))
+"""
+
+
+def _hexval(expr: str, pos: int) -> str:
+    """SQL: value of hex digit at 1-based ``pos`` of ``expr``."""
+    return f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle carrying 32-byte keys
+    instead of document bodies (the 100 TB-friendly form)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           floor((shared / (sa.n_sh + sb.n_sh - shared)) * 1e4 + 0.5) / 1e4 AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor((shared / (sa.n_sh + sb.n_sh - shared)) * 1e4 + 0.5) / 1e4 >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard >= 0.4 via inverted-index self-join
+    (never an all-pairs product)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+
+
+_MH = 16
+_BANDS = 4
+_SIG_COLS = ",\n      ".join(
+    f"min(md5(concat('{j}|', s))) AS mh{j}" for j in range(_MH)
+)
+_BAND_SELECTS = "\n      UNION ALL ".join(
+    "SELECT doc_id, {bi} AS band_idx, concat({cols}) AS band_sig FROM sig".format(
+        bi=bi,
+        cols=", ".join(f"mh{bi * (_MH // _BANDS) + r}" for r in range(_MH // _BANDS)),
+    )
+    for bi in range(_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidate near-dup pairs — the sublinear
+    scale path: candidates come only from shared band buckets."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS)
+
+
+_BITS = 16
+_V_EXPR = (
+    f"{_hexval('md5(token)', 1)} * 4096 + {_hexval('md5(token)', 2)} * 256 + "
+    f"{_hexval('md5(token)', 3)} * 16 + {_hexval('md5(token)', 4)}"
+)
+_BIT_SUMS = ",\n      ".join(
+    f"sum(2 * ((v >> {b}) & 1) - 1) AS s{b}" for b in range(_BITS)
+)
+_FP_EXPR = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    h AS (SELECT doc_id, {_V_EXPR} AS v FROM tok),
+    bitsums AS (SELECT doc_id, {_BIT_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS simhash FROM bitsums
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash fingerprint per document."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.simhash(docs, "doc_id", "text", bits=_BITS)
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
+    SELECT n.vec_id, round(list_inner_product(n.v, q.qv) / (n.nrm * q.qnrm), 6) AS cos_sim
+    FROM n, q
+    WHERE n.vec_id != 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 — JVM-side zip_with/
+    aggregate dot product, TakeOrdered top-k (no global sort)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk(emb, query_id=0, k=10)
+
+
+@query(
+    "similarity_pairs_label",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2
+    """,
+)
+def similarity_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned pairwise similarity: pairs computed only within a
+    coarse partition (label), one numpy matmul per partition via
+    applyInPandas — cost is sum of bucket n_i^2, not global n^2."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_pairs_partitioned(emb, "label", "vec_id", "embedding", 0.2)
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             len(regexp_extract_all(text, '[a-z0-9]+')) AS n_regex_tokens,
+             (length(text) - (len(tk) - 1)) / len(tk) AS raw_avg_len,
+             len(list_filter(tk, x -> list_contains([{_STOP_SQL}], x))) / len(tk) AS raw_stop,
+             len(list_distinct(tk)) / len(tk) AS raw_uniq
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_regex_tokens,
+           floor((raw_avg_len) * 1e4 + 0.5) / 1e4 AS avg_token_len,
+           floor((raw_stop) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
+           floor((raw_uniq) * 1e4 + 0.5) / 1e4 AS uniq_ratio,
+           floor((least(1.0, n_tokens / 100.0) * (1.0 - raw_stop * 0.5) * raw_uniq) * 1e4 + 0.5) / 1e4
+             AS quality_score
+    FROM r
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token counts, ratios, heuristic
+    quality score) — all built-in array/regexp expressions."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.text_stats(docs, "doc_id", "text")
+
+
+@query(
+    "doc_fingerprint_dups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint groups with more than one member."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.fingerprint_dup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "lang_profile",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus audit: language x source distribution with length stats."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text.lang_profile(docs)
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{_STOP_SQL}], x)))
+               / len(string_split(text, ' ')) AS score
+      FROM documents
+    )
+    SELECT doc_id, floor((score) * 1e4 + 0.5) / 1e4 AS en_score, score >= 0.05 AS pred_en FROM s
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic score per document."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.lang_id_heuristic(docs, "doc_id", "text")
+
+
+# =====================================================================
+# Multimodal
+# =====================================================================
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5,
+           CAST({_hexval('md5(text)', 1)} * 16 + {_hexval('md5(text)', 2)} AS BIGINT)
+             AS fake_width,
+           CAST({_hexval('md5(text)', 3)} * 16 + {_hexval('md5(text)', 4)} AS BIGINT)
+             AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (Arrow batches, binary column, typed output schema); decode
+    is the deterministic fake (md5-derived dims) — see operators.multimodal
+    for the stubbed real-decode hook."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    blobs = multimodal.to_blob_table(docs, "doc_id", "text", media_type="image")
+    return multimodal.extract_features(blobs)

@@ -34,20 +34,29 @@ def deserialize_json(
 ) -> DataFrame:
     """Parse a JSON string/binary column into typed columns.
 
-    Matches the reference's drop-on-decode-failure policy: rows whose
-    JSON fails to parse (``from_json`` -> null) are filtered out when
-    ``drop_malformed`` (the default, circe.scala:15-23).  Pass
-    ``drop_malformed=False`` to keep them (parsed struct is null) for
-    dead-letter routing.
+    Matches the reference's drop-on-decode-failure policy: malformed
+    rows are filtered out when ``drop_malformed`` (the default,
+    circe.scala:15-23).  PERMISSIVE ``from_json`` yields an ALL-NULL
+    struct (not a null struct) for malformed input, so "malformed"
+    means struct-null OR every field null.  Pass
+    ``drop_malformed=False`` to keep them for dead-letter routing.
     """
     parsed = df.withColumn("_parsed", F.from_json(F.col(value_col).cast("string"), schema))
     if drop_malformed:
-        parsed = parsed.filter(F.col("_parsed").isNotNull())
+        parsed = parsed.filter(~_malformed_cond(schema))
     keep = [F.col(c) for c in keep_cols]
     return parsed.select(*keep, F.col("_parsed.*"))
+
+
+def _malformed_cond(schema: StructType):
+    all_null = F.lit(True)
+    for f in schema.fields:
+        all_null = all_null & F.col(f"_parsed.{f.name}").isNull()
+    return F.col("_parsed").isNull() | all_null
 
 
 def malformed_records(df: DataFrame, value_col: str, schema: StructType) -> DataFrame:
     """The complement of :func:`deserialize_json` — rows that fail to
     parse, for dead-letter sinks (policy E1/E4, SURVEY.md §2.7)."""
-    return df.filter(F.from_json(F.col(value_col).cast("string"), schema).isNull())
+    parsed = df.withColumn("_parsed", F.from_json(F.col(value_col).cast("string"), schema))
+    return parsed.filter(_malformed_cond(schema)).drop("_parsed")

@@ -24,9 +24,21 @@ from pyspark.sql import functions as F
 from confluent_kafka_streams_examples_spark.functions.scalar import round_det
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full core parallelism before compute-heavy explode/
+    hash work.  A small parquet scan often yields 1 partition, which
+    would single-thread everything downstream until the first shuffle;
+    at cluster scale input splits already provide parallelism and this
+    becomes a cheap no-op-sized shuffle of raw doc rows."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) — one row per token occurrence (frequency preserved)."""
-    return df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    return _spread(df).select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -47,7 +59,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(windows).alias("shingle"))
+        _spread(df).select(F.col(id_col), F.explode(windows).alias("shingle"))
         .distinct()
     )
 
@@ -81,7 +93,11 @@ def ngram_jaccard_pairs(
     drop shingles with document frequency above a cap first (spam
     n-grams carry no dedup signal) or switch to minhash_lsh_pairs.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    # NOTE: deliberately not cached — a .cache() leaking past the operator
+    # poisons the whole session's memory budget; recomputing shingles is
+    # one narrow projection.  Callers running repeated passes over the
+    # same corpus should persist(DISK_ONLY) the shingle table themselves.
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

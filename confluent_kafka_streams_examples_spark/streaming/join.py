@@ -1,0 +1,47 @@
+"""Streaming stream-stream windowed join (J1/W1/W2).
+
+Reference: JoinsExample.scala:47-56 — inner equi-join where records match
+when timestamps are within ±window, zero grace (late records silently
+dropped; the example's producer deliberately sends half the right side
+late to demonstrate it, JoinsExample.scala:150,176-178).
+
+Spark twin: watermarks on BOTH sides (the no-grace policy -> watermark
+delay == window size) + an interval join condition.  Spark uses the
+watermark to expire join state, so state per side is bounded by
+(rate x window) rows regardless of total stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    grace_seconds: int = 0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two streams on key where |left_ts - right_ts| <= window.
+
+    ``grace_seconds`` extends the watermark beyond the join window
+    (the reference uses ofTimeDifferenceWithNoGrace => 0).  The right
+    side's columns are prefixed ``r_`` to avoid collisions.
+    """
+    delay = f"{window_seconds + grace_seconds} seconds"
+    lw = left.withWatermark(left_ts, delay).alias("l")
+    rw = right.withWatermark(right_ts, delay)
+    rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns]).alias("r")
+    cond = (F.col(f"l.{key_col}") == F.col(f"r.r_{key_col}")) & (
+        F.col(f"l.{left_ts}").cast("long")
+        .between(
+            F.col(f"r.r_{right_ts}").cast("long") - window_seconds,
+            F.col(f"r.r_{right_ts}").cast("long") + window_seconds,
+        )
+    )
+    return lw.join(rw, cond, how)

@@ -1,0 +1,222 @@
+"""Streaming-semantics tests (SURVEY §5 fixtures): file-source streams
+re-creating the reference's seeded generator scenarios — latest-per-key
+changelog, windowed join with late data, stateful running totals,
+dead-letter policies, restart-on-transient lifecycle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from confluent_kafka_streams_examples_spark.streaming.ktable import latest_per_key_stream
+from confluent_kafka_streams_examples_spark.streaming.join import windowed_stream_join
+from confluent_kafka_streams_examples_spark.streaming.processor import (
+    running_total_with_emission,
+)
+from confluent_kafka_streams_examples_spark.streaming.errors import (
+    DeadLetterPolicy,
+    DeserializationThresholdExceeded,
+    is_transient,
+)
+from confluent_kafka_streams_examples_spark.streaming.lifecycle import StreamApp
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(seconds: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def run_stream(spark, df, tmpdir, mode="update", name=None):
+    """Start -> processAllAvailable -> stop; return collected memory rows."""
+    qname = name or f"q{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .option("checkpointLocation", f"{tmpdir}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {qname}").collect()
+
+
+def test_latest_per_key_stream(spark, tmp_path):
+    """KTable semantics (reference KTableExample.scala:99-108 generator:
+    several records per key -> latest wins)."""
+    src = str(tmp_path / "src")
+    rows = []
+    for k in range(6):
+        for i in range(4):
+            rows.append((f"key-{k}", float(k * 10 + i), ts(k * 40 + i * 10)))
+    write_batch(spark, src, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    table = latest_per_key_stream(stream, "key", "ts", ["value"])
+    out = run_stream(spark, table, tmp_path, mode="update")
+    latest = {r["key"]: r["value"] for r in out}
+    assert latest == {f"key-{k}": float(k * 10 + 3) for k in range(6)}
+
+
+def test_windowed_join_drops_late_data(spark, tmp_path):
+    """J1/W2 (reference JoinsExample.scala:47-56,150,176-178): zero-grace
+    ±5s window; a right-side record arriving after the watermark passed
+    its window is silently dropped."""
+    left_p, right_p = str(tmp_path / "l"), str(tmp_path / "r")
+    # batch 1: left at t=100 and t=200, right at t=102 (joins with t=100)
+    # plus an unmatched right record at t=200 — the global watermark is
+    # min over BOTH sides (like Kafka Streams' shared task stream-time),
+    # so each side must observe t=200 for the watermark to reach 195
+    write_batch(spark, left_p, [("u1", 1.0, ts(100)), ("u2", 2.0, ts(200))])
+    write_batch(spark, right_p, [("u1", 10.0, ts(102)), ("wm-advance", 0.0, ts(200))])
+
+    left = spark.readStream.schema(EVENT_SCHEMA).parquet(left_p)
+    right = spark.readStream.schema(EVENT_SCHEMA).parquet(right_p)
+    joined = windowed_stream_join(left, right, "key", "ts", "ts", window_seconds=5)
+    out_cols = joined.select("key", "value", "r_value", "r_ts")
+
+    qname = f"j{uuid.uuid4().hex[:8]}"
+    q = (
+        out_cols.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: right record for u1 at t=100 — inside the join window
+        # of left t=100, but ~95s older than the watermark (200-5): late.
+        write_batch(spark, right_p, [("u1", 99.0, ts(100))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    assert len(rows) == 1
+    assert rows[0]["r_value"] == 10.0  # on-time join emitted, late one dropped
+
+
+def test_running_total_with_emission(spark, tmp_path):
+    """A2/A3 (reference AggregationsExample.scala:83-92 generator: a few
+    keys x 4 orders): per-key fold through the managed state store."""
+    src = str(tmp_path / "src")
+    rows = []
+    for k in range(5):
+        for i in range(4):
+            rows.append((f"id-{k}", float(k + 1), ts(i)))
+    write_batch(spark, src, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    totals = running_total_with_emission(stream, "key", "value")
+    out = run_stream(spark, totals, tmp_path, mode="update")
+    got = {r["key"]: (r["total"], r["n"]) for r in out}
+    assert got == {f"id-{k}": (float((k + 1) * 4), 4) for k in range(5)}
+
+
+def test_running_total_across_batches(spark, tmp_path):
+    """Continuous refinement: a second batch folds into existing state
+    (running total, not per-batch total)."""
+    src = str(tmp_path / "src")
+    write_batch(spark, src, [("a", 1.0, ts(0)), ("a", 2.0, ts(1))])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    totals = running_total_with_emission(stream, "key", "value")
+    qname = f"t{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(spark, src, [("a", 4.0, ts(2))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {qname} ORDER BY n").collect()
+    assert [(r["total"], r["n"]) for r in rows] == [(3.0, 2), (7.0, 3)]
+
+
+def test_dead_letter_policy(spark):
+    """E1/E4 (reference ErrorHandlingExample.scala:32-47 + circe
+    drop-on-failure): poison records skipped + counted; threshold fails."""
+    schema = StructType([StructField("id", LongType()), StructField("price", DoubleType())])
+    good = [(f'{{"id": {i}, "price": 1.5}}',) for i in range(19)]
+    df = spark.createDataFrame(good + [("INVALID",)], ["payload"])
+
+    policy = DeadLetterPolicy(value_col="payload", schema=schema, max_errors=25)
+    out = policy.process(df)
+    assert out.count() == 19
+    assert policy.errors_seen == 1
+
+    strict = DeadLetterPolicy(value_col="payload", schema=schema, max_errors=0)
+    with pytest.raises(DeserializationThresholdExceeded):
+        strict.process(df)
+
+
+def test_lifecycle_restart_on_transient():
+    """E3 (reference ErrorHandlingExample.scala:64-74 + KafkaStreamsApp):
+    transient error -> REPLACE_THREAD (restart); fatal -> propagate."""
+
+    class FakeQuery:
+        def __init__(self, fail_with=None):
+            self.fail_with = fail_with
+            self.isActive = False
+
+        def awaitTermination(self, timeout=None):
+            if self.fail_with:
+                err, self.fail_with = self.fail_with, None
+                raise err
+            return True
+
+        def stop(self):
+            self.isActive = False
+
+    calls = []
+
+    def make_query():
+        calls.append(1)
+        if len(calls) == 1:
+            return FakeQuery(RuntimeError("Transient error! please retry"))
+        return FakeQuery()
+
+    states = []
+    app = StreamApp(make_query, max_restarts=3, on_state_change=states.append).start()
+    assert app.await_termination(timeout=5)
+    assert app.restarts == 1 and len(calls) == 2
+    assert states == ["RUNNING", "RESTARTING", "RUNNING"]
+
+    fatal_app = StreamApp(lambda: FakeQuery(RuntimeError("boom")), max_restarts=3).start()
+    with pytest.raises(RuntimeError, match="boom"):
+        fatal_app.await_termination(timeout=5)
+
+    assert is_transient(RuntimeError("Transient error")) is True
+    assert is_transient(RuntimeError("fatal")) is False

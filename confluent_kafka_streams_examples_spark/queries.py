@@ -494,5 +494,6 @@ def events_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LLM-data-pipeline queries register themselves into this registry on import
+# extension modules register themselves into this registry on import
 from confluent_kafka_streams_examples_spark import queries_llm  # noqa: E402,F401
+from confluent_kafka_streams_examples_spark import queries_extra  # noqa: E402,F401

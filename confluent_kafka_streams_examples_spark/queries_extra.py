@@ -1,0 +1,378 @@
+"""Extended operator surface (SURVEY §2.9 + §2.3 generalizations):
+as-of join, set operations, semi/anti joins, rollup/cube, window
+analytics, exact percentiles, distinct aggregation, and the
+embedding-cosine near-dup (hyperplane-LSH) dedup variant.
+
+The reference has none of these (SURVEY §2.9) but they are declared
+engine surface: zero-cost in Spark and part of what "a user could run"
+on this engine.  Registered into the shared driver-contract registry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.queries import query
+from confluent_kafka_streams_examples_spark.session import load_table
+
+# =====================================================================
+# As-of join (J2 generalized: temporal enrichment against the latest
+# earlier record instead of the single latest record)
+# =====================================================================
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT event_id, user_id, last_click_id
+    FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click_id
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's most recent
+    prior (or same-instant-earlier) click.
+
+    Implemented as ONE window pass over the unioned timeline — a single
+    shuffle on user_id — instead of the naive time-range join + max_by,
+    which would shuffle twice and explode pairs.  This is the
+    scale-correct as-of pattern (it generalizes the KTable enrichment
+    join J2, reference JoinsExample.scala:41-45, from "latest value" to
+    "latest value as of each event's time")."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_id", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_click_id")
+    )
+
+
+# =====================================================================
+# Grouping sets family
+# =====================================================================
+
+@query(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (flag, status), (flag), () levels in one pass
+    — Catalyst expands to a single Expand + hash aggregate."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_order_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over order status x priority."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# =====================================================================
+# Set operations / semi / anti joins
+# =====================================================================
+
+@query(
+    "setops_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): users with both purchases and
+    errors."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    return purch.intersect(err)
+
+
+@query(
+    "anti_join_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM events e
+    WHERE event_type = 'view'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+    """,
+)
+def anti_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: users who viewed but never purchased."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.join(buyers, "user_id", "left_anti")
+
+
+@query(
+    "semi_join_parts",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: parts that appear in at least one lineitem.
+    Semi-join only shuffles keys, never duplicates the probe side."""
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+
+
+# =====================================================================
+# Window analytics
+# =====================================================================
+
+@query(
+    "user_running_value",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch changelog of the reference's running-sum aggregate
+    (A2, AggregationsExample.scala:36-38): one output row per input
+    record carrying the running per-key total — exactly what the
+    streaming update-mode query emits over time, reconstructed with a
+    cumulative window (deterministic order => deterministic doubles)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("running_total", F.round(F.sum("value").over(w), 2))
+        .select("event_id", "user_id", "running_total")
+    )
+
+
+@query(
+    "event_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    """,
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): microsecond gap to the user's previous event (integer
+    arithmetic — no float time)."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+
+
+# =====================================================================
+# Distinct / percentile aggregation
+# =====================================================================
+
+@query(
+    "distinct_parts_per_supplier",
+    oracle="""
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (two-phase: dedup shuffle + final agg)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey", "l_partkey")
+    return li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "distinct_daily_users",
+    oracle="""
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+    FROM events
+    """,
+)
+def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a derived key (daily active users)."""
+    ev = load_table(spark, "events", sf_dir).select("ts", "user_id")
+    return ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).dropDuplicates()
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+           floor((quantile_cont(value, 0.9)) * 1e4 + 0.5) / 1e4 AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == SQL
+    quantile_cont linear interpolation)."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        round_det(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        round_det(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+# =====================================================================
+# Embedding-cosine near-dup via hyperplane LSH
+# =====================================================================
+
+_PLANES = 4
+_DIMS = 64
+
+
+def _plane_signs(p: int) -> list[float]:
+    """Deterministic ±1 hyperplane components: sign(p, d) = +1 iff the
+    first hex digit of md5('p{p}-{d}') >= 8.  Identical arithmetic is
+    expressible in the SQL oracle (md5 is engine-portable)."""
+    return [
+        1.0 if int(hashlib.md5(f"p{p}-{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+        for d in range(1, _DIMS + 1)
+    ]
+
+
+def _sign_case_sql(p: int) -> str:
+    return (
+        f"(CASE WHEN strpos('0123456789abcdef', substr(md5(concat('p{p}-', "
+        f"CAST(d AS VARCHAR))), 1, 1)) > 8 THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN list_sum(list_transform(range(1, {_DIMS + 1}), "
+    f"d -> v[d] * {_sign_case_sql(p)})) >= 0 THEN '1' ELSE '0' END)"
+    for p in range(_PLANES)
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM n)
+    SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+           round(list_inner_product(a.v, bb.v) / (a.nrm * bb.nrm), 6) AS cos_sim
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE round(list_inner_product(a.v, bb.v) / (a.nrm * bb.nrm), 6) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates via random-hyperplane LSH:
+    4 deterministic ±1 hyperplanes -> 4-bit bucket -> equi-join on the
+    bucket -> verify cosine >= threshold.
+
+    Scale path for all-pairs similarity: the join shuffles on the bucket
+    id, so cost is sum of per-bucket n_i^2 — and more planes shrink
+    buckets geometrically.  The projections are JVM-side zip_with/
+    aggregate folds (no Python, no collect)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(F.col("vec_id"), v.alias("v")).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    bucket_bits = []
+    for p in range(_PLANES):
+        plane = F.array(*[F.lit(s) for s in _plane_signs(p)])
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    base = base.withColumn("bucket", F.concat(*bucket_bits))
+
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -42,9 +42,9 @@ def _norm(v):
 
 def _rowset(cols: list[str], rows: list[tuple]):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
-    ), [cols[i] for i in order]
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # sort by repr: rows may contain None / mixed types (rollup nulls)
+    return sorted(normed, key=repr), [cols[i] for i in order]
 
 
 def compare(spark, name, query_fn, oracle, sf_dir) -> tuple[bool, str]:

@@ -27,22 +27,21 @@ def substr_after_first(col: Column | str, delim: str) -> Column:
 
 
 def safe_long(col: Column | str) -> Column:
-    """String -> BIGINT, null on garbage (SQL CAST semantics).
+    """String -> BIGINT, null on garbage (try_cast semantics).
 
     The reference's ``v.toLong`` (BasicStreams.scala:58) *throws* on
     non-numeric input; the engine normalizes to null-on-failure (the
     documented policy, SURVEY.md §2.8) so one bad record can't kill a
     100 TB job.  Use :func:`strict_long` for throw parity.
     """
-    return _c(col).cast("bigint")
+    return _c(col).try_cast("bigint")
 
 
 def strict_long(col: Column | str) -> Column:
-    """String -> BIGINT, raising on garbage — exact ``.toLong`` parity
-    via ANSI try-less cast (``to_number``-style).  Only for tests that
-    need the reference's throwing behavior."""
-    c = _c(col)
-    return F.when(c.cast("bigint").isNull() & c.isNotNull(), F.raise_error(F.concat(F.lit("NumberFormatException: "), c))).otherwise(c.cast("bigint"))
+    """String -> BIGINT, raising on garbage — exact ``.toLong`` parity.
+    Spark 4 runs ANSI mode by default, so a plain cast already throws
+    SparkNumberFormatException on malformed input."""
+    return _c(col).cast("bigint")
 
 
 def contains(col: Column | str, needle: str) -> Column:

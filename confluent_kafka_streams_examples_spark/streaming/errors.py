@@ -49,6 +49,20 @@ def is_transient(exc: BaseException) -> bool:
     return False
 
 
+#: substrings of production/write errors that are skippable (reference
+#: ProducerErrorHandler: CONTINUE on RecordTooLargeException, else FAIL,
+#: ErrorHandlingExample.scala:49-62)
+SKIPPABLE_WRITE_ERRORS = ("RecordTooLarge",)
+
+
+def handle_production_error(exc: BaseException) -> bool:
+    """E2 policy: True -> skip the failed write and continue (record too
+    large), False -> the caller must fail the query.  Used inside
+    foreachBatch sinks: ``except Exception as e: if not
+    handle_production_error(e): raise``."""
+    return any(m in str(exc) for m in SKIPPABLE_WRITE_ERRORS)
+
+
 @dataclass
 class DeadLetterPolicy:
     """Counted skip-then-fail policy for a JSON-parsed stream.

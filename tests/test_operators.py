@@ -1,0 +1,153 @@
+"""Unit tests for the operator-layer API (Stream/Table wrappers, dedup,
+similarity, text, multimodal plumbing) on tiny in-memory data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.operators.stream import Stream
+from confluent_kafka_streams_examples_spark.operators.table import Table, latest_per_key
+from confluent_kafka_streams_examples_spark.operators import dedup, multimodal, windows
+from confluent_kafka_streams_examples_spark.functions.scalar import (
+    safe_long,
+    substr_after_first,
+)
+from confluent_kafka_streams_examples_spark.functions.json_serde import (
+    deserialize_json,
+    malformed_records,
+)
+from confluent_kafka_streams_examples_spark.streaming.errors import handle_production_error
+from confluent_kafka_streams_examples_spark.schemas import ELECTRONIC_ORDER
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def test_substr_after_first_dash(spark):
+    """Reference semantics (BasicStreams.scala:57): split at the FIRST
+    dash; absent delimiter -> whole string."""
+    df = spark.createDataFrame(
+        [("orderNumber-1001",), ("a-b-c",), ("nodash",)], ["v"]
+    )
+    out = [r[0] for r in df.select(substr_after_first("v", "-")).collect()]
+    assert out == ["1001", "b-c", "nodash"]
+
+
+def test_safe_long_null_on_garbage(spark):
+    df = spark.createDataFrame([("123",), ("garbage",)], ["v"])
+    out = [r[0] for r in df.select(safe_long("v")).collect()]
+    assert out == [123, None]
+
+
+def test_stream_pipeline_chain(spark):
+    """BasicStreams chain P1->P3->P1 on the wrapper API."""
+    df = spark.createDataFrame(
+        [("k1", "orderNumber-2000"), ("k2", "orderNumber-500"), ("k3", "other")],
+        ["key", "v"],
+    )
+    out = (
+        Stream(df, key_col="key")
+        .filter(F.col("v").contains("orderNumber-"))
+        .map_values(order_id=safe_long(substr_after_first(F.col("v"), "-")))
+        .filter(F.col("order_id") > 1000)
+        .select("key", "order_id")
+        .to_df()
+        .collect()
+    )
+    assert [(r["key"], r["order_id"]) for r in out] == [("k1", 2000)]
+
+
+def test_table_latest_and_tostream(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, T0), ("a", 2.0, T0 + dt.timedelta(seconds=1)), ("b", 3.0, T0)],
+        ["key", "value", "ts"],
+    )
+    t = Table.from_stream(df, "key", "ts")
+    got = {r["key"]: r["value"] for r in t.to_stream().to_df().collect()}
+    assert got == {"a": 2.0, "b": 3.0}
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 1, T0), ("a", 2, T0)], ["key", "seq", "ts"]
+    )
+    out = latest_per_key(df, ["key"], "ts", tiebreak_cols=["seq"]).collect()
+    assert len(out) == 1 and out[0]["seq"] == 2
+
+
+def test_stream_windowed_join_api(spark):
+    l = spark.createDataFrame(
+        [("u", 1, T0), ("u", 2, T0 + dt.timedelta(seconds=60))], ["k", "lid", "ts"]
+    )
+    r = spark.createDataFrame([("u", 9, T0 + dt.timedelta(seconds=3))], ["k", "rid", "ts2"])
+    s = Stream(l, key_col="k", ts_col="ts")
+    other = Stream(r, key_col="k", ts_col="ts2")
+    out = s.join_windowed(
+        other, "k", 5.0, select=[F.col("l.lid"), F.col("r.rid")]
+    ).to_df().collect()
+    assert [(row["lid"], row["rid"]) for row in out] == [(1, 9)]
+
+
+def test_grouped_stream_sum(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], ["key", "price"])
+    out = Stream(df, key_col="key").group_by_key().reduce_sum("price").to_df().collect()
+    assert {r["key"]: r["total"] for r in out} == {"a": 3.0, "b": 5.0}
+
+
+def test_windows_helpers(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, T0), ("a", 2.0, T0 + dt.timedelta(minutes=90))], ["k", "v", "ts"]
+    )
+    t = windows.tumbling_agg(df, "ts", "1 hour", ["k"], F.sum("v").alias("s")).collect()
+    assert len(t) == 2
+    h = windows.hopping_agg(df, "ts", "1 hour", "30 minutes", ["k"], F.sum("v").alias("s")).collect()
+    assert len(h) == 4  # each event in 2 hopping windows
+    s = windows.session_agg(df, "ts", "30 minutes", ["k"], F.sum("v").alias("s")).collect()
+    assert len(s) == 2  # 90min apart > gap -> two sessions
+
+
+def test_shingles_short_docs(spark):
+    """Docs with < n tokens produce no shingles (and no descending
+    sequence explosion)."""
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], ["doc_id", "text"])
+    out = dedup.shingles(df, "doc_id", "text", 3).collect()
+    got = {(r["doc_id"], r["shingle"]) for r in out}
+    assert got == {(2, "a b c"), (2, "b c d")}
+
+
+def test_json_serde_roundtrip(spark):
+    good = '{"order_id":"o1","electronic_id":"e1","user_id":"u1","price":9.5,"time":"2024-01-01T00:00:00Z"}'
+    df = spark.createDataFrame([(good,), ("not json",)], ["value"])
+    parsed = deserialize_json(df, "value", ELECTRONIC_ORDER)
+    rows = parsed.collect()
+    assert len(rows) == 1 and rows[0]["order_id"] == "o1"
+    bad = malformed_records(df, "value", ELECTRONIC_ORDER)
+    assert bad.count() == 1
+
+
+def test_multimodal_decode_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "image")
+    assert multimodal.fake_decode(b"payload") == multimodal.fake_decode(b"payload")
+
+
+def test_multimodal_blob_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    blobs = multimodal.to_blob_table(df, "doc_id", "text")
+    assert dict(blobs.dtypes)["payload"] == "binary"
+    feats = multimodal.extract_features(blobs).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["byte_len"] == 5
+    import hashlib
+
+    assert by_id[1]["content_md5"] == hashlib.md5(b"hello").hexdigest()
+    frames = multimodal.frame_sample_plan(blobs, every_n=2).collect()
+    assert len(frames) > 2
+
+
+def test_production_error_policy():
+    assert handle_production_error(RuntimeError("RecordTooLargeException: 2MB"))
+    assert not handle_production_error(RuntimeError("disk full"))

@@ -1,0 +1,91 @@
+"""Plan-hygiene tests: the properties that decide whether a plan
+survives a 100x scale-up, asserted on the physical plan text.
+
+- filters reach the parquet scan (PushedFilters)
+- projections prune columns (ReadSchema)
+- dimension joins broadcast (fact side never shuffles for dims)
+- no cartesian products anywhere
+- single-shuffle guarantees for the one-shuffle operators
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+from confluent_kafka_streams_examples_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def plan(spark, name: str) -> str:
+    return explain_str(QUERIES[name](spark, SF_SMOKE))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "agg_pricing_summary")
+    pushed = "\n".join(ln for ln in p.splitlines() if "PushedFilters" in ln)
+    assert "LessThanOrEqual(l_shipdate" in pushed, p
+
+
+def test_column_pruning(spark):
+    p = plan(spark, "basic_pipeline")
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs, p
+    # the events scan must read exactly the two needed columns
+    assert any(
+        "event_id" in ln and "user_id" in ln and "props" not in ln and "value" not in ln
+        for ln in rs
+    ), rs
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ["regional_revenue", "stream_table_join"]:
+        p = plan(spark, name)
+        assert p.count("BroadcastHashJoin") >= 3, f"{name}: dims must broadcast\n{p}"
+        assert "SortMergeJoin" not in p, f"{name}: no dim join may shuffle the fact side\n{p}"
+
+
+def test_no_cartesian_products(spark):
+    for name in [
+        "stream_stream_window_join",
+        "dedup_embedding_cosine",
+        "dedup_ngram_jaccard",
+        "similarity_pairs_label",
+    ]:
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian product\n{p}"
+
+
+def test_windowed_join_is_keyed_join(spark):
+    """The ±300s stream-stream join must key on user_id (hash/merge join
+    with the range predicate as post-filter), never a pure range join."""
+    p = plan(spark, "stream_stream_window_join")
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
+
+
+def test_ktable_latest_single_shuffle(spark):
+    """Latest-per-key is one shuffle on the key (window dedup)."""
+    p = plan(spark, "ktable_latest")
+    # AQE may add AQEShuffleRead, but there must be exactly one Exchange
+    n_exchange = sum(1 for ln in p.splitlines() if ln.strip().startswith("(") and "Exchange" in ln and "AQEShuffleRead" not in ln)
+    assert n_exchange == 1, f"expected exactly 1 shuffle:\n{p}"
+
+
+def test_running_total_partial_aggregation(spark):
+    """groupBy sum must plan partial (map-side) aggregation before the
+    exchange — HashAggregate appears both below and above the shuffle."""
+    p = plan(spark, "agg_running_total")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_query_registry_complete():
+    """Every registered query has an oracle or is explicitly rows-only;
+    names are unique and callable."""
+    from confluent_kafka_streams_examples_spark.queries import ORACLES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 37
+    for name, fn in QUERIES.items():
+        assert callable(fn), name

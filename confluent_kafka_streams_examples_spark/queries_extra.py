@@ -376,3 +376,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.35)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+# =====================================================================
+# Pivot + SCD2 (changelog -> versioned-dimension emulation)
+# =====================================================================
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           {cols}
+    FROM events GROUP BY user_id
+    """.format(
+        cols=",\n           ".join(
+            f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+            for t in _EVENT_TYPES
+        )
+    ),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type.  Explicit
+    pivot values keep the schema static (no extra distinct-values job —
+    mandatory at scale)."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "scd2_user_history",
+    oracle="""
+    SELECT event_id, user_id, value,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to_us
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 emulation: turn the per-key changelog into versioned rows
+    with [valid_from, valid_to) intervals via lead() — null valid_to
+    marks the current version.  This is the KTable history expansion
+    (integer-microsecond intervals; one shuffle)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Streaming windowed aggregation + end-to-end dead-letter pipeline."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from confluent_kafka_streams_examples_spark.streaming.errors import DeadLetterPolicy
+from tests.test_streaming import EVENT_SCHEMA, T0, ts, write_batch
+
+
+def test_tumbling_agg_watermark_drops_late(spark, tmp_path):
+    """Append-mode tumbling aggregation: a window only emits once the
+    watermark passes its end; rows older than the watermark are dropped
+    (the aggregation analog of W2 late-data semantics)."""
+    src = str(tmp_path / "src")
+    # batch 1: two rows in window [0,60), one at t=600 advancing watermark
+    write_batch(spark, src, [("a", 1.0, ts(10)), ("a", 2.0, ts(20)), ("a", 9.0, ts(600))])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "60 seconds").alias("win"), "key")
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("win.start").alias("ws"), "key", "total")
+    )
+    qname = f"w{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: late row for window [0,60) — watermark is 570, dropped
+        write_batch(spark, src, [("a", 100.0, ts(30)), ("a", 1.0, ts(700))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["ws"], r["key"]): r["total"] for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+    # window [0,60) emitted with the ON-TIME total only (1+2, not +100)
+    assert rows[(T0, "a")] == 3.0
+
+
+def test_foreachbatch_dead_letter_pipeline(spark, tmp_path):
+    """E1/E4 end-to-end: streaming JSON payloads through a foreachBatch
+    sink with the counted dead-letter policy (reference
+    ErrorHandlingExample.scala:139-157: one poison record among many;
+    all valid records survive, the poison one is counted + skipped)."""
+    src = str(tmp_path / "json_src")
+    payload_schema = StructType(
+        [StructField("id", LongType()), StructField("price", DoubleType())]
+    )
+    raw_schema = StructType([StructField("payload", StringType())])
+    rows = [(f'{{"id": {i}, "price": 2.0}}',) for i in range(19)] + [("INVALID",)]
+    spark.createDataFrame(rows, raw_schema).coalesce(1).write.parquet(src)
+
+    policy = DeadLetterPolicy(value_col="payload", schema=payload_schema, max_errors=25)
+    good_batches = []
+
+    def sink(batch_df, epoch_id):
+        good = policy.process(batch_df)
+        good_batches.append(good.count())
+
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp_path}/ckpt_dl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(good_batches) == 19
+    assert policy.errors_seen == 1

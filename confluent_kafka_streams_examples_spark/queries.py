@@ -497,3 +497,4 @@ def events_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension modules register themselves into this registry on import
 from confluent_kafka_streams_examples_spark import queries_llm  # noqa: E402,F401
 from confluent_kafka_streams_examples_spark import queries_extra  # noqa: E402,F401
+from confluent_kafka_streams_examples_spark import queries_tpch  # noqa: E402,F401

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from confluent_kafka_streams_examples_spark.functions.scalar import round_det
 
@@ -93,11 +94,11 @@ def ngram_jaccard_pairs(
     drop shingles with document frequency above a cap first (spam
     n-grams carry no dedup signal) or switch to minhash_lsh_pairs.
     """
-    # NOTE: deliberately not cached — a .cache() leaking past the operator
-    # poisons the whole session's memory budget; recomputing shingles is
-    # one narrow projection.  Callers running repeated passes over the
-    # same corpus should persist(DISK_ONLY) the shingle table themselves.
-    sh = shingles(df, id_col, text_col, n)
+    # Self-joins evaluate their input subplan once PER REFERENCE (Spark
+    # has no cross-reference CSE), so materialize the shingle table once.
+    # MEMORY_AND_DISK: at 100 TB this spills instead of OOMing — and the
+    # shingle set is the natural checkpoint candidate for repeated passes.
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -121,15 +122,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def hash_pair(col: Column) -> tuple[Column, Column]:
+    """One md5 per value, split into two independent 48-bit integers
+    (hex chars 1-12 and 13-24).  Spark side of the Carter-Wegman
+    permutation family; the SQL oracle mirrors it with strpos
+    arithmetic (functions identical because md5 is)."""
+    d = F.md5(col)
+    h1 = F.conv(F.substring(d, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 13, 12), 16, 10).cast("long")
+    return h1, h2
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
     """K-permutation MinHash signature per document in ONE aggregation
-    (single shuffle): permutation j is md5 prefixed with the seed j,
-    min taken in lexicographic hex order (uniform under md5)."""
+    (single shuffle).
+
+    ONE md5 per shingle; permutation j is the Carter-Wegman family
+    h_j = h1 + j*h2 over the digest's two 48-bit halves (max value
+    16 * 2^48 << 2^63 — no overflow, identical integer arithmetic in
+    any engine).  This is 16x fewer digest computations than hashing per
+    permutation — the difference between 1 and 16 passes over a
+    100 TB shingle set.
+    """
     sh = shingles(df, id_col, text_col, n)
+    h1, h2 = hash_pair(F.col("shingle"))
+    sh = sh.withColumn("h1", h1).withColumn("h2", h2)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -158,14 +179,22 @@ def minhash_lsh_pairs(
         F.struct(
             F.lit(bi).alias("band_idx"),
             F.concat_ws(
-                "", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             ).alias("band_sig"),
         )
         for bi in range(bands)
     ]
+    # materialize before the self-join: the 16-agg signature pipeline
+    # would otherwise run twice (once per join side)
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_sig")
+    ).select(id_col, "band.band_idx", "band.band_sig").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
     return (

@@ -350,7 +350,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         bucket_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    base = base.withColumn("bucket", F.concat(*bucket_bits))
+    # materialize before the self-join (projections would run twice)
+    from pyspark.storagelevel import StorageLevel
+
+    base = base.withColumn("bucket", F.concat(*bucket_bits)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),

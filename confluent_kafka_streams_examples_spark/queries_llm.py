@@ -73,11 +73,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH = 16
 _BANDS = 4
+
+
+def _hex_to_int_sql(expr: str, start: int, width: int) -> str:
+    """SQL: parse hex chars [start, start+width) of ``expr`` as BIGINT
+    (mirrors Spark's conv(substring(...), 16, 10))."""
+    terms = [
+        f"{_hexval(expr, start + i)} * {16 ** (width - 1 - i)}"
+        for i in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# Carter-Wegman permutations over the two 48-bit digest halves — mirrors
+# dedup.minhash_signatures exactly (one md5 per shingle).
 _SIG_COLS = ",\n      ".join(
-    f"min(md5(concat('{j}|', s))) AS mh{j}" for j in range(_MH)
+    f"min(h1 + {j} * h2) AS mh{j}" for j in range(_MH)
 )
 _BAND_SELECTS = "\n      UNION ALL ".join(
-    "SELECT doc_id, {bi} AS band_idx, concat({cols}) AS band_sig FROM sig".format(
+    "SELECT doc_id, {bi} AS band_idx, concat_ws('|', {cols}) AS band_sig FROM sig".format(
         bi=bi,
         cols=", ".join(f"mh{bi * (_MH // _BANDS) + r}" for r in range(_MH // _BANDS)),
     )
@@ -89,7 +103,12 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
     banded AS ({_BAND_SELECTS})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a

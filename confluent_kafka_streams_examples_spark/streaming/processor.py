@@ -55,6 +55,11 @@ def running_total_with_emission(
       processing-time timeout — the punctuator (A4) analog.
 
     Returns an update-mode streaming DataFrame (key, total, n).
+
+    CAUTION: with ``emit_every_ms`` set, armed timers continuously
+    schedule micro-batches, so ``query.processAllAvailable()`` never
+    settles — drive such queries with sink polling or awaitTermination
+    (see tests/test_examples.py::test_processor_pipeline_punctuate_reemission).
     """
 
     def fold(

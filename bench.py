@@ -27,8 +27,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    # warm the JVM + parquet footers with one cheap action
+    # warm the JVM (codegen, shuffle paths, python workers) + parquet
+    # footers so per-query timings measure the plan, not first-use JIT
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    for warm in ("ktable_latest", "agg_running_total", "dedup_exact"):
+        try:
+            QUERIES[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

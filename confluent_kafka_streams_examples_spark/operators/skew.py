@@ -1,0 +1,96 @@
+"""Skew and co-location tooling for 100 TB shuffles.
+
+- salted_aggregate: two-phase aggregation for hot keys — phase 1 spreads
+  each key over N salt buckets (partial aggregate per (key, salt)),
+  phase 2 merges the N partials.  Turns one straggler reducer into N
+  parallel ones at the cost of a second (tiny) shuffle.
+- salted_join: replicate the small side N times, salt the big side —
+  an explicit fallback for when AQE's skew-join splitting isn't enough
+  (or AQE is off, e.g. inside streaming queries where it's disabled).
+- write_bucketed / bucketed_table: persist a table hash-bucketed by its
+  join key so later joins/aggregations on that key are exchange-free.
+
+AQE (enabled in session.get_spark) already splits skewed sort-merge
+partitions at runtime; these helpers are for the cases it can't see —
+aggregations (AQE only splits join partitions) and pre-planned layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (kind, input column), kind in
+    {"sum", "count", "min", "max"} — the mergeable aggregates (avg is
+    sum/count composed by the caller).  Example::
+
+        salted_aggregate(ev, ["user_id"], {"total": ("sum", "value"),
+                                           "n": ("count", "value")})
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
+    phase1_aggs = []
+    phase2_aggs = []
+    for out, (kind, col) in aggs.items():
+        if kind == "count":
+            phase1_aggs.append(F.count(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.sum(f"_p_{out}").alias(out))
+        elif kind == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.sum(f"_p_{out}").alias(out))
+        elif kind == "min":
+            phase1_aggs.append(F.min(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.min(f"_p_{out}").alias(out))
+        elif kind == "max":
+            phase1_aggs.append(F.max(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.max(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-mergeable aggregate kind {kind!r}")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_aggs)
+    return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side with rand(N), explode the
+    small side N ways, join on (key, salt).  The hot key's rows land in
+    N different reducers instead of one."""
+    big_salted = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    small_exploded = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return big_salted.join(small_exploded, [key, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 32
+) -> None:
+    """Persist hash-bucketed by the join key: subsequent joins or
+    aggregations on ``key`` between bucketed tables are planned without
+    an Exchange (the 100 TB answer to repeated joins on the same key)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -151,3 +151,19 @@ def test_multimodal_blob_plumbing(spark):
 def test_production_error_policy():
     assert handle_production_error(RuntimeError("RecordTooLargeException: 2MB"))
     assert not handle_production_error(RuntimeError("disk full"))
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """approx_count_distinct / percentile_approx: sketch-based aggregates
+    (engine surface beyond the DuckDB oracle's reach — algorithms differ
+    across engines, so verification is tolerance-based here, not
+    hash-based)."""
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    row = df.agg(
+        F.approx_count_distinct("k").alias("acd"),
+        F.percentile_approx("v", 0.5).alias("p50"),
+    ).collect()[0]
+    assert abs(row["acd"] - 1000) / 1000 < 0.05
+    assert abs(row["p50"] - 9999.5) / 9999.5 < 0.02

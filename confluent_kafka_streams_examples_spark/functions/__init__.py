@@ -1,4 +1,5 @@
 from confluent_kafka_streams_examples_spark.functions.scalar import (
+    round_det,
     safe_long,
     strict_long,
     substr_after_first,
@@ -9,6 +10,7 @@ from confluent_kafka_streams_examples_spark.functions.json_serde import (
 )
 
 __all__ = [
+    "round_det",
     "safe_long",
     "strict_long",
     "substr_after_first",

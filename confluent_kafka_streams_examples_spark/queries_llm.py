@@ -314,3 +314,75 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     blobs = multimodal.to_blob_table(docs, "doc_id", "text", media_type="image")
     return multimodal.extract_features(blobs)
+
+
+@query(
+    "token_frequencies",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 5
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language: the 1->N explode (batch UDTF shape,
+    SURVEY §2.6 U4) + grouped count + per-key ranking.  One explode, two
+    keyed shuffles, deterministic (count desc, token) ordering."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("lang", "text")
+    tok = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+
+
+@query(
+    "neardup_verify_levenshtein",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, levenshtein(da.text, db.text) AS edit_distance
+    FROM cand
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    WHERE levenshtein(da.text, db.text) <= 50
+    """,
+)
+def neardup_verify_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: MinHash-LSH candidate generation
+    (sublinear) -> exact edit-distance verification ONLY on the tiny
+    candidate set (levenshtein is O(len^2) per pair — running it on all
+    n^2 pairs is exactly what LSH avoids at 100 TB)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("edit_distance", F.levenshtein(F.col("_ta"), F.col("_tb")))
+        .filter(F.col("edit_distance") <= 50)
+        .select("id_a", "id_b", "edit_distance")
+    )

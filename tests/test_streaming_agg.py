@@ -53,6 +53,33 @@ def test_tumbling_agg_watermark_drops_late(spark, tmp_path):
     assert rows[(T0, "a")] == 3.0
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """J2 in streaming mode: a streaming fact joined against a static
+    dimension DataFrame (broadcast, no state) — the Spark-native form of
+    the reference's stream-table enrichment (JoinsExample.scala:41-45)."""
+    src = str(tmp_path / "facts")
+    write_batch(spark, src, [("u1", 5.0, ts(0)), ("u2", 7.0, ts(1)), ("u9", 1.0, ts(2))])
+    users = spark.createDataFrame(
+        [("u1", "alice"), ("u2", "bo")], ["key", "name"]
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    joined = stream.join(F.broadcast(users), "key", "inner")
+    qname = f"s{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["key"]: r["name"] for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+    assert rows == {"u1": "alice", "u2": "bo"}  # u9 has no dimension row
+
+
 def test_foreachbatch_dead_letter_pipeline(spark, tmp_path):
     """E1/E4 end-to-end: streaming JSON payloads through a foreachBatch
     sink with the counted dead-letter policy (reference

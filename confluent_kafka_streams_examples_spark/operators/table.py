@@ -71,6 +71,19 @@ class Table:
             df = df.withColumn(name, expr)
         return Table(df, self.key_col)
 
+    def join(self, other: "Table", how: str = "inner") -> "Table":
+        """Table-table equi-join on the key (KTable-KTable join — not
+        exercised by the reference but part of the KTable API family):
+        both sides are already latest-per-key views, so the result is
+        the latest-joined changelog."""
+        renamed = other.df.select(
+            [
+                F.col(c).alias(self.key_col if c == other.key_col else f"r_{c}")
+                for c in other.df.columns
+            ]
+        )
+        return Table(self.df.join(renamed, on=self.key_col, how=how), self.key_col)
+
     def to_stream(self):
         """P7 — changelog -> event stream (reference KTableExample.scala:62).
         In batch the latest-per-key view IS the stream of current values;

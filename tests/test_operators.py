@@ -167,3 +167,35 @@ def test_approx_aggregates_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["acd"] - 1000) / 1000 < 0.05
     assert abs(row["p50"] - 9999.5) / 9999.5 < 0.02
+
+
+def test_table_table_join(spark):
+    import datetime as dt
+
+    T = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", 1.0, T), ("a", 2.0, T + dt.timedelta(seconds=1)), ("b", 3.0, T)],
+        ["key", "value", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("a", "x", T), ("a", "y", T + dt.timedelta(seconds=5)), ("c", "z", T)],
+        ["key", "name", "ts"],
+    )
+    from confluent_kafka_streams_examples_spark.operators.table import Table
+
+    lt = Table.from_stream(left, "key", "ts")
+    rt = Table.from_stream(right, "key", "ts")
+    out = lt.join(rt).to_df().collect()
+    assert [(r["key"], r["value"], r["r_name"]) for r in out] == [("a", 2.0, "y")]
+
+
+def test_uuid_and_now_surface(spark):
+    """§2.8 nondeterministic functions (reference UUID.randomUUID at
+    JoinsExample.scala:120,125; Instant.now at :127,270): engine exposes
+    them via uuid()/current_timestamp — format-checked, never in
+    oracle-compared queries."""
+    row = spark.range(1).select(
+        F.expr("uuid()").alias("u"), F.current_timestamp().alias("now")
+    ).collect()[0]
+    assert len(row["u"]) == 36 and row["u"].count("-") == 4
+    assert row["now"] is not None

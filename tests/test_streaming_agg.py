@@ -112,3 +112,51 @@ def test_foreachbatch_dead_letter_pipeline(spark, tmp_path):
         q.stop()
     assert sum(good_batches) == 19
     assert policy.errors_seen == 1
+
+
+def test_checkpoint_restart_no_double_count(spark, tmp_path):
+    """Exactly-once across restarts: stop the query, append data, start a
+    NEW query object from the same checkpoint — totals continue (no
+    reprocessing of batch 1), which exceeds the reference's
+    at-least-once default (SURVEY §2.7)."""
+    from confluent_kafka_streams_examples_spark.streaming.processor import (
+        running_total_with_emission,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = f"{tmp_path}/ckpt_restart"
+    emitted = []
+
+    def start():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        totals = running_total_with_emission(stream, "key", "value")
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        return (
+            totals.writeStream.foreachBatch(
+                lambda df, epoch: emitted.extend(
+                    (r["total"], r["n"]) for r in df.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_batch(spark, src, [("a", 1.0, ts(0)), ("a", 2.0, ts(1))])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    write_batch(spark, src, [("a", 10.0, ts(2))])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # run 1 emitted (3.0, 2); run 2 restored state from the checkpoint
+    # and folded ONLY the new row: (13.0, 3) — batch 1 not reprocessed
+    assert emitted[0] == (3.0, 2)
+    assert emitted[-1] == (13.0, 3)
+    assert (4.0, 3) not in emitted and (10.0, 1) not in emitted

@@ -160,3 +160,46 @@ def test_checkpoint_restart_no_double_count(spark, tmp_path):
     assert emitted[0] == (3.0, 2)
     assert emitted[-1] == (13.0, 3)
     assert (4.0, 3) not in emitted and (10.0, 1) not in emitted
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Session windows in streaming: a session closes (and emits, append
+    mode) only when the watermark passes its end; the still-open session
+    stays unemitted."""
+    src = str(tmp_path / "sess_src")
+    write_batch(
+        spark,
+        src,
+        [
+            ("a", 1.0, ts(0)),
+            ("a", 2.0, ts(30)),   # same session (gap 30s < 60s)
+            ("a", 4.0, ts(500)),  # far ahead: advances watermark, own session open
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy(F.session_window("ts", "60 seconds").alias("win"), "key")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("ws"), F.col("win.end").alias("we"), "key", "total", "cnt")
+    )
+    qname = f"sw{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more far-future row so the watermark passes the first
+        # session's end in a subsequent batch
+        write_batch(spark, src, [("a", 0.0, ts(1000))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    closed = {(r["ws"], r["we"]): (r["total"], r["cnt"]) for r in rows}
+    # session [0, 30+60) emitted with both on-time rows merged
+    assert closed.get((T0, ts(90))) == (3.0, 2), rows

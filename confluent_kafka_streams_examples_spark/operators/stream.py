@@ -99,9 +99,12 @@ class Stream:
         """
         left, right = self.df.alias("l"), other.df.alias("r")
         lts, rts = F.col(f"l.{self.ts_col}"), F.col(f"r.{other.ts_col}")
+        # integer-microsecond time arithmetic (engine-wide convention:
+        # no float time, no boundary jitter)
+        window_us = int(window_seconds * 1_000_000)
         cond = (
             (F.col(f"l.{on}") == F.col(f"r.{on}")) if isinstance(on, str) else on
-        ) & (F.abs(lts.cast("double") - rts.cast("double")) <= F.lit(window_seconds))
+        ) & (F.abs(F.unix_micros(lts) - F.unix_micros(rts)) <= F.lit(window_us))
         joined = left.join(right, cond, how)
         if select is not None:
             joined = joined.select(*select)

@@ -379,10 +379,19 @@ def neardup_verify_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS)
     da = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    # Two exact-semantics optimizations for the verify stage:
+    #  - length prefilter: |len(a)-len(b)| > k implies edit distance > k,
+    #    so those pairs never reach the DP at all;
+    #  - bounded levenshtein (threshold=50): banded DP is O(len*k) per
+    #    pair instead of O(len^2); returns -1 past the bound, which the
+    #    <= k filter discards — surviving rows carry the exact distance.
     return (
         cand.join(da, "id_a")
         .join(db, "id_b")
-        .withColumn("edit_distance", F.levenshtein(F.col("_ta"), F.col("_tb")))
-        .filter(F.col("edit_distance") <= 50)
+        .filter(F.abs(F.length("_ta") - F.length("_tb")) <= 50)
+        .withColumn(
+            "edit_distance", F.levenshtein(F.col("_ta"), F.col("_tb"), 50)
+        )
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 50))
         .select("id_a", "id_b", "edit_distance")
     )

@@ -1,12 +1,13 @@
-"""TPC-H-shaped analytical queries (Q3/Q5/Q6 analogs on the driver's
-star schema) — the engine's multi-join + selective-filter + aggregate
-surface, where plan quality (pushdown, broadcast, partial agg, AQE)
-decides 100 TB viability.  Registered into the driver-contract registry.
+"""TPC-H-shaped analytical queries (Q2/Q3/Q4/Q5/Q6/Q7/Q10/Q18 analogs
+on the driver's star schema) — the engine's multi-join +
+selective-filter + aggregate surface, where plan quality (pushdown,
+broadcast, partial agg, window-group-limit, AQE) decides 100 TB
+viability.  Registered into the driver-contract registry.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from confluent_kafka_streams_examples_spark.queries import query
@@ -149,6 +150,257 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
                 "revenue"
             )
+        )
+    )
+
+
+@query(
+    "primary_supplier_per_part",
+    oracle="""
+    WITH vol AS (
+      SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, qty,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY qty DESC, l_suppkey) AS rn
+      FROM vol)
+    SELECT p_partkey, p_brand, s_name AS primary_supplier, qty AS supplied_qty
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_size >= 40
+    """,
+)
+def primary_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmin-per-group over a part-supplier relation;
+    the driver schema has no partsupp, so lineitem shipped volume stands
+    in for supply cost): one shuffle for the (part, supp) aggregate, a
+    window argmax per part (integer tie-break on suppkey — fully
+    deterministic), then broadcast joins to both dimensions.  At 100 TB
+    the window runs on the already-aggregated (part, supp) set —
+    orders of magnitude smaller than lineitem — and part/supplier stay
+    broadcast-able."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("qty").desc(), F.col("l_suppkey")
+    )
+    return (
+        vol.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            F.broadcast(part.filter(F.col("p_size") >= 40)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("s_name").alias("primary_supplier"),
+            F.col("qty").alias("supplied_qty"),
+        )
+    )
+
+
+@query(
+    "late_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join (one row
+    per order regardless of how many late lineitems), date range pushed
+    to the orders scan, then a tiny priority aggregate.  The semi join
+    shuffles only (orderkey, orderdate) — no lineitem payload survives
+    the probe."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    filtered = orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (
+        filtered.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "nation_pair_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year.  Both nation joins broadcast; the pair disjunction is applied
+    AFTER the cheap dimension joins so it prunes before the aggregate;
+    customer/supplier broadcast; single shuffle for the final group."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter.  Return-flag filter pushed to the lineitem scan, half-year
+    window pushed to orders, customer+nation broadcast, TakeOrdered
+    top-20 (never a full sort at scale; tie-break on custkey)."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-07-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS total_price,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 300
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders.  Aggregate lineitem FIRST
+    (map-side partial sums collapse ~4 rows/order before the shuffle),
+    apply the HAVING on the aggregate, and only then join the surviving
+    handful of orders to the dimensions — at 100 TB the having-filter
+    drops >99% of orders before any join happens."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey", F.col("_q").cast("long").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
         )
     )
 

@@ -89,3 +89,33 @@ def test_query_registry_complete():
     assert len(QUERIES) >= 37
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_tpch_analogs_broadcast_dims(spark):
+    """Q2/Q7/Q10/Q18 analogs: every dimension join must broadcast —
+    the fact table never shuffles to meet a dimension."""
+    for name, min_bc in [
+        ("primary_supplier_per_part", 2),
+        ("nation_pair_volume", 4),
+        ("returned_item_customers", 2),
+        ("large_volume_orders", 1),
+    ]:
+        p = plan(spark, name)
+        assert p.count("BroadcastHashJoin") >= min_bc, f"{name}:\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+
+
+def test_argmax_uses_window_group_limit(spark):
+    """The per-part argmax must plan WindowGroupLimit (rank-limit
+    pushdown: top-1 filtered before AND after the shuffle) — without it
+    the window materializes every (part, supplier) row."""
+    p = plan(spark, "primary_supplier_per_part")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_large_volume_orders_aggregates_before_join(spark):
+    """Q18 shape: the lineitem aggregate (with partial/map-side combine)
+    must be planned, and the semi-ish having filter must not force a
+    sort-merge join of the full fact table against orders."""
+    p = plan(spark, "large_volume_orders")
+    assert p.count("HashAggregate") >= 2, p

@@ -447,3 +447,86 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
         )
     )
+
+
+# =====================================================================
+# Delta-style MERGE INTO (snapshot upsert — operators/merge.py)
+# =====================================================================
+
+@query(
+    "merge_upsert_balances",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, floor(c_acctbal * 1e2 + 0.5) / 1e2 AS acctbal
+      FROM customer WHERE c_acctbal >= 0),
+    src AS (
+      SELECT o_custkey, floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY o_custkey)
+    SELECT COALESCE(t.c_custkey, s.o_custkey) AS c_custkey,
+           COALESCE(t.c_name, c2.c_name) AS c_name,
+           CASE WHEN t.c_custkey IS NULL THEN s.revenue
+                WHEN s.o_custkey IS NULL THEN t.acctbal
+                ELSE floor((t.acctbal + s.revenue) * 1e2 + 0.5) / 1e2
+           END AS acctbal
+    FROM tgt t
+    FULL JOIN src s ON t.c_custkey = s.o_custkey
+    LEFT JOIN customer c2 ON s.o_custkey = c2.c_custkey
+    WHERE NOT (t.c_custkey IS NOT NULL AND s.o_custkey IS NOT NULL
+               AND s.revenue < 5000)
+    """,
+)
+def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE (operators/merge.py) over real tables, all
+    three clause paths live:
+
+    - target: non-negative-balance customers (snapshot);
+    - source: 1997 revenue per customer (the daily-delta analog);
+    - WHEN MATCHED AND revenue < 5000 THEN DELETE (churn the long tail)
+    - WHEN MATCHED THEN UPDATE acctbal += revenue
+    - WHEN NOT MATCHED THEN INSERT (negative-balance customers that DID
+      order in 1997 enter the snapshot with acctbal = revenue).
+
+    One full-outer join; the source side is the small aggregate, so at
+    100 TB the snapshot never shuffles for a daily delta (broadcast) —
+    and partition pruning via merge.touched_partitions limits the
+    rewrite."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+    from confluent_kafka_streams_examples_spark.operators.merge import merge_into
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    target = cust.filter(F.col("c_acctbal") >= 0).select(
+        "c_custkey", "c_name", round_det("c_acctbal", 2).alias("acctbal")
+    )
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    source = (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(round_det(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(
+            cust.select("c_custkey", F.col("c_name").alias("src_name")),
+            "c_custkey",
+        )
+    )
+    return merge_into(
+        target,
+        source,
+        on="c_custkey",
+        matched_update={
+            "acctbal": round_det(F.col("t.acctbal") + F.col("s.revenue"), 2)
+        },
+        matched_delete_condition=F.col("s.revenue") < 5000,
+        insert_values={
+            "c_custkey": F.col("s.c_custkey"),
+            "c_name": F.col("s.src_name"),
+            "acctbal": F.col("s.revenue"),
+        },
+    )

@@ -305,6 +305,28 @@ _BUCKET_SQL = " || ".join(
 )
 
 
+def _dot(a, b) -> F.Column:
+    """JVM-side dot product: zip_with + aggregate fold (no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm_bucket_base(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, bucket): normalized vector + 4-bit hyperplane
+    LSH bucket — shared by the near-dup and ANN queries."""
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(F.col("vec_id"), v.alias("v")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    bucket_bits = []
+    for p in range(_PLANES):
+        plane = F.array(*[F.lit(s) for s in _plane_signs(p)])
+        proj = _dot(F.col("v"), plane)
+        bucket_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return base.withColumn("bucket", F.concat(*bucket_bits))
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -330,32 +352,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets geometrically.  The projections are JVM-side zip_with/
     aggregate folds (no Python, no collect)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    v = F.col("embedding").cast("array<double>")
-    base = emb.select(F.col("vec_id"), v.alias("v")).withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
-    )
-    bucket_bits = []
-    for p in range(_PLANES):
-        plane = F.array(*[F.lit(s) for s in _plane_signs(p)])
-        proj = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     # materialize before the self-join (projections would run twice)
     from pyspark.storagelevel import StorageLevel
 
-    base = base.withColumn("bucket", F.concat(*bucket_bits)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = _norm_bucket_base(emb).persist(StorageLevel.MEMORY_AND_DISK)
 
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
@@ -529,4 +529,137 @@ def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name": F.col("s.src_name"),
             "acctbal": F.col("s.revenue"),
         },
+    )
+
+
+# =====================================================================
+# ANN top-k via LSH buckets (the sublinear scale path for similarity
+# search: probe only the query's bucket, never the full corpus)
+# =====================================================================
+
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM n),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+          FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_inner_product(c.v, q.qv) / (c.nrm * q.qnrm), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY round(list_inner_product(c.v, q.qv)
+                                               / (c.nrm * q.qnrm), 6) DESC,
+                                         c.vec_id) AS rn
+      FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id)
+    SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 3
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: each query probes ONLY its own
+    hyperplane-LSH bucket (vs similarity_topk's full scan).  The probe
+    is an equi-join on the bucket id + WindowGroupLimit top-3 per query
+    — at 100 TB the corpus side is bucket-partitioned parquet, so a
+    probe touches one partition, not the table.  Recall is tunable with
+    more planes (smaller buckets) or multi-probe (flip one bit)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = _norm_bucket_base(emb)
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
+    )
+    cand = base.select("vec_id", "v", "nrm", "bucket")
+    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+# =====================================================================
+# Dimension-wise embedding centroids (posexplode pattern: array math
+# as plain relational aggregation — no UDF, fully shuffle-parallel)
+# =====================================================================
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, d AS dim,
+           floor(avg(embedding[d]) * 1e6 + 0.5) / 1e6 AS centroid
+    FROM embeddings, unnest(range(1, 65)) u(d)
+    GROUP BY label, d
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode
+    turns the array into relational form so the mean is an ordinary
+    partial-aggregated groupBy — the scalable alternative to collecting
+    vectors for numpy.  (64 x n_labels output rows regardless of corpus
+    size; this is the k-means/IVF training-step primitive.)"""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(round_det(F.avg("val"), 6).alias("centroid"))
+    )
+
+
+# =====================================================================
+# Gopher-style repetition / quality signals
+# =====================================================================
+
+@query(
+    "quality_repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           floor((count(*) / CAST(sum(c) AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS type_token_ratio,
+           floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS top_token_frac
+    FROM tc GROUP BY doc_id
+    """,
+)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters (Gopher-style): type-token ratio
+    and most-frequent-token dominance per document.  Two partial-agg
+    shuffles on (doc_id, token) then doc_id — token counts collapse
+    map-side, so shuffle volume tracks vocabulary, not corpus length."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        round_det(F.count(F.lit(1)) / F.sum("c").cast("double"), 4).alias(
+            "type_token_ratio"
+        ),
+        round_det(F.max("c") / F.sum("c").cast("double"), 4).alias("top_token_frac"),
     )

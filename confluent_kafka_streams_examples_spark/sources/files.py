@@ -23,3 +23,45 @@ def file_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+def batch_read(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    fmt: str = "parquet",
+    *,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Batch file source for parquet / csv / json(l).
+
+    Always pass an explicit ``schema`` for csv/json in production:
+    schema inference is a full extra pass over the data (fatal at
+    100 TB) and infers types from whatever happens to be in the sample.
+
+    ``mode``: Spark's malformed-record policy for csv/json —
+    PERMISSIVE (null out bad fields; capture the raw line in
+    ``corrupt_col`` if given), DROPMALFORMED, or FAILFAST.  This is the
+    batch twin of the streaming dead-letter policy (E1/E4,
+    reference ErrorHandlingExample.scala:32-47): same
+    skip/collect/fail triad, expressed as reader options.
+    """
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(path) if schema else spark.read.parquet(path)
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"unsupported format: {fmt}")
+    reader = spark.read.format(fmt).option("mode", mode)
+    if fmt == "csv":
+        reader = reader.option("header", str(header).lower())
+    if schema is not None:
+        if corrupt_col is not None:
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_col, StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -1,0 +1,67 @@
+"""Batch file sources (csv / json / parquet) with explicit schemas and
+the PERMISSIVE / DROPMALFORMED / FAILFAST malformed-record triad —
+the batch twin of the streaming dead-letter policy (E1/E4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from confluent_kafka_streams_examples_spark.sources.files import batch_read
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("price", DoubleType()),
+    ]
+)
+
+
+def _write_csv(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,name,price\n1,a,1.5\n2,b,2.5\nnot_a_number,c,3.5\n")
+    return str(p)
+
+
+def _write_jsonl(tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text(
+        '{"id": 1, "name": "a", "price": 1.5}\n'
+        '{"id": 2, "name": "b", "price": 2.5}\n'
+        "{broken json line\n"
+    )
+    return str(p)
+
+
+def test_csv_permissive_with_corrupt_capture(spark, tmp_path):
+    df = batch_read(
+        spark, _write_csv(tmp_path), SCHEMA, "csv", corrupt_col="_raw"
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["price"] == 1.5 and rows[1]["_raw"] is None
+    bad = rows[None]
+    assert bad["_raw"] is not None and "not_a_number" in bad["_raw"]
+
+
+def test_csv_dropmalformed(spark, tmp_path):
+    df = batch_read(spark, _write_csv(tmp_path), SCHEMA, "csv", mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_jsonl_dropmalformed(spark, tmp_path):
+    df = batch_read(spark, _write_jsonl(tmp_path), SCHEMA, "json", mode="DROPMALFORMED")
+    got = sorted((r["id"], r["name"], r["price"]) for r in df.collect())
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_csv_failfast_raises(spark, tmp_path):
+    df = batch_read(spark, _write_csv(tmp_path), SCHEMA, "csv", mode="FAILFAST")
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_unsupported_format(spark, tmp_path):
+    with pytest.raises(ValueError):
+        batch_read(spark, str(tmp_path), SCHEMA, "avro")

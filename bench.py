@@ -37,18 +37,25 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
+    # best-of-N per query: host contention inflates single samples 3-4x
+    # run-to-run; the min is the faithful estimate of plan cost
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        try:
-            df = QUERIES[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a failing query must not kill the bench
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
-        finally:
-            spark.catalog.clearCache()  # no cross-query contamination
+        best = -1.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = QUERIES[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                took = round(time.perf_counter() - t0, 3)
+                best = took if best < 0 else min(best, took)
+            except Exception as exc:  # a failing query must not kill the bench
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+                break
+            finally:
+                spark.catalog.clearCache()  # no cross-query contamination
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -395,3 +395,50 @@ def neardup_verify_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 50))
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION ALL SELECT id_b, id_a FROM cand),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.cluster, d.doc_id) AS is_representative
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> groups: MinHash-LSH candidate pairs clustered into
+    duplicate components (operators/graph.py min-label propagation);
+    every document gets a cluster_id (= min doc_id in its component,
+    singletons cluster with themselves) and a keep/drop decision
+    (is_representative).  The oracle computes the same components with
+    a recursive CTE — exact semantic match, different algorithm.
+
+    This completes the dedup pipeline: candidate generation (sublinear
+    LSH) -> clustering (iterative, shuffle-per-round, ~log-diameter
+    rounds) -> representative selection (pure projection)."""
+    from confluent_kafka_streams_examples_spark.operators.graph import dedup_components
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS)
+    return dedup_components(pairs, docs.select("doc_id"), "doc_id")

@@ -1,0 +1,61 @@
+"""Sketch surface: error bounds vs exact answers, and the property that
+makes sketches the 100 TB tool — merge associativity (sketch per fine
+partition, union to coarse, same estimate as sketching coarse
+directly)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.operators.sketches import (
+    distinct_estimate,
+    merge_sketches,
+    quantile_estimates,
+    sketch_column,
+)
+from confluent_kafka_streams_examples_spark.session import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_estimate_within_bound(spark):
+    ev = load_table(spark, "events", SF)
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in distinct_estimate(ev, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(3, 0.05 * n), (k, est[k], n)
+
+
+def test_datasketches_merge_associativity(spark):
+    """sketch(day) then union == usable estimate of the whole: per-day
+    sketches merged to all-time agree with the direct all-time count
+    within HLL error."""
+    ev = load_table(spark, "events", SF).withColumn("day", F.to_date("ts"))
+    daily = sketch_column(ev, ["day"], "user_id")
+    merged = merge_sketches(daily.withColumn("all", F.lit(1)), ["all"])
+    est = merged.collect()[0]["distinct_est"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) <= max(3, 0.05 * exact), (est, exact)
+
+
+def test_approx_quantiles_ordered_and_bounded(spark):
+    li = load_table(spark, "lineitem", SF)
+    row = quantile_estimates(
+        li.withColumn("g", F.lit(1)), ["g"], "l_extendedprice", [0.1, 0.5, 0.9]
+    ).collect()[0]
+    q10, q50, q90 = row["quantiles"]
+    assert q10 <= q50 <= q90
+    lo, hi = (
+        li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    )
+    assert lo <= q10 and q90 <= hi

@@ -30,7 +30,9 @@ def main() -> None:
     # warm the JVM (codegen, shuffle paths, python workers) + parquet
     # footers so per-query timings measure the plan, not first-use JIT
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
-    for warm in ("ktable_latest", "agg_running_total", "dedup_exact"):
+    # dedup_minhash_lsh warms the shingle/hash/explode codegen paths so
+    # the first dedup-family query measured isn't charged for their JIT
+    for warm in ("ktable_latest", "agg_running_total", "dedup_exact", "dedup_minhash_lsh"):
         try:
             QUERIES[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:

@@ -98,7 +98,15 @@ def ngram_jaccard_pairs(
     # has no cross-reference CSE), so materialize the shingle table once.
     # MEMORY_AND_DISK: at 100 TB this spills instead of OOMing — and the
     # shingle set is the natural checkpoint candidate for repeated passes.
-    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # The self-join keys on xxhash64(shingle), not the shingle string:
+    # the shuffle carries 8-byte longs instead of n-gram text and the
+    # join compares longs (collision odds over 2^64 are noise next to
+    # the 0.4 threshold's own sensitivity).
+    sh = (
+        shingles(df, id_col, text_col, n)
+        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

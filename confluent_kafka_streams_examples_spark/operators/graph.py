@@ -48,12 +48,15 @@ def connected_components(
     MATERIALIZED edge count (the checkpoint makes the count free):
     ~``rows_per_partition`` rows per task, which collapses to 1-2
     partitions on test data and grows linearly for a 10^12-edge list."""
-    sym = edges.select(
+    # materialize the pair list BEFORE the symmetrizing union: both
+    # union branches reference `edges`, and without this the (possibly
+    # expensive — LSH candidate generation) upstream plan runs twice
+    edges = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.localCheckpoint(eager=True)
-    parallelism = sym.sparkSession.sparkContext.defaultParallelism
-    parts = max(1, min(parallelism * 8, sym.count() // rows_per_partition + 1))
+    ).localCheckpoint(eager=True)
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(parallelism * 8, 2 * edges.count() // rows_per_partition + 1))
+    sym = edges.union(edges.select(F.col("b"), F.col("a")))
     sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
 
     labels = (

@@ -623,6 +623,129 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# ANN top-k via IVF probe (centroid codebook + inverted lists — the
+# second sublinear scale path, complementing the LSH-bucket variant)
+# =====================================================================
+
+@query(
+    "similarity_ivf_probe",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             label
+      FROM embeddings),
+    cent AS (
+      SELECT label, d, floor(avg(v[d]) * 1e6 + 0.5) / 1e6 AS c
+      FROM n, unnest(range(1, 65)) u(d) GROUP BY label, d),
+    cvec AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+    dist AS (
+      SELECT a.vec_id, c.label,
+             floor(list_sum(list_transform(range(1, 65),
+                     d -> (a.v[d] - c.cv[d]) * (a.v[d] - c.cv[d]))) * 1e6 + 0.5) / 1e6 AS d2
+      FROM n a CROSS JOIN cvec c),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS crn
+      FROM dist),
+    assign AS (SELECT vec_id, label FROM ranked WHERE crn = 1),
+    probe AS (SELECT vec_id AS query_id, label FROM ranked
+              WHERE vec_id < 5 AND crn <= 2),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             round(list_inner_product(c.v, q.qv) / (c.nrm * q.qnrm), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY round(list_inner_product(c.v, q.qv)
+                                               / (c.nrm * q.qnrm), 6) DESC,
+                                         a.vec_id) AS rn
+      FROM probe p
+      JOIN assign a ON a.label = p.label AND a.vec_id != p.query_id
+      JOIN n c ON c.vec_id = a.vec_id
+      JOIN q ON q.query_id = p.query_id)
+    SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 3
+    """,
+)
+def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the per-label centroids are the coarse codebook,
+    EVERY vector is re-assigned to its nearest centroid (the inverted
+    list it lives in), and each query searches only its nprobe=2
+    nearest lists.  All vector math stays JVM-side (zip_with +
+    aggregate); the codebook is k rows so both the assignment step and
+    the probe are broadcast joins — no shuffle touches the corpus
+    beyond the final per-query top-k.  At 100 TB the corpus is written
+    partitioned by list id, so a probe reads nprobe partitions of
+    parquet, not the table; recall tuning = larger nprobe.  Distances
+    are rounded (round_det 6) before the argmin so the assignment is
+    reproducible across engines and summation orders."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = _norm_bucket_base(emb)
+
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(round_det(F.avg("val"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cv")
+        )
+    )
+
+    d2 = round_det(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    dist = (
+        base.select("vec_id", "v")
+        .join(F.broadcast(cent), F.lit(True))
+        .select("vec_id", "label", d2.alias("d2"))
+    )
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "label")).alias("m"))
+        .select("vec_id", F.col("m.label").alias("label"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "label")
+    probe = (
+        dist.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "label", "d2")
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= 2)
+        .select("query_id", "label")
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        assign.join(base.select("vec_id", "v", "nrm"), "vec_id")
+        .join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+# =====================================================================
 # Gopher-style repetition / quality signals
 # =====================================================================
 

@@ -1,0 +1,140 @@
+"""Composable corpus-cleaning pipeline — the end-to-end story the
+individual operators exist for.
+
+A stage is a plain ``DataFrame -> DataFrame`` function; ``compose``
+chains them.  No framework, no registry: Spark's own lazy DataFrame IS
+the pipeline abstraction (every stage extends one logical plan that
+Catalyst optimizes as a whole — filters from a later stage can push
+below earlier projections, etc.).  The value here is the curated,
+tested stage library and the canonical ordering:
+
+    quality filter  ->  exact dedup  ->  near-dup dedup (LSH + CC)
+
+Order matters operationally at 100 TB: the cheap stages run first so
+the expensive one (shingle/minhash) sees the smallest corpus —
+quality filtering is one token-count aggregation, exact dedup is one
+32-byte-key shuffle, and only the survivors pay the LSH + connected
+components cost.
+
+Reference parity: this composes the same per-record transform
+surface as the reference's topology-building (filter -> mapValues ->
+to, e.g. BasicStreams.scala:52-60) — a KStream chain is exactly this
+kind of stage composition, here over the batch corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.operators import dedup
+from confluent_kafka_streams_examples_spark.operators.graph import dedup_components
+
+Stage = Callable[[DataFrame], DataFrame]
+
+
+def compose(*stages: Stage) -> Stage:
+    """Left-to-right composition: compose(f, g)(df) == g(f(df))."""
+
+    def run(df: DataFrame) -> DataFrame:
+        for s in stages:
+            df = s(df)
+        return df
+
+    return run
+
+
+def quality_filter(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    max_top_token_frac: float = 0.15,
+) -> Stage:
+    """Drop documents outside [min_tokens, max_tokens] whitespace
+    tokens or whose most frequent token exceeds ``max_top_token_frac``
+    of all tokens (Gopher-style repetition gate).
+
+    Cost: one (id, token) partial-agg shuffle + one id rollup — shuffle
+    volume tracks per-doc vocabulary, not corpus bytes.  The ratio is a
+    single IEEE double division of two exact integers, so the threshold
+    compare is engine-reproducible without rounding."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        tc = (
+            df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+            .groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = (
+            tc.groupBy(id_col)
+            .agg(
+                F.sum("c").alias("n_tokens"),
+                (F.max("c") / F.sum("c")).alias("top_frac"),
+            )
+            .filter(
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("n_tokens") <= max_tokens)
+                & (F.col("top_frac") <= max_top_token_frac)
+            )
+            .select(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+
+    return stage
+
+
+def exact_dedup(id_col: str = "doc_id", text_col: str = "text") -> Stage:
+    """Keep the minimum-id document per distinct text.  One shuffle on
+    md5(text) — 32-byte keys, never document bodies — then a semi join
+    back to recover full rows."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        keep = (
+            df.groupBy(F.md5(F.col(text_col)).alias("h"))
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+
+    return stage
+
+
+def neardup_dedup(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> Stage:
+    """Keep one representative (minimum id) per near-duplicate cluster:
+    MinHash-LSH candidate pairs -> connected components -> drop
+    non-representatives.  Sublinear candidate generation (bucket join,
+    not n^2) + ~diameter rounds of keyed equi-joins for clustering."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        pairs = dedup.minhash_lsh_pairs(
+            df, id_col, text_col, num_hashes=num_hashes, bands=bands
+        )
+        comp = dedup_components(pairs, df.select(id_col), id_col)
+        keep = comp.filter(F.col("is_representative")).select(id_col)
+        return df.join(keep, id_col, "left_semi")
+
+    return stage
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    max_top_token_frac: float = 0.15,
+) -> DataFrame:
+    """The canonical cleaning pipeline: cheap gates first, LSH last."""
+    return compose(
+        quality_filter(id_col, text_col, min_tokens, max_tokens, max_top_token_frac),
+        exact_dedup(id_col, text_col),
+        neardup_dedup(id_col, text_col),
+    )(docs)

@@ -17,11 +17,16 @@ from confluent_kafka_streams_examples_spark.queries import query
 from confluent_kafka_streams_examples_spark.session import load_table
 
 # shared oracle CTE: distinct word 3-gram shingles per doc
-_SHINGLES_CTE = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+def _shingles_cte(rel: str) -> str:
+    """Word-3-gram CTE over relation ``rel(doc_id, text)``."""
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM {rel}),
 sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
        FROM toks, unnest(range(1, greatest(len(tk)-1, 1))) u(i))
 """
+
+
+_SHINGLES_CTE = _shingles_cte("documents")
 
 
 def _hexval(expr: str, pos: int) -> str:
@@ -442,3 +447,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS)
     return dedup_components(pairs, docs.select("doc_id"), "doc_id")
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    stats AS (SELECT doc_id, sum(c) AS n_tokens,
+                     max(c) / CAST(sum(c) AS DOUBLE) AS top_frac
+              FROM tc GROUP BY doc_id),
+    q AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN stats s ON s.doc_id = d.doc_id
+          WHERE s.n_tokens BETWEEN 20 AND 5000 AND s.top_frac <= 0.15),
+    e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    qe AS (SELECT q.doc_id, q.text FROM q JOIN e ON e.doc_id = q.doc_id),
+    {_shingles_cte('qe').strip().rstrip()},
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION ALL SELECT id_b, id_a FROM cand),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+    SELECT qe.doc_id, qe.text
+    FROM qe LEFT JOIN comp c ON qe.doc_id = c.node
+    WHERE COALESCE(c.cluster, qe.doc_id) = qe.doc_id
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline end-to-end (pipeline.py):
+    Gopher-style quality gate (20 <= tokens <= 5000, top-token
+    dominance <= 0.15) -> exact dedup (md5, keep min id) -> near-dup
+    dedup (MinHash-LSH pairs -> connected components -> keep the
+    cluster representative).  Output = the cleaned corpus rows.
+
+    Stage ordering is the scale decision: the token-count gates cost
+    one partial-agg shuffle each and shrink the corpus BEFORE the
+    expensive shingle/minhash stage runs.  The oracle replays the same
+    three stages in SQL over the same intermediate views."""
+    from confluent_kafka_streams_examples_spark.pipeline import clean_corpus
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return clean_corpus(docs)

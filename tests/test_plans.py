@@ -119,3 +119,13 @@ def test_large_volume_orders_aggregates_before_join(spark):
     sort-merge join of the full fact table against orders."""
     p = plan(spark, "large_volume_orders")
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_ivf_probe_broadcasts_codebook(spark):
+    """IVF ANN: the k-row codebook and the query set must broadcast —
+    the corpus side may never shuffle to meet them; no non-broadcast
+    cartesian anywhere."""
+    p = plan(spark, "similarity_ivf_probe")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # the k-row codebook cross join

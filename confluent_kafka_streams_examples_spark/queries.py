@@ -498,3 +498,4 @@ def events_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 from confluent_kafka_streams_examples_spark import queries_llm  # noqa: E402,F401
 from confluent_kafka_streams_examples_spark import queries_extra  # noqa: E402,F401
 from confluent_kafka_streams_examples_spark import queries_tpch  # noqa: E402,F401
+from confluent_kafka_streams_examples_spark import queries_tpch2  # noqa: E402,F401

@@ -129,3 +129,50 @@ def test_ivf_probe_broadcasts_codebook(spark):
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p  # the k-row codebook cross join
+
+
+def test_tpch2_analogs_broadcast_dims(spark):
+    """Q8/Q9/Q12/Q14/Q16/Q19/Q20 analogs: dimension joins broadcast,
+    nothing plans a cartesian product."""
+    for name, min_bc in [
+        ("market_share", 5),
+        ("product_type_profit", 3),
+        ("late_shipment_priority_counts", 0),
+        ("promo_revenue", 1),
+        ("part_supplier_counts", 2),
+        ("disjunctive_predicate_revenue", 1),
+        ("excess_suppliers", 2),
+        ("customer_order_distribution", 0),
+    ]:
+        p = plan(spark, name)
+        assert p.count("BroadcastHashJoin") >= min_bc, f"{name}:\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+
+
+def test_scalar_aggregate_broadcasts(spark):
+    """Q11/Q15/Q22 shapes: the 1-row global aggregate must join back as
+    a broadcast (nested-loop on the single row), never by shuffling the
+    big per-group side."""
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    for name in ["important_part_value", "top_supplier", "dormant_customer_balance"]:
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+        assert (
+            "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        ), f"{name}: scalar aggregate must broadcast\n{p}"
+        assert "SortMergeJoin" not in p, f"{name}:\n{p}"
+
+
+def test_sole_late_supplier_single_fact_pass(spark):
+    """Q21 shape: EXISTS + NOT EXISTS against the same fact table must
+    collapse into ONE per-order aggregate — lineitem is scanned exactly
+    once (the reference formulation would scan it three times)."""
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    df = QUERIES["sole_late_supplier"](spark, SF_SMOKE)
+    simple = explain_str(df, "simple")
+    scans = [ln for ln in simple.splitlines() if "Scan parquet" in ln and "lineitem" in ln]
+    assert len(scans) == 1, simple

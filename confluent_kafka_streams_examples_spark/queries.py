@@ -499,3 +499,4 @@ from confluent_kafka_streams_examples_spark import queries_llm  # noqa: E402,F40
 from confluent_kafka_streams_examples_spark import queries_extra  # noqa: E402,F401
 from confluent_kafka_streams_examples_spark import queries_tpch  # noqa: E402,F401
 from confluent_kafka_streams_examples_spark import queries_tpch2  # noqa: E402,F401
+from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,F401

@@ -1,0 +1,176 @@
+"""Corpus-management operators for a training-data pipeline —
+deterministic splits and samples, batch sessionization, and train/eval
+decontamination.  These complement the dedup/quality/similarity surface
+(queries_llm.py, queries_extra.py): after cleaning, a real pipeline
+still has to SPLIT the corpus reproducibly, SAMPLE it for ablations,
+and scrub eval-set contamination before training.
+
+Determinism contract: all "random" choices are md5-hash buckets of the
+stable document id — reproducible across engines, runs, and cluster
+sizes (no rand(), no sampleBy seeds that depend on partitioning).
+hex->int is ``conv`` on Spark and strpos arithmetic in DuckDB
+(queries_llm._hex_to_int_sql); money-ish double sums use the
+integer-cent trick so summation order can't flip a rounding tie.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.queries import query
+from confluent_kafka_streams_examples_spark.queries_llm import _hex_to_int_sql
+from confluent_kafka_streams_examples_spark.session import load_table
+
+# 16-bit md5 prefix of the stringified doc id -> [0, 100) bucket
+_BUCKET_SQL = f"{_hex_to_int_sql('md5(CAST(doc_id AS VARCHAR))', 1, 4)} % 100"
+
+
+def _bucket(col):
+    """Spark twin of _BUCKET_SQL: md5(doc_id)[0:4] as int, mod 100."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    )
+
+
+@query(
+    "corpus_split_assignment",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET_SQL} < 90 THEN 'train' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by md5 bucket of doc_id,
+    summarized per (split, lang).  The assignment is a pure projection
+    — no shuffle, no state, no seed: any executor, any cluster size,
+    any engine derives the same split for the same id.  (rand()-based
+    splits are NOT reproducible across retries/re-partitioning; hash
+    splits are the scale-safe idiom.)"""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    split = F.when(_bucket(F.col("doc_id")) < 90, "train").otherwise("test")
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_BUCKET_SQL} < 10
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample, uniform WITHIN every (lang, source)
+    stratum because the hash bucket is independent of both attributes
+    — one filtered scan, no per-stratum pass, no sampleBy() seed
+    dependence.  At 100 TB this is the only sampling idiom that is (a)
+    a single scan, (b) push-down-able, and (c) exactly reproducible for
+    an ablation rerun."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "source")
+    return docs.filter(_bucket(F.col("doc_id")) < 10)
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 OR lag(ts)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM g)
+    SELECT user_id, session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) / 100.0 AS total_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a >30-minute silence starts a new session
+    (the batch twin of streaming session_window — oracle-checkable,
+    which the streaming form is not).  Classic two-window formulation:
+    lag() marks session starts, a running sum numbers them, then one
+    aggregate per (user, session).  All three steps share ONE
+    partitioning on user_id — a single shuffle end-to-end.  Time math
+    in integer microseconds; per-session value in integer cents (both
+    immune to FP ordering)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    numbered = ev.withColumn(
+        "session_no",
+        F.sum(F.lit(0) + new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )
+
+
+@query(
+    "decontaminate_train",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) AS s
+      FROM tok, unnest(range(1, greatest(len(tk) - 3, 1))) u(i)),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+    flagged AS (
+      SELECT DISTINCT sh.doc_id FROM sh
+      JOIN eval_sh ON sh.s = eval_sh.s
+      WHERE sh.doc_id >= 20)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN flagged f ON d.doc_id = f.doc_id
+    """,
+)
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing any
+    word 5-gram with the eval set (here: doc_id < 20 stands in for the
+    benchmark corpus).  The eval shingle set is tiny by construction —
+    it BROADCASTS into a semi join against the training shingles, so
+    the 100 TB side is one scan + shingle explode with no shuffle for
+    the probe.  This is the n-gram-overlap decontamination used by
+    LLM training pipelines (cf. GPT-3/PaLM appendix methodology)."""
+    from confluent_kafka_streams_examples_spark.operators import dedup
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source"
+    )
+    sh = dedup.shingles(docs, "doc_id", "text", n=5)
+    eval_sh = (
+        sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    )
+    flagged = (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.select("doc_id", "lang", "source").join(flagged, "doc_id", "left_semi")

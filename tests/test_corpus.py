@@ -1,0 +1,84 @@
+"""Corpus-management ops: deterministic split/sample invariants,
+sessionization semantics on constructed inputs, decontamination
+flagging, and the plan properties that make them scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+from confluent_kafka_streams_examples_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_split_is_deterministic_and_complete(spark):
+    a = QUERIES["corpus_split_assignment"](spark, SF_SMOKE).collect()
+    b = QUERIES["corpus_split_assignment"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    total = sum(r["n_docs"] for r in a)
+    docs = QUERIES["corpus_stratified_sample"](spark, SF_SMOKE)  # same table
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    assert total == load_table(spark, "documents", SF_SMOKE).count()
+    splits = {r["split"] for r in a}
+    assert splits <= {"train", "test"}
+
+
+def test_sample_is_subset_and_stable(spark):
+    s1 = {r["doc_id"] for r in QUERIES["corpus_stratified_sample"](spark, SF_SMOKE).collect()}
+    s2 = {r["doc_id"] for r in QUERIES["corpus_stratified_sample"](spark, SF_SMOKE).collect()}
+    assert s1 == s2 and len(s1) > 0
+
+
+def test_sessionization_gap_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: two sessions split by a 31-minute gap
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + 5 * m, 2.0),
+        (3, 1, t0 + 36 * m, 4.0),
+        # user 2: single event = single session
+        (4, 2, t0, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    df.createOrReplaceTempView("_sess_in")
+
+    from confluent_kafka_streams_examples_spark.queries_corpus import user_sessions
+
+    # run the same logic against the constructed frame via a monkeyed load
+    import confluent_kafka_streams_examples_spark.queries_corpus as qc
+
+    orig = qc.load_table
+    qc.load_table = lambda spark, name, sf_dir: df  # noqa: ARG005
+    try:
+        out = {
+            (r["user_id"], r["session_no"]): (r["n_events"], r["total_value"])
+            for r in user_sessions(spark, SF_SMOKE).collect()
+        }
+    finally:
+        qc.load_table = orig
+    assert out == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
+def test_sessionization_single_shuffle(spark):
+    """lag -> running sum -> per-session agg must reuse ONE user_id
+    partitioning: exactly one Exchange in the plan."""
+    p = explain_str(QUERIES["user_sessions"](spark, SF_SMOKE), "simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    p = explain_str(QUERIES["decontaminate_train"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_decontaminate_flags_overlap(spark):
+    out = QUERIES["decontaminate_train"](spark, SF_SMOKE)
+    flagged = {r["doc_id"] for r in out.collect()}
+    assert all(d >= 20 for d in flagged)  # eval docs never flag themselves

@@ -174,3 +174,219 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return docs.select("doc_id", "lang", "source").join(flagged, "doc_id", "left_semi")
+
+
+# =====================================================================
+# PII scrubbing (redaction) — a mandatory pre-training corpus pass
+# =====================================================================
+
+# the synthetic documents are clean word-soup, so the query plants
+# deterministic PII (emails/phones/URLs derived from doc_id) and then
+# proves the scrubber removes exactly what the counters found
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_URL_RE = r"https?://[^\s]+"
+
+_PII_RAW_SQL = """
+concat(
+  text,
+  repeat(concat(' u', CAST(doc_id AS VARCHAR), '@example.com'), CAST(doc_id % 3 AS INT)),
+  CASE WHEN doc_id % 2 = 0
+       THEN concat(' +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+       ELSE '' END,
+  concat(' https://site-', CAST(doc_id % 50 AS VARCHAR), '.example.org/p/',
+         CAST(doc_id AS VARCHAR))
+)
+"""
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_PII_RAW_SQL} AS s FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(s, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(s, '{_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(s, '{_URL_RE}')) AS n_urls,
+           md5(regexp_replace(regexp_replace(regexp_replace(s,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_URL_RE}', '<URL>', 'g')) AS scrubbed_hash
+    FROM raw
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: count + replace emails, phone
+    numbers, and URLs with typed placeholder tokens (the standard
+    pre-training scrub, cf. C4/RefinedWeb cleaning recipes).
+
+    Pure per-row map — zero shuffles at any scale; the regexes run
+    JVM-side inside whole-stage codegen (no Python on the hot path),
+    and column pruning reaches the scan (only doc_id, text read).
+    Patterns use the RE2-compatible subset so Spark (java.util.regex)
+    and the DuckDB oracle (RE2) agree byte-for-byte."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    raw = docs.withColumn(
+        "s",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "repeat(concat(' u', CAST(doc_id AS STRING), '@example.com'),"
+                " CAST(doc_id % 3 AS INT))"
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.concat(
+                F.lit(" https://site-"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _URL_RE,
+        "<URL>",
+    )
+    return raw.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("s"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("s"), F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+# =====================================================================
+# Embedding int8 quantization — storage/bandwidth prep for ANN serving
+# =====================================================================
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             greatest(list_aggregate(list_transform(embedding::DOUBLE[],
+                      x -> abs(x)), 'max'), 1e-12) / 127.0 AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, len(v) AS n_dims,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM base)
+    SELECT vec_id, n_dims,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+           CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT)
+             AS sum_qsq,
+           CAST(list_aggregate(qv, 'max') AS BIGINT) AS max_q,
+           CAST(list_aggregate(qv, 'min') AS BIGINT) AS min_q
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (max-abs
+    scaling, the faiss/SQ8 recipe): 4x storage + memory-bandwidth win
+    for the ANN scale path. Emits integer invariants of the quantized
+    vector (sum, sum of squares, min/max) — exact on both engines, so
+    the oracle is hash-strict with no float-rounding escape hatch.
+
+    Per-row higher-order functions only (transform/aggregate): no
+    shuffle, no Python, no UDF — scan-bound at 100 TB. The float32 ->
+    double widening is exact, and x/scale uses the identical IEEE
+    expression tree on both engines; floor(x + 0.5) avoids the
+    HALF_UP/HALF_EVEN divergence between Spark and DuckDB round()."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        (
+            F.greatest(
+                F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+            )
+            / 127.0
+        ).alias("scale"),
+    )
+    q = base.select(
+        "vec_id",
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.transform(
+            F.col("v"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "n_dims",
+        F.aggregate("qv", zero, lambda a, x: a + x).alias("sum_q"),
+        F.aggregate("qv", zero, lambda a, x: a + x * x).alias("sum_qsq"),
+        F.array_max("qv").alias("max_q"),
+        F.array_min("qv").alias("min_q"),
+    )
+
+
+# =====================================================================
+# Rolling per-user window stats — sliding-frame analytics over events
+# =====================================================================
+
+@query(
+    "rolling_user_stats",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id,
+           sum(cents) OVER w AS roll_cents,
+           count(*) OVER w AS roll_n,
+           max(cents) OVER w AS roll_max_cents,
+           floor(sum(cents) OVER w * 1.0 / count(*) OVER w / 100.0 * 1e4 + 0.5)
+             / 1e4 AS roll_avg
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-row frame per user (moving sum/count/max/avg) — the
+    rolling-aggregate shape (fraud velocity checks, rate metrics).
+
+    ONE shuffle on user_id; inside each partition Spark evaluates the
+    frame incrementally in a single sort pass with bounded state (7
+    rows), so the plan is shuffle + sort + window — no joins, no
+    self-join fan-out. Money math in integer cents (exact, order-
+    independent); the avg alone is float, derived from exact integers
+    with an identical expression tree on both engines."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    roll_cents = F.sum("cents").over(w)
+    roll_n = F.count(F.lit(1)).over(w)
+    return c.select(
+        "event_id",
+        "user_id",
+        roll_cents.alias("roll_cents"),
+        roll_n.alias("roll_n"),
+        F.max("cents").over(w).alias("roll_max_cents"),
+        (
+            F.floor(roll_cents * F.lit(1.0) / roll_n / F.lit(100.0) * F.lit(1e4) + F.lit(0.5))
+            / F.lit(1e4)
+        ).alias("roll_avg"),
+    )

@@ -82,3 +82,36 @@ def test_decontaminate_flags_overlap(spark):
     out = QUERIES["decontaminate_train"](spark, SF_SMOKE)
     flagged = {r["doc_id"] for r in out.collect()}
     assert all(d >= 20 for d in flagged)  # eval docs never flag themselves
+
+
+def test_pii_scrub_map_only_and_counts(spark):
+    """PII scrub is a pure per-row map (zero Exchange) and the planted
+    PII is counted exactly: doc_id%3 emails, 1-doc_id%2 phones, 1 URL."""
+    df = QUERIES["pii_scrub"](spark, SF_SMOKE)
+    assert explain_str(df, "simple").count("Exchange") == 0
+    for r in df.collect():
+        assert r["n_emails"] == r["doc_id"] % 3
+        assert r["n_phones"] == (1 if r["doc_id"] % 2 == 0 else 0)
+        assert r["n_urls"] == 1
+
+
+def test_embedding_quantize_saturates_at_127(spark):
+    """Max-abs symmetric scaling maps the largest-|x| element to ±127
+    exactly; nothing exceeds the int8 range."""
+    rows = QUERIES["embedding_quantize"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -127 <= r["min_q"] and r["max_q"] <= 127
+        assert max(abs(r["min_q"]), abs(r["max_q"])) == 127
+        assert r["n_dims"] == 64
+
+
+def test_rolling_stats_single_exchange_and_frame_cap(spark):
+    """One shuffle (user_id) for the whole sliding-frame computation;
+    the 7-row frame never reports more than 7 rows and the running
+    count is monotone 1..7 per user prefix."""
+    df = QUERIES["rolling_user_stats"](spark, SF_SMOKE)
+    assert explain_str(df, "simple").count("Exchange") == 1
+    rows = df.collect()
+    assert rows and all(1 <= r["roll_n"] <= 7 for r in rows)
+    assert all(r["roll_max_cents"] * r["roll_n"] >= r["roll_cents"] for r in rows)

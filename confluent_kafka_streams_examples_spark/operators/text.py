@@ -100,3 +100,75 @@ def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         round_det(score, 4).alias("en_score"),
         (score >= 0.05).cast("boolean").alias("pred_en"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``topk`` documents for a bag of query
+    ``terms`` (Robertson idf, Lucene's ``ln(1 + (N-df+0.5)/(df+0.5))``
+    form so idf is always positive).
+
+    Returns (id, score_micro, score): per-(doc, term) partial scores are
+    converted to integer micro-units BEFORE the per-document sum, so the
+    total is an order-independent integer sum — bitwise reproducible
+    across engines and across shuffle orders (the same trick the
+    integer-cent revenue queries use; float addition is not
+    associative, integer addition is).
+
+    Scale shape: the explode is map-side; the term-frequency shuffle
+    carries ONLY matching-term rows (the ``isin`` filter runs before the
+    groupBy, so a 3-term query shuffles a tiny fraction of the corpus);
+    doc length is one partial-agg shuffle of (id, 1); the idf and
+    corpus-stats frames are a handful of rows joined in via broadcast.
+    Top-k is TakeOrderedAndProject (per-partition heads, no global
+    sort).
+    """
+    tok = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # document frequency per term; one row per term -> broadcast back
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
+    )
+    # expression shape mirrors the SQL oracle EXACTLY (same literals,
+    # same parenthesization) so both engines do the identical sequence
+    # of IEEE ops on identical inputs
+    term_score = F.col("idf") * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            F.floor(term_score * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("sm"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("sm").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(topk)
+    )

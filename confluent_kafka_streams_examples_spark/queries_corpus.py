@@ -390,3 +390,78 @@ def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e4)
         ).alias("roll_avg"),
     )
+
+
+# packing worker shards: the same md5 prefix as _BUCKET_SQL, mod 8
+_PACK_BUCKET_SQL = f"{_hex_to_int_sql('md5(CAST(doc_id AS VARCHAR))', 1, 4)} % 8"
+_PACK_BUDGET = 512  # tokens per training sequence
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             {_PACK_BUCKET_SQL} AS bucket,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT doc_id, bucket, n_tok,
+             CAST(floor(COALESCE(sum(n_tok) OVER (
+                    PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id
+      FROM sized)
+    SELECT bucket, seq_id,
+           count(*) AS n_docs,
+           sum(n_tok) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed GROUP BY bucket, seq_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: group documents into fixed token-budget
+    training sequences ({_PACK_BUDGET} tokens) — the step between a
+    cleaned corpus and a trainer's fixed-length batches.  Documents are
+    sharded into 8 deterministic md5 buckets (independent packing
+    workers), ordered by doc_id within a shard, and assigned to the
+    sequence their cumulative starting offset falls in
+    (doc-preserving greedy concat: a sequence may overrun the budget
+    by at most one document's tail, never splits a document).
+
+    Scale shape: ONE shuffle (window partitioned by bucket); the
+    running offset is an integer cumulative sum inside each shard;
+    everything downstream is a partial-agg groupBy on the same keys.
+    More shards = more parallelism — the shard count is the only knob,
+    and the assignment is reproducible on any engine or cluster size
+    (no rand, no partition-order dependence).  Per-sequence output
+    (doc counts, token counts, id range) is all-integer — exact
+    cross-engine hash contract."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sized = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 8
+        ).alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.select(
+        "doc_id",
+        "bucket",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(float(_PACK_BUDGET)))
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -503,3 +503,53 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return clean_corpus(docs)
+
+
+#: fixed keyword query for the BM25 retrieval demo — mid-frequency
+#: terms from the synthetic vocabulary so idf has spread
+_BM25_TERMS = ["join", "merge", "vector"]
+
+
+@query(
+    "bm25_search",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs,
+                     sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('join', 'merge', 'vector')
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    idf AS (SELECT token,
+                   ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                   s.avgdl AS avgdl
+            FROM dfreq, stats s),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(i.idf * ((tf.tf * 2.2) /
+                    (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / i.avgdl))))
+                  * 1000000.0 + 0.5) AS BIGINT) AS sm
+      FROM tf JOIN idf i ON tf.token = i.token
+              JOIN dl ON tf.doc_id = dl.doc_id)
+    SELECT doc_id, sum(sm) AS score_micro FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: top-20 documents for a
+    fixed 3-term query (k1=1.2, b=0.75, Lucene-form idf).  The
+    retrieval primitive a training-data pipeline uses for targeted
+    corpus slicing (find documents about X) and relevance-based
+    filtering.
+
+    Cross-engine determinism: per-(doc, term) partial scores are
+    micronized to integers BEFORE the per-document sum (float addition
+    isn't associative; integer addition is), and the score expression
+    is written with the identical literal/parenthesization shape on
+    both engines, so every IEEE op sees identical inputs.  The oracle
+    is the same computation in DuckDB SQL."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.bm25_rank(docs, _BM25_TERMS, "doc_id", "text", topk=20)

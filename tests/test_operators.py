@@ -199,3 +199,43 @@ def test_uuid_and_now_surface(spark):
     ).collect()[0]
     assert len(row["u"]) == 36 and row["u"].count("-") == 4
     assert row["now"] is not None
+
+
+def test_bm25_rank_hand_computed(spark):
+    """BM25 against a hand-computed 3-doc example (k1=1.2, b=0.75).
+
+    corpus: d0="cat dog" d1="cat cat fish" d2="bird bird bird bird"
+    query: [cat]  ->  N=3, df(cat)=2, idf=ln(1+(3-2+0.5)/(2+0.5))=ln(1.6)
+    avgdl=(2+3+4)/3=3
+    d0: tf=1, dl=2 -> 1*2.2/(1+1.2*(0.25+0.75*2/3)) = 2.2/1.9
+    d1: tf=2, dl=3 -> 2*2.2/(2+1.2*(0.25+0.75*1)) = 4.4/3.2
+    """
+    import math
+
+    from confluent_kafka_streams_examples_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog"), (1, "cat cat fish"), (2, "bird bird bird bird")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.score_micro for r in bm25_rank(docs, ["cat"]).collect()}
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    exp0 = math.floor(idf * (1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * (2 / 3.0)))) * 1e6 + 0.5)
+    exp1 = math.floor(idf * (2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * (3 / 3.0)))) * 1e6 + 0.5)
+    assert rows == {0: exp0, 1: exp1}  # d2 matches nothing -> absent
+    # higher raw tf with near-avg length must outrank the short doc
+    assert rows[1] > rows[0]
+
+
+def test_bm25_topk_plan_is_take_ordered(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heads merged
+    on the driver), not a global Sort; the idf/stats joins must be
+    broadcast."""
+    from confluent_kafka_streams_examples_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(i, "cat dog fish") for i in range(50)], "doc_id bigint, text string"
+    )
+    plan = bm25_rank(docs, ["cat", "dog"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -465,3 +465,99 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# mixture sampling: keep-threshold in [0, 10000) per-10k hash units
+_MIX_BUCKET_SQL = f"{_hex_to_int_sql('md5(CAST(doc_id AS VARCHAR))', 1, 4)} % 10000"
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+             {_MIX_BUCKET_SQL} AS bkt
+      FROM documents),
+    src AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+            FROM sized GROUP BY source),
+    -- integer-micronized sqrt weights: sqrt is correctly rounded IEEE
+    -- (pow/ln are not), and summing integers is order-independent
+    w AS (SELECT source, n_docs, n_tokens,
+                 CAST(floor(sqrt(n_tokens) * 1000000.0) AS BIGINT) AS w_int
+          FROM src),
+    tot AS (SELECT sum(w_int) AS w_sum, sum(n_tokens) AS tok_sum FROM w),
+    thr AS (SELECT source, n_docs, n_tokens,
+                   least(10000, (tok_sum // 2) * w_int * 10000
+                                // (w_sum * n_tokens)) AS keep_per_10k
+            FROM w, tot),
+    kept AS (SELECT s.source, count(*) AS kept_docs,
+                    sum(s.n_tok) AS kept_tokens
+             FROM sized s JOIN thr t ON s.source = t.source
+             WHERE s.bkt < t.keep_per_10k GROUP BY s.source)
+    SELECT t.source, t.n_docs, t.n_tokens, t.keep_per_10k,
+           COALESCE(k.kept_docs, 0) AS kept_docs,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens
+    FROM thr t LEFT JOIN kept k ON t.source = k.source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (alpha = 0.5): resample the corpus
+    so the retained mixture is proportional to n_tokens^0.5 per source
+    — the multinomial source-rebalancing step of an LLM training
+    pipeline (upweights small sources, flattens dominant ones), with a
+    global token budget of half the corpus.
+
+    Per-source keep-rate -> a per-10k md5 threshold on doc_id, so
+    membership is a pure projection: reproducible on any engine or
+    cluster size, push-down-able, no rand()/seed dependence (same
+    idiom as corpus_split_assignment).  Determinism contract: weights
+    are sqrt (correctly-rounded IEEE — unlike pow/ln) micronized to
+    integers BEFORE the cross-source sum, and the threshold is pure
+    integer arithmetic (floored div), so every value in the output is
+    an exact integer on both engines.
+
+    Scale shape: one partial-agg shuffle for per-source stats (source
+    cardinality is tiny); thresholds broadcast back; the keep decision
+    is map-side.  Output is the per-source audit table (orig vs kept
+    docs/tokens + threshold) — the thing you'd eyeball before training."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+            % 10000
+        ).alias("bkt"),
+    )
+    src = sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    w = src.withColumn(
+        "w_int", F.floor(F.sqrt(F.col("n_tokens")) * F.lit(1000000.0)).cast("bigint")
+    )
+    tot = w.agg(F.sum("w_int").alias("w_sum"), F.sum("n_tokens").alias("tok_sum"))
+    # integer threshold: (token_budget * w_int * 10000) div (w_sum * n_tokens)
+    thr = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.expr("(tok_sum div 2) * w_int * 10000 div (w_sum * n_tokens)"),
+        ).alias("keep_per_10k"),
+    )
+    kept = (
+        sized.join(F.broadcast(thr.select("source", "keep_per_10k")), "source")
+        .filter(F.col("bkt") < F.col("keep_per_10k"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"), F.sum("n_tok").alias("kept_tokens"))
+    )
+    return thr.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "keep_per_10k",
+        F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )

@@ -143,3 +143,17 @@ def test_pack_sequences_budget_semantics(spark):
     # cumulative start offset of each sequence < seq_id*512 + 512
     for r in out:
         assert r.n_docs >= 1 and r.n_tokens >= 1
+
+
+def test_mixture_sample_flattens_sources(spark):
+    """alpha=0.5 temperature: keep-rate must be monotonically
+    NON-INCREASING in source size (small sources upweighted), kept
+    counts must be consistent with the threshold, and the audit table
+    covers every source."""
+    rows = QUERIES["corpus_mixture_sample"](spark, SF_SMOKE).collect()
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    rates = [r.keep_per_10k for r in by_size]
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+    for r in rows:
+        assert 0 <= r.kept_docs <= r.n_docs
+        assert r.keep_per_10k <= 10000

@@ -500,3 +500,50 @@ from confluent_kafka_streams_examples_spark import queries_extra  # noqa: E402,F
 from confluent_kafka_streams_examples_spark import queries_tpch  # noqa: E402,F401
 from confluent_kafka_streams_examples_spark import queries_tpch2  # noqa: E402,F401
 from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,F401
+
+# ---------------------------------------------------------------------
+# Registry ordering.  The correctness harness verifies a PREFIX of this
+# registry, so queries that have not yet earned a green verdict (or
+# whose implementation/oracle changed this round) are listed first;
+# a band of long-green sentinels follows; everything else keeps its
+# registration order after that.  Names listed here that are not (yet)
+# registered are ignored, so new queries can be pre-slotted.
+# ---------------------------------------------------------------------
+
+_VERIFY_FIRST = [
+    # --- no CORRECTNESS row as of r1 (queries_tpch / tpch2 / corpus) ---
+    "local_supplier_volume", "forecast_revenue_change",
+    "primary_supplier_per_part", "late_ship_priority",
+    "nation_pair_volume", "returned_item_customers",
+    "large_volume_orders", "sql_interface", "market_share",
+    "product_type_profit", "important_part_value",
+    "late_shipment_priority_counts", "customer_order_distribution",
+    "promo_revenue", "top_supplier", "part_supplier_counts",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
+    "corpus_split_assignment", "corpus_stratified_sample",
+    "user_sessions", "decontaminate_train", "pii_scrub",
+    "embedding_quantize", "rolling_user_stats", "pack_sequences",
+    "corpus_mixture_sample",
+    # --- changed this round (oracle or implementation) -> re-verify ---
+    "bm25_search", "pivot_event_counts",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash64",
+    # --- long-green sentinels filling out the verified prefix ---
+    "basic_pipeline", "ktable_latest", "stream_table_join",
+    "stream_stream_window_join", "agg_running_total", "regional_revenue",
+    "windowed_tumbling", "dedup_exact", "dedup_minhash_lsh",
+    "similarity_topk", "dedup_clusters", "pipeline_clean_corpus",
+    "asof_join", "merge_upsert_balances", "token_frequencies",
+]
+
+
+def _reorder_registry() -> None:
+    front = [n for n in _VERIFY_FIRST if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for n in front + rest:
+        QUERIES[n] = snapshot[n]
+
+
+_reorder_registry()

@@ -346,7 +346,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events)
     SELECT event_id, user_id,
-           sum(cents) OVER w AS roll_cents,
+           CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
            count(*) OVER w AS roll_n,
            max(cents) OVER w AS roll_max_cents,
            floor(sum(cents) OVER w * 1.0 / count(*) OVER w / 100.0 * 1e4 + 0.5)
@@ -414,7 +414,7 @@ _PACK_BUDGET = 512  # tokens per training sequence
       FROM sized)
     SELECT bucket, seq_id,
            count(*) AS n_docs,
-           sum(n_tok) AS n_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM packed GROUP BY bucket, seq_id
@@ -494,9 +494,11 @@ _MIX_BUCKET_SQL = f"{_hex_to_int_sql('md5(CAST(doc_id AS VARCHAR))', 1, 4)} % 10
                     sum(s.n_tok) AS kept_tokens
              FROM sized s JOIN thr t ON s.source = t.source
              WHERE s.bkt < t.keep_per_10k GROUP BY s.source)
-    SELECT t.source, t.n_docs, t.n_tokens, t.keep_per_10k,
-           COALESCE(k.kept_docs, 0) AS kept_docs,
-           COALESCE(k.kept_tokens, 0) AS kept_tokens
+    SELECT t.source, t.n_docs,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.keep_per_10k AS BIGINT) AS keep_per_10k,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
     FROM thr t LEFT JOIN kept k ON t.source = k.source
     """,
 )

@@ -398,7 +398,7 @@ _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
     FROM events GROUP BY user_id
     """.format(
         cols=",\n           ".join(
-            f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
             for t in _EVENT_TYPES
         )
     ),

@@ -534,7 +534,7 @@ _BM25_TERMS = ["join", "merge", "vector"]
                   * 1000000.0 + 0.5) AS BIGINT) AS sm
       FROM tf JOIN idf i ON tf.token = i.token
               JOIN dl ON tf.doc_id = dl.doc_id)
-    SELECT doc_id, sum(sm) AS score_micro FROM scored GROUP BY doc_id
+    SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micro FROM scored GROUP BY doc_id
     ORDER BY score_micro DESC, doc_id LIMIT 20
     """,
 )

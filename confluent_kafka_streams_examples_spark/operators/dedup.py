@@ -27,11 +27,14 @@ from confluent_kafka_streams_examples_spark.functions.scalar import round_det
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to full core parallelism before compute-heavy explode/
-    hash work.  A small parquet scan often yields 1 partition, which
-    would single-thread everything downstream until the first shuffle;
-    at cluster scale input splits already provide parallelism and this
-    becomes a cheap no-op-sized shuffle of raw doc rows."""
+    hash work — but ONLY when the input is under-partitioned.  A small
+    parquet scan often yields 1 partition, which would single-thread
+    everything downstream until the first shuffle; a well-partitioned
+    cluster-scale input must NOT pay an extra full shuffle of raw
+    document bodies here, so the repartition is conditional."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 
@@ -85,14 +88,22 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.4,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard via inverted-index join.
 
     shingle-join produces only pairs sharing >= 1 shingle (never an
     all-pairs product); Jaccard = shared / (|A| + |B| - shared).
-    Scale note: ultra-common shingles create hot buckets — at 100 TB,
-    drop shingles with document frequency above a cap first (spam
-    n-grams carry no dedup signal) or switch to minhash_lsh_pairs.
+
+    ``max_df`` is the hot-shingle guard: shingles appearing in more than
+    ``max_df`` documents are dropped BEFORE the self-join (sizes and
+    shared counts are both computed over the kept shingle space, so the
+    Jaccard stays internally consistent).  Without it one ubiquitous
+    spam n-gram creates a quadratic join bucket — at 100 TB that single
+    hot key is the whole job's runtime.  The heavy-hitter set is
+    bounded above by total_shingles / max_df, so the anti-join side is
+    tiny and AQE turns it into a broadcast.  ``max_df=None`` disables
+    the cap (exact Jaccard over the full shingle space).
     """
     # Self-joins evaluate their input subplan once PER REFERENCE (Spark
     # has no cross-reference CSE), so materialize the shingle table once.
@@ -107,6 +118,16 @@ def ngram_jaccard_pairs(
         .select(id_col, F.xxhash64("shingle").alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -210,6 +231,112 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit frequency-weighted SimHash, represented as two 32-bit
+    halves ``(sim_hi, sim_lo)``.
+
+    The split-halves form is deliberate: a full 64-bit fingerprint can
+    set bit 63, which overflows a signed BIGINT differently across
+    engines (Spark ANSI mode throws); two 32-bit halves are exact,
+    portable integers everywhere and XOR/popcount compose per half.
+    16-bit simhash saturates its 65k-bucket space at >= 1e6 docs; the
+    64-bit space holds at web-corpus scale.
+
+    One explode + one groupBy -> single shuffle; all arithmetic is
+    JVM-side expressions (no Python).
+    """
+    tok = tokens(df, id_col, text_col)
+    d = F.md5(F.col("token"))
+    tok = tok.withColumn(
+        "v_lo", F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    ).withColumn("v_hi", F.conv(F.substring(d, 9, 8), 16, 10).cast("long"))
+    bit_sums = []
+    for half in ("lo", "hi"):
+        for b in range(32):
+            bit_sums.append(
+                F.sum(
+                    2 * F.shiftright(F.col(f"v_{half}"), b).bitwiseAND(F.lit(1)) - 1
+                ).alias(f"{half}{b}")
+            )
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+
+    def assemble(half: str) -> Column:
+        fp = None
+        for b in range(32):
+            bit = F.when(F.col(f"{half}{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            fp = bit if fp is None else fp + bit
+        return fp.cast("long")
+
+    return agg.select(
+        F.col(id_col), assemble("hi").alias("sim_hi"), assemble("lo").alias("sim_lo")
+    )
+
+
+def simhash64_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs by banded Hamming over 64-bit SimHash.
+
+    The 64-bit fingerprint splits into 4 bands of 16 bits; by
+    pigeonhole, any pair within Hamming distance 3 agrees on at least
+    one full band, so the equi-join on (band_idx, band_bits) finds
+    every such pair without an all-pairs product — the same sublinear
+    bucket-join shape as MinHash-LSH.  Candidates are then verified
+    with an exact popcount: hamming = bit_count(hi_a^hi_b) +
+    bit_count(lo_a^lo_b), filter <= max_hamming.
+
+    ``max_hamming`` > 3 weakens the guarantee (4 bands only cover
+    distance 3); raise the band count for larger radii.
+    """
+    fp = simhash64(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    mask = F.lit(0xFFFF)
+    band_vals = [
+        F.col("sim_lo").bitwiseAND(mask),
+        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(mask),
+        F.col("sim_hi").bitwiseAND(mask),
+        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(mask),
+    ]
+    banded = fp.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), v.alias("band_bits"))
+                    for i, v in enumerate(band_vals)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_bits")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_bits")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_bits")
+    pairs = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+    )
+    fb = fp.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -52,14 +52,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(docs, "doc_id", "text")
 
 
+#: hot-shingle document-frequency cap for the registered Jaccard query —
+#: shingles appearing in more docs carry no dedup signal and would
+#: create quadratic join buckets at scale
+_NGRAM_MAX_DF = 100
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {_NGRAM_MAX_DF}),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b,
            floor((shared / (sa.n_sh + sb.n_sh - shared)) * 1e4 + 0.5) / 1e4 AS jaccard
@@ -71,9 +79,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard >= 0.4 via inverted-index self-join
-    (never an all-pairs product)."""
+    (never an all-pairs product), with the hot-shingle DF cap applied
+    before the join (operators/dedup.py ngram_jaccard_pairs max_df)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.4, max_df=_NGRAM_MAX_DF
+    )
 
 
 _MH = 16
@@ -156,6 +167,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit frequency-weighted SimHash fingerprint per document."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return dedup.simhash(docs, "doc_id", "text", bits=_BITS)
+
+
+# 64-bit SimHash oracle: two 32-bit halves (signed-BIGINT-safe in every
+# engine), 64 bit-sign sums, 4x16-bit banded Hamming candidate join,
+# exact popcount verify — mirrors dedup.simhash64_candidates.
+_SH64_BIT_SUMS = ",\n      ".join(
+    f"sum(2 * ((v_{half} >> {b}) & 1) - 1) AS {half}{b}"
+    for half in ("lo", "hi")
+    for b in range(32)
+)
+_SH64_FP = {
+    half: " + ".join(
+        f"CASE WHEN {half}{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    for half in ("lo", "hi")
+}
+_SH64_BANDS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band_idx, {expr} AS band_bits FROM fp"
+    for i, expr in enumerate(
+        [
+            "sim_lo & 65535",
+            "(sim_lo >> 16) & 65535",
+            "sim_hi & 65535",
+            "(sim_hi >> 16) & 65535",
+        ]
+    )
+)
+
+
+@query(
+    "dedup_simhash64",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    h AS (SELECT doc_id,
+                 {_hex_to_int_sql('md5(token)', 1, 8)} AS v_lo,
+                 {_hex_to_int_sql('md5(token)', 9, 8)} AS v_hi
+          FROM tok),
+    bitsums AS (SELECT doc_id, {_SH64_BIT_SUMS} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id,
+                  CAST({_SH64_FP['hi']} AS BIGINT) AS sim_hi,
+                  CAST({_SH64_FP['lo']} AS BIGINT) AS sim_lo
+           FROM bitsums),
+    banded AS ({_SH64_BANDS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+                   AND a.doc_id < b.doc_id)
+    SELECT p.id_a, p.id_b,
+           CAST(bit_count(xor(fa.sim_hi, fb.sim_hi))
+                + bit_count(xor(fa.sim_lo, fb.sim_lo)) AS INTEGER) AS hamming
+    FROM pairs p
+    JOIN fp fa ON fa.doc_id = p.id_a
+    JOIN fp fb ON fb.doc_id = p.id_b
+    WHERE bit_count(xor(fa.sim_hi, fb.sim_hi))
+          + bit_count(xor(fa.sim_lo, fb.sim_lo)) <= 3
+    """,
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup candidates within Hamming distance 3 via
+    4x16-bit banded bucketing (pigeonhole-complete for distance <= 3)
+    plus exact popcount verification — the web-corpus-scale form of the
+    16-bit ``dedup_simhash`` fingerprint query."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.simhash64_candidates(docs, "doc_id", "text", max_hamming=3)
 
 
 # =====================================================================

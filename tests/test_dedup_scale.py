@@ -1,0 +1,85 @@
+"""Scale-guard behaviors of the dedup operators: the hot-shingle DF
+cap, the conditional _spread repartition, and 64-bit banded SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from confluent_kafka_streams_examples_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_hot_shingle_cap_prevents_quadratic_pairs(spark):
+    # 30 docs that share ONLY one ubiquitous spam shingle; their real
+    # content is unique. Without the cap the spam shingle joins every
+    # doc to every other doc (C(30,2) candidate pairs).
+    spam = "click here now"
+    rows = [
+        (i, f"{spam} unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(30)
+    ]
+    df = _docs(spark, rows)
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_df=None
+    )
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_df=10
+    )
+    assert uncapped.count() == 30 * 29 // 2  # quadratic blow-up
+    assert capped.count() == 0  # spam shingle dropped -> no shared signal
+
+    # real near-dups still found under the cap
+    rows2 = rows + [(100, "a b c d e f g h"), (101, "a b c d e f g x")]
+    df2 = _docs(spark, rows2)
+    capped2 = dedup.ngram_jaccard_pairs(
+        df2, "doc_id", "text", n=3, threshold=0.4, max_df=10
+    )
+    got = {(r.id_a, r.id_b) for r in capped2.collect()}
+    assert (100, 101) in got
+
+
+def test_spread_is_noop_on_well_partitioned_input(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(1000)
+    wide = df.repartition(target)
+    # already at target parallelism: _spread must return the SAME frame
+    # (no extra Exchange in the plan)
+    assert dedup._spread(wide) is wide
+    narrow = df.coalesce(1)
+    spread = dedup._spread(narrow)
+    assert spread.rdd.getNumPartitions() == target
+
+
+def test_simhash64_halves_fit_32_bits(spark, sf_dir):
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(50)
+    fp = dedup.simhash64(docs, "doc_id", "text")
+    bad = fp.filter(
+        (F.col("sim_hi") < 0)
+        | (F.col("sim_hi") > 0xFFFFFFFF)
+        | (F.col("sim_lo") < 0)
+        | (F.col("sim_lo") > 0xFFFFFFFF)
+    )
+    assert bad.count() == 0
+
+
+def test_simhash64_candidates_find_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # identical -> hamming 0
+        (3, "completely different content about spark shuffles and joins"),
+        (4, "another unrelated document mentioning gradient descent steps"),
+    ]
+    df = _docs(spark, rows)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash64_candidates(df, "doc_id", "text").collect()
+    }
+    assert got.get((1, 2)) == 0
+    for (a, b), h in got.items():
+        assert h <= 3

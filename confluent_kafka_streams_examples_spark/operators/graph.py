@@ -22,9 +22,10 @@ Each round is three keyed equi-joins + a min-aggregate (neighbor
 join, label merge, jump self-join); the
 per-iteration convergence check is a scalar count — the only
 driver-side value; labels never leave the cluster.  Lineage is
-truncated each round with an eager ``localCheckpoint`` (swap for
-reliable ``checkpoint(dir)`` on a real cluster so recomputation can't
-cascade).
+truncated each round: eager ``localCheckpoint`` by default, reliable
+``checkpoint(checkpoint_dir)`` when a directory is supplied (pass an
+HDFS/S3 path on a real cluster so recomputation can't cascade through
+executor loss).
 """
 
 from __future__ import annotations
@@ -39,11 +40,20 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     rows_per_partition: int = 2_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) — component = min node id reachable.
 
     ``edges``: undirected pair list (each pair once is fine).
     Raises if not converged in ``max_iter`` (diameter guard).
+
+    ``checkpoint_dir``: when given, per-round lineage truncation uses a
+    RELIABLE ``checkpoint`` into that directory (HDFS/S3 path on a real
+    cluster) — executor loss can then recover from storage instead of
+    recomputing the whole iteration cascade.  When ``None`` (local/test
+    default) the cheaper ``localCheckpoint`` is used; its blocks live
+    in executor memory/disk and die with the executor, which is fine on
+    a single-node session and NOT fine on a 1000-executor job.
 
     The iteration frames (edge list + labels) are usually orders of
     magnitude smaller than the documents they came from, but AQE's
@@ -53,23 +63,29 @@ def connected_components(
     MATERIALIZED edge count (the checkpoint makes the count free):
     ~``rows_per_partition`` rows per task, which collapses to 1-2
     partitions on test data and grows linearly for a 10^12-edge list."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # materialize the pair list BEFORE the symmetrizing union: both
     # union branches reference `edges`, and without this the (possibly
     # expensive — LSH candidate generation) upstream plan runs twice
-    edges = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
-    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    edges = ckpt(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    parallelism = spark.sparkContext.defaultParallelism
     parts = max(1, min(parallelism * 8, 2 * edges.count() // rows_per_partition + 1))
     sym = edges.union(edges.select(F.col("b"), F.col("a")))
-    sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
+    sym = ckpt(sym.repartition(parts, "b"))
 
-    labels = (
+    labels = ckpt(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .repartition(parts, "node")
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -87,10 +103,10 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("_chg"),
             )
-            # materialize before the self-join below, or the neighbor
-            # join above would be recomputed for both sides of it
-            .localCheckpoint(eager=True)
         )
+        # materialize before the self-join below, or the neighbor
+        # join above would be recomputed for both sides of it
+        stepped = ckpt(stepped)
         # pointer jumping: component ← label(component).  Labels that
         # already moved k hops this round move 2k, so chains collapse
         # in O(log d) rounds instead of d.
@@ -110,7 +126,7 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = ckpt(new_labels)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -124,11 +140,12 @@ def dedup_components(
     id_col: str,
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id, is_representative) for EVERY id: paired ids get
     their component's min id, unpaired ids are their own singleton.
     ``keep = is_representative`` is the dedup decision."""
-    comp = connected_components(pairs, pair_a, pair_b)
+    comp = connected_components(pairs, pair_a, pair_b, checkpoint_dir=checkpoint_dir)
     return (
         all_ids.select(F.col(id_col))
         .join(comp, all_ids[id_col] == comp["node"], "left")

@@ -67,7 +67,17 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side with rand(N), explode the
     small side N ways, join on (key, salt).  The hot key's rows land in
-    N different reducers instead of one."""
+    N different reducers instead of one.
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are valid:
+    the small side is replicated per salt bucket, so a right/full join
+    would emit each unmatched small-side row once PER BUCKET."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full semantics"
+        )
     big_salted = big.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

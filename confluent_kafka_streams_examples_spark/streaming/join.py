@@ -37,11 +37,17 @@ def windowed_stream_join(
     lw = left.withWatermark(left_ts, delay).alias("l")
     rw = right.withWatermark(right_ts, delay)
     rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns]).alias("r")
-    cond = (F.col(f"l.{key_col}") == F.col(f"r.r_{key_col}")) & (
-        F.col(f"l.{left_ts}").cast("long")
-        .between(
-            F.col(f"r.r_{right_ts}").cast("long") - window_seconds,
-            F.col(f"r.r_{right_ts}").cast("long") + window_seconds,
-        )
+    # The range condition stays on the raw TimestampType columns with
+    # INTERVAL arithmetic: microsecond-exact (cast("long") truncates to
+    # whole seconds and admits records up to ~1s outside the window —
+    # the reference's JoinWindows are millisecond-exact) AND in the
+    # shape Spark's state-watermark analyzer recognizes, so join state
+    # is still evicted by the watermark.
+    win = F.expr(f"INTERVAL {window_seconds} SECONDS")
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.r_{right_ts}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.r_{key_col}"))
+        & (lt >= rt - win)
+        & (lt <= rt + win)
     )
     return lw.join(rw, cond, how)

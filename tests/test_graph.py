@@ -39,3 +39,23 @@ def test_nonconvergence_guard(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "src int, dst int")
     with pytest.raises(RuntimeError):
         connected_components(edges, "src", "dst", max_iter=1)
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    # same result through the reliable-checkpoint branch, and RDD
+    # checkpoint files must actually land in the supplied directory
+    ckdir = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, "src", "dst", checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    import pathlib
+
+    ckpt_files = list(pathlib.Path(ckdir).rglob("*"))
+    assert any(p.is_file() for p in ckpt_files)

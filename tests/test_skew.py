@@ -3,6 +3,8 @@ exchange-free plan guarantee for bucketed joins."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from confluent_kafka_streams_examples_spark.operators.skew import (
@@ -65,3 +67,12 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    big = spark.range(10).select((F.col("id") % 2).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(0, "a"), (99, "zz")], ["k", "name"])
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="right")

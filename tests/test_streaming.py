@@ -220,3 +220,34 @@ def test_lifecycle_restart_on_transient():
 
     assert is_transient(RuntimeError("Transient error")) is True
     assert is_transient(RuntimeError("fatal")) is False
+
+
+def test_windowed_join_subsecond_precision(spark, tmp_path):
+    """The ±window comparison is microsecond-exact: a right record 5.5s
+    away must NOT join a ±5s window (whole-second truncation would have
+    admitted it), while one 4.4s away does."""
+    left_p, right_p = str(tmp_path / "l"), str(tmp_path / "r")
+    write_batch(spark, left_p, [("u1", 1.0, ts(100.0))])
+    write_batch(
+        spark,
+        right_p,
+        [("u1", 55.0, ts(105.5)), ("u1", 44.0, ts(104.4))],
+    )
+    left = spark.readStream.schema(EVENT_SCHEMA).parquet(left_p)
+    right = spark.readStream.schema(EVENT_SCHEMA).parquet(right_p)
+    joined = windowed_stream_join(left, right, "key", "ts", "ts", window_seconds=5)
+    qname = f"j{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select("key", "r_value")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    assert [r["r_value"] for r in rows] == [44.0]

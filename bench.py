@@ -60,17 +60,46 @@ def main() -> None:
         timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+
+    # Full per-query detail goes to a file: the harness that captures
+    # this process keeps only the last ~2000 chars of stdout, and the
+    # full 80-query dict overflows that window (r1's line was truncated
+    # into unparseability).  The stdout line carries the total plus as
+    # many of the SLOWEST queries as fit the window; BENCH_DETAIL.json
+    # has everything.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "reps": reps,
+                "n_queries": len(timings),
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    budget = 1900  # stay under the 2000-char stdout capture window
+    summary = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        summary["queries"][name] = timings[name]
+        if len(json.dumps(summary)) > budget:
+            del summary["queries"][name]
+            break
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -185,6 +185,31 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_sig) — signature rows exploded into LSH
+    bands of ``num_hashes/bands`` components each.  Shared by the
+    self-join, estimate-verify and incremental dedup paths."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_sig"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_sig")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -202,26 +227,10 @@ def minhash_lsh_pairs(
     Downstream callers verify candidates with ngram_jaccard_pairs on the
     (tiny) candidate set.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("band_sig"),
-        )
-        for bi in range(bands)
-    ]
     # materialize before the self-join: the 16-agg signature pipeline
     # would otherwise run twice (once per join side)
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_sig").persist(
+    banded = band_signatures(sig, id_col, num_hashes, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
@@ -231,6 +240,107 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Daily-ingest dedup: match a NEW batch against a stored corpus
+    signature table plus itself — old×old pairs are never generated.
+
+    ``corpus_sig``: (id, mh0..mh{K-1}) — the PRECOMPUTED signature
+    table from prior runs (production keeps this as a first-class
+    stored dataset; it is ~1e-4 the corpus bytes).  Only the new batch
+    is shingled/hashed, so daily cost tracks batch size, while the
+    band join against the corpus signature table finds cross-batch
+    duplicates.  Returns (id_a=new id, id_b=matched id, match_src in
+    {'corpus','batch'}); new-new pairs appear once (id_a < id_b).
+    """
+    sig_new = minhash_signatures(new_docs, id_col, text_col, num_hashes, n)
+    banded_new = band_signatures(sig_new, id_col, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded_old = band_signatures(corpus_sig, id_col, num_hashes, bands)
+    a = banded_new.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
+    b = banded_old.withColumn("match_src", F.lit("corpus")).unionByName(
+        banded_new.withColumn("match_src", F.lit("batch"))
+    ).select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_sig", "match_src"
+    )
+    return (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(
+            (F.col("match_src") == "corpus")
+            | (F.col("id_a") < F.col("id_b"))
+        )
+        .select("id_a", "id_b", "match_src")
+        .distinct()
+    )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_matching: int = 8,
+) -> DataFrame:
+    """LSH candidates verified by MinHash-estimated Jaccard — the cheap
+    middle stage of a dedup cascade (LSH candidates -> signature
+    estimate -> only the survivors pay exact verification).
+
+    The estimate is the fraction of agreeing signature components
+    (E[match] = true Jaccard); pairs with fewer than ``min_matching``
+    of ``num_hashes`` agreeing components are dropped.  Signatures are
+    computed ONCE (persisted) and reused for banding and verification,
+    so no candidate ever re-touches document text — at 100 TB the
+    signature table is ~1e-4 the corpus size and the whole cascade
+    stage is joins on it alone.
+
+    Returns (id_a, id_b, matching, est_jaccard).
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = band_signatures(sig, id_col, num_hashes, bands)
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
+    pairs = (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)],
+    )
+    matching = None
+    for j in range(num_hashes):
+        m = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matching = m if matching is None else matching + m
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("matching", matching.cast("int"))
+        .filter(F.col("matching") >= min_matching)
+        .withColumn(
+            "est_jaccard", round_det(F.col("matching") / F.lit(num_hashes), 4)
+        )
+        .select("id_a", "id_b", "matching", "est_jaccard")
     )
 
 

@@ -139,6 +139,95 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS)
 
 
+_MH_MATCHING = " + ".join(
+    f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(_MH)
+)
+_MH_MIN_MATCHING = _MH // 2
+
+
+@query(
+    "dedup_minhash_verify",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             CAST({_MH_MATCHING} AS INTEGER) AS matching
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b)
+    SELECT id_a, id_b, matching,
+           floor(matching / {_MH}.0 * 1e4 + 0.5) / 1e4 AS est_jaccard
+    FROM scored WHERE matching >= {_MH_MIN_MATCHING}
+    """,
+)
+def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by MinHash-estimated Jaccard (fraction of
+    agreeing signature components, >= 8/16) — the signature-only middle
+    stage of the dedup cascade; candidates never re-touch text."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.minhash_estimate_pairs(
+        docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS,
+        min_matching=_MH_MIN_MATCHING,
+    )
+
+
+#: deterministic "daily batch" split: md5 bucket of doc_id < 10 => the
+#: new 10%; the rest plays the role of the already-deduped corpus
+_INC_BUCKET_SQL = f"{_hex_to_int_sql('md5(CAST(doc_id AS VARCHAR))', 1, 4)} % 100"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS}),
+    tagged AS (
+      SELECT b.*, ({_INC_BUCKET_SQL} < 10) AS is_new FROM banded b)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN b.is_new THEN 'batch' ELSE 'corpus' END AS match_src
+    FROM tagged a
+    JOIN tagged b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+    WHERE a.is_new
+      AND (NOT b.is_new OR a.doc_id < b.doc_id)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: the deterministic 10% md5-bucket of documents
+    plays the new batch, the rest the stored corpus (its signature table
+    is computed here but is a precomputed stored dataset in production).
+    New docs match against corpus signatures and each other; old x old
+    pairs are never generated, so daily cost tracks batch size."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from confluent_kafka_streams_examples_spark.queries_corpus import _bucket
+
+    is_new = _bucket(F.col("doc_id")) < 10
+    new_docs = docs.filter(is_new)
+    corpus_sig = dedup.minhash_signatures(
+        docs.filter(~is_new), "doc_id", "text", num_hashes=_MH
+    )
+    return dedup.incremental_minhash_pairs(
+        new_docs, corpus_sig, "doc_id", "text", num_hashes=_MH, bands=_BANDS
+    )
+
+
 _BITS = 16
 _V_EXPR = (
     f"{_hexval('md5(token)', 1)} * 4096 + {_hexval('md5(token)', 2)} * 256 + "

@@ -83,3 +83,38 @@ def test_simhash64_candidates_find_identical_docs(spark):
     assert got.get((1, 2)) == 0
     for (a, b), h in got.items():
         assert h <= 3
+
+
+def test_minhash_estimate_identical_docs(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, text), (2, text), (3, "totally different words here about unrelated topic matter")]
+    df = _docs(spark, rows)
+    got = {
+        (r.id_a, r.id_b): (r.matching, r.est_jaccard)
+        for r in dedup.minhash_estimate_pairs(
+            df, "doc_id", "text", min_matching=8
+        ).collect()
+    }
+    assert got == {(1, 2): (16, 1.0)}
+
+
+def test_incremental_pairs_never_pair_old_with_old(spark):
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = _docs(spark, [(1, text), (2, text), (3, "other corpus content entirely distinct")])
+    new = _docs(spark, [(10, text), (11, text)])
+    corpus_sig = dedup.minhash_signatures(corpus, "doc_id", "text")
+    got = {
+        (r.id_a, r.id_b): r.match_src
+        for r in dedup.incremental_minhash_pairs(
+            new, corpus_sig, "doc_id", "text"
+        ).collect()
+    }
+    # new docs match the stored corpus and each other; the (1,2)
+    # old-old duplicate is NEVER generated
+    assert got == {
+        (10, 1): "corpus",
+        (10, 2): "corpus",
+        (11, 1): "corpus",
+        (11, 2): "corpus",
+        (10, 11): "batch",
+    }

@@ -67,6 +67,51 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for EACH of a batch of query vectors in one scan
+    — the serving/retrieval shape (a request batch, not one vector).
+
+    The Q query vectors broadcast to every executor (Q × dim doubles —
+    trivially small), so the corpus is read ONCE for the whole batch
+    instead of once per query; scoring stays JVM-side (zip_with +
+    aggregate fold).  Per-query top-k is a rank-limit window on
+    query_id, which Spark executes with WindowGroupLimit: each
+    partition keeps only its local top-k per query BEFORE the shuffle,
+    so the exchange carries O(partitions × Q × k) rows, not the scored
+    corpus.  Returns (query_id, vec_id, cos_sim), k rows per query.
+    """
+    from pyspark.sql import Window
+
+    base = with_norm(df, vec_col)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm")), 6
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_sim", cos)
+        .select("query_id", id_col, "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def cosine_pairs_partitioned(
     df: DataFrame,
     part_col: str = "label",

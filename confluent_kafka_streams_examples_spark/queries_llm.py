@@ -352,6 +352,40 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, query_id=0, k=10)
 
 
+_TOPK_BATCH_IDS = [0, 1, 2, 3]
+
+
+@query(
+    "similarity_topk_batch",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+          WHERE vec_id IN ({", ".join(map(str, _TOPK_BATCH_IDS))})),
+    scored AS (
+      SELECT q.query_id, n.vec_id,
+             round(list_inner_product(n.v, q.qv) / (n.nrm * q.qnrm), 6) AS cos_sim
+      FROM n JOIN q ON n.vec_id != q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= 10
+    """,
+)
+def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors for a BATCH of 4 query vectors in one corpus
+    scan: broadcast query matrix, JVM-side dot products, per-query
+    rank-limit window (WindowGroupLimit keeps the exchange at
+    O(partitions x Q x k) rows)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk_batch(emb, _TOPK_BATCH_IDS, k=10)
+
+
 @query(
     "similarity_pairs_label",
     oracle="""

@@ -176,3 +176,22 @@ def test_sole_late_supplier_single_fact_pass(spark):
     simple = explain_str(df, "simple")
     scans = [ln for ln in simple.splitlines() if "Scan parquet" in ln and "lineitem" in ln]
     assert len(scans) == 1, simple
+
+
+def test_topk_batch_plans_window_group_limit_and_broadcast(spark):
+    """The batched top-k must rank-limit before the query_id shuffle
+    (WindowGroupLimit) and broadcast the tiny query-vector side — the
+    corpus is scanned exactly once for the whole batch."""
+    p = plan(spark, "similarity_topk_batch")
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    p = plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in p, p
+
+
+def test_simhash64_no_cartesian_single_scan_family(spark):
+    p = plan(spark, "dedup_simhash64")
+    assert "CartesianProduct" not in p, p

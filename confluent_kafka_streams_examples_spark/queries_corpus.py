@@ -563,3 +563,76 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
         F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
     )
+
+
+# =====================================================================
+# Deterministic N-per-group sampling + normalized exact dedup
+# =====================================================================
+
+_SAMPLE_N = 20
+
+
+@query(
+    "sample_n_per_group",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, lang FROM ranked WHERE rn <= {_SAMPLE_N}
+    """,
+)
+def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY min(N, group size) docs per source, deterministically:
+    rank by md5(doc_id) within each group (a uniform, seed-free,
+    engine-independent shuffle of the group) and keep the first N.
+    Unlike fraction-based sampling this gives a hard per-group budget
+    — the curation shape for "N examples from every source".  Plans as
+    WindowGroupLimit: each partition keeps its local top-N per group
+    BEFORE the shuffle, so the exchange carries O(partitions x groups
+    x N) rows regardless of corpus size."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "lang")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _SAMPLE_N)
+        .select("doc_id", "source", "lang")
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+      FROM documents)
+    SELECT md5(ntext) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM norm GROUP BY md5(ntext)
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonicalization (lowercase, strip punctuation,
+    collapse whitespace): catches the trivially-reformatted duplicates
+    plain byte-equality misses, still one 16-byte-key shuffle.  The
+    normalization is pure JVM expression work fused into the scan
+    projection — no extra pass over the corpus."""
+    from confluent_kafka_streams_examples_spark.operators import dedup
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return dedup.exact_dedup_groups(
+        docs.withColumn("ntext", ntext), "doc_id", "ntext"
+    )

@@ -195,3 +195,8 @@ def test_incremental_dedup_no_cartesian(spark):
 def test_simhash64_no_cartesian_single_scan_family(spark):
     p = plan(spark, "dedup_simhash64")
     assert "CartesianProduct" not in p, p
+
+
+def test_sample_n_per_group_plans_window_group_limit(spark):
+    p = plan(spark, "sample_n_per_group")
+    assert "WindowGroupLimit" in p, p

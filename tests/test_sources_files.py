@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from confluent_kafka_streams_examples_spark.sources.files import batch_read
@@ -65,3 +66,34 @@ def test_csv_failfast_raises(spark, tmp_path):
 def test_unsupported_format(spark, tmp_path):
     with pytest.raises(ValueError):
         batch_read(spark, str(tmp_path), SCHEMA, "avro")
+
+
+def test_write_sized_small_target_splits_files(spark, tmp_path):
+    """REBALANCE + advisory size: a tiny advisory target must fan one
+    logical partition out into multiple parquet files, and the hive
+    variant must produce lang=... directories with data."""
+    import pathlib
+
+    from confluent_kafka_streams_examples_spark.sources.parquet import write_sized
+
+    df = spark.range(0, 200_000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    flat = str(tmp_path / "flat")
+    write_sized(df.coalesce(1), flat, target_file_mb=1)
+    files = list(pathlib.Path(flat).glob("*.parquet"))
+    assert len(files) > 1, files  # advisory 1MB split the single partition
+
+    hive = str(tmp_path / "hive")
+    write_sized(df, hive, target_file_mb=1, partition_by=["lang"])
+    dirs = {p.name for p in pathlib.Path(hive).iterdir() if p.is_dir()}
+    assert dirs == {"lang=0", "lang=1", "lang=2"}
+    # partition pruning reaches the scan on read-back
+    back = spark.read.parquet(hive).filter(F.col("lang") == "1")
+    assert back.count() > 0
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # advisory conf restored
+    assert spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None) in (None, "64MB", "64m")

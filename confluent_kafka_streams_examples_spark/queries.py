@@ -529,12 +529,11 @@ _VERIFY_FIRST = [
     "bm25_search", "pivot_event_counts",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash64",
     "dedup_minhash_verify", "dedup_incremental", "similarity_topk_batch",
-    "sample_n_per_group", "dedup_exact_normalized",
+    "sample_n_per_group", "dedup_exact_normalized", "vocab_coverage",
     # --- long-green sentinels filling out the verified prefix ---
     "basic_pipeline", "ktable_latest", "stream_table_join",
     "stream_stream_window_join", "agg_running_total", "regional_revenue",
     "windowed_tumbling", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_clusters",
 ]
 
 

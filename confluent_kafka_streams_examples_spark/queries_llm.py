@@ -754,3 +754,64 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same computation in DuckDB SQL."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return text.bm25_rank(docs, _BM25_TERMS, "doc_id", "text", topk=20)
+
+
+# =====================================================================
+# Vocabulary coverage (tokenizer-fit curation signal)
+# =====================================================================
+
+_VOCAB_SIZE = 1000
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT {_VOCAB_SIZE}),
+    per_doc AS (
+      SELECT t.doc_id, count(*) AS n_tok,
+             sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(in_vocab AS BIGINT) AS in_vocab,
+           floor(in_vocab * 1.0 / n_tok * 1e4 + 0.5) / 1e4 AS coverage
+    FROM per_doc
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage by the corpus's top-1000-token vocabulary
+    (OOV rate = 1 - coverage) — the tokenizer-fit signal used to spot
+    documents a fixed vocabulary represents poorly (code, other
+    languages, mojibake).  The vocabulary is derived in one token-count
+    aggregation with a deterministic count-then-token tie-break, then
+    BROADCAST back against the token stream: the corpus-side cost is
+    one explode + one groupBy(doc_id) — no shuffle keyed on tokens for
+    the coverage pass."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tok = dedup.tokens(docs, "doc_id", "text")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token"))
+        .limit(_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("_in_v"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce(F.col("_in_v"), F.lit(0))).cast("bigint").alias("in_vocab"),
+        )
+    )
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        "in_vocab",
+        round_det(F.col("in_vocab") / F.col("n_tok"), 4).alias("coverage"),
+    )

@@ -26,6 +26,21 @@ def substr_after_first(col: Column | str, delim: str) -> Column:
     return F.substr(c, F.instr(c, delim) + F.lit(1))
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Integer microseconds since epoch, robust to TIMESTAMP vs
+    TIMESTAMP_NTZ inputs.
+
+    Driver testdata has shipped ``ts`` as parquet TIMESTAMP(NANOS),
+    TIMESTAMP(MICROS, adjusted-to-UTC) and TIMESTAMP(MICROS, NTZ) in
+    different rounds; ``unix_micros`` rejects NTZ outright
+    (DATATYPE_MISMATCH).  Casting to TimestampType first is a no-op for
+    LTZ and interprets NTZ wall-time in the session timezone (pinned to
+    UTC by ``load_table``), which matches DuckDB's ``epoch_us`` on naive
+    timestamps.
+    """
+    return F.unix_micros(_c(col).cast("timestamp"))
+
+
 def safe_long(col: Column | str) -> Column:
     """String -> BIGINT, null on garbage (try_cast semantics).
 

@@ -18,6 +18,8 @@ from typing import Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from confluent_kafka_streams_examples_spark.functions.scalar import epoch_us
+
 ColumnLike = Union[Column, str]
 
 
@@ -104,7 +106,7 @@ class Stream:
         window_us = int(window_seconds * 1_000_000)
         cond = (
             (F.col(f"l.{on}") == F.col(f"r.{on}")) if isinstance(on, str) else on
-        ) & (F.abs(F.unix_micros(lts) - F.unix_micros(rts)) <= F.lit(window_us))
+        ) & (F.abs(epoch_us(lts) - epoch_us(rts)) <= F.lit(window_us))
         joined = left.join(right, cond, how)
         if select is not None:
             joined = joined.select(*select)

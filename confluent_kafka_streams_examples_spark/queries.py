@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from confluent_kafka_streams_examples_spark.functions.scalar import safe_long, substr_after_first
+from confluent_kafka_streams_examples_spark.functions.scalar import epoch_us, safe_long, substr_after_first
 from confluent_kafka_streams_examples_spark.operators.stream import Stream
 from confluent_kafka_streams_examples_spark.operators.table import Table, latest_per_key
 from confluent_kafka_streams_examples_spark.operators import windows as W
@@ -240,7 +240,7 @@ def stream_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l, r = views.df, purchases.df
     cond = (l.user_id == r.p_user_id) & (
-        F.abs(F.unix_micros(l.ts) - F.unix_micros(r.p_ts)) <= F.lit(300 * 1_000_000)
+        F.abs(epoch_us(l.ts) - epoch_us(r.p_ts)) <= F.lit(300 * 1_000_000)
     )
     return l.join(r, cond, "inner").select("user_id", "view_id", "purchase_id")
 

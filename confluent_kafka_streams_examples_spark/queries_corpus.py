@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from confluent_kafka_streams_examples_spark.functions.scalar import epoch_us
+
 from confluent_kafka_streams_examples_spark.queries import query
 from confluent_kafka_streams_examples_spark.queries_llm import _hex_to_int_sql
 from confluent_kafka_streams_examples_spark.session import load_table
@@ -115,7 +117,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap_us = epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w)
     new_sess = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
     numbered = ev.withColumn(
         "session_no",

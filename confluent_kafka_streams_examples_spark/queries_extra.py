@@ -15,6 +15,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from confluent_kafka_streams_examples_spark.functions.scalar import epoch_us
 from confluent_kafka_streams_examples_spark.queries import query
 from confluent_kafka_streams_examples_spark.session import load_table
 
@@ -213,7 +214,7 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us"),
     )
 
 
@@ -264,7 +265,7 @@ def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile == SQL
     quantile_cont linear interpolation)."""
-    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+    from confluent_kafka_streams_examples_spark.functions.scalar import epoch_us, round_det
 
     ev = load_table(spark, "events", sf_dir).select("event_type", "value")
     return ev.groupBy("event_type").agg(
@@ -443,8 +444,8 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "value",
-            F.unix_micros("ts").alias("valid_from_us"),
-            F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+            epoch_us("ts").alias("valid_from_us"),
+            F.lead(epoch_us("ts")).over(w).alias("valid_to_us"),
         )
     )
 

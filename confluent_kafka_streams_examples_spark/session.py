@@ -80,17 +80,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the reader
-    # rejects by default; this SQL conf is dynamic, so set it here so the
-    # engine works under ANY caller-provided SparkSession (driver contract),
-    # not just sessions built by get_spark().
+    # Driver testdata has shipped timestamps in three physical forms across
+    # rounds: INT64 TIMESTAMP(NANOS), TIMESTAMP(MICROS, UTC-adjusted) and
+    # TIMESTAMP(MICROS, NTZ).  Both confs below are dynamic, so set them here
+    # so the engine works under ANY caller-provided SparkSession (driver
+    # contract), not just sessions built by get_spark().  UTC pins the
+    # NTZ->LTZ cast so integer-microsecond time arithmetic matches DuckDB's
+    # epoch_us over the same naive parquet values.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) -> read as long ns (see
-    # nanosAsLong config); convert with integer division to TimestampType
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.typeName() == "long":
+        if field.name != "ts":
+            continue
+        if field.dataType.typeName() == "long":
+            # TIMESTAMP(NANOS) read as long ns -> integer-divide to us
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            # NTZ -> LTZ at UTC (exact: same micros DuckDB sees)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

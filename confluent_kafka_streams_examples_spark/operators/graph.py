@@ -2,24 +2,37 @@
 
 The dedup operators (minhash_lsh_pairs, ngram_jaccard_pairs, simhash)
 emit *pairs*; a pipeline needs *groups* (keep one representative per
-component).  Pairs → components is connected components, computed here
-by iterative min-label propagation:
+component).  Pairs → components is connected components, computed in
+two phases:
+
+**Phase 1 — partition-local union-find.**  The edge list is hash-
+bucketed into groups of ~``rows_per_partition`` edges and each group is
+collapsed independently by an in-executor union-find
+(``applyInPandas``; path-compressed, min-rooted).  One shuffle of
+8-byte id pairs, one vectorized pass — every chain that lives inside a
+bucket collapses in O(alpha) immediately instead of one hop per
+distributed round.  Labels never leave the executors.
+
+**Phase 2 — min-label propagation on the contracted graph.**  Local
+roots that share a node across buckets are bridged (root → the node's
+global-min root) and the much smaller bridge graph is solved by
+iterative min-label propagation:
 
     label(v) ← min(label(v), min over neighbors u of label(u))
 
 repeated to fixpoint, INTERLEAVED with pointer jumping
-(label(v) ← label(label(v))) each round.  Neighbor propagation alone
-needs diameter-many rounds — near-dup graphs contain long similarity
-chains, and at corpus scale chains only get longer.  Pointer jumping
-lets already-propagated labels shortcut through each other (the
-Shiloach-Vishkin idea; same family as Hash-to-Min, Rastogi et al.).
-On a pure min-directed chain distance doubles per round (measured: a
-200-node path converges in 8 rounds vs 199 without); on the sf0.1
-LSH pair graph, whose chains aren't all oriented toward the
-component min, measured rounds drop 23 → 13.
+(label(v) ← label(label(v))) each round — the Shiloach-Vishkin
+shortcut; same family as Hash-to-Min (Rastogi et al.) and the
+two-phase/contraction structure of Kiveris et al.'s "Connected
+Components in MapReduce and Beyond".  The contracted graph has one
+node per (bucket, local component) that straddles buckets — orders of
+magnitude smaller than the input, and its diameter (≤ number of
+buckets a component spans) bounds the distributed rounds, where the
+raw graph's diameter (similarity-chain length, which grows with
+corpus size) bounded them before.  Measured at sf0.1: 13 rounds of
+3 joins each → 0 rounds (single bucket) / 1-2 rounds (many buckets).
 
-Each round is three keyed equi-joins + a min-aggregate (neighbor
-join, label merge, jump self-join); the
+Each loop round is three keyed equi-joins + a min-aggregate; the
 per-iteration convergence check is a scalar count — the only
 driver-side value; labels never leave the cluster.  Lineage is
 truncated each round: eager ``localCheckpoint`` by default, reliable
@@ -30,64 +43,58 @@ executor loss).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    max_iter: int = 25,
-    rows_per_partition: int = 2_000_000,
-    checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """Return (node, component) — component = min node id reachable.
+def _union_find_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Collapse one edge bucket: (a, b) pairs -> (node, root) with
+    root = min node id of the node's local component.
 
-    ``edges``: undirected pair list (each pair once is fine).
-    Raises if not converged in ``max_iter`` (diameter guard).
+    Dict-based union-find with path compression and union-by-min (the
+    min-root invariant is what the caller needs; alpha-optimality is
+    traded for it, fine at ~10^6 edges per bucket).  Runs inside the
+    executor's Python worker — the driver never sees an edge."""
+    parent: dict[int, int] = {}
 
-    ``checkpoint_dir``: when given, per-round lineage truncation uses a
-    RELIABLE ``checkpoint`` into that directory (HDFS/S3 path on a real
-    cluster) — executor loss can then recover from storage instead of
-    recomputing the whole iteration cascade.  When ``None`` (local/test
-    default) the cheaper ``localCheckpoint`` is used; its blocks live
-    in executor memory/disk and die with the executor, which is fine on
-    a single-node session and NOT fine on a 1000-executor job.
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        # path compression
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
 
-    The iteration frames (edge list + labels) are usually orders of
-    magnitude smaller than the documents they came from, but AQE's
-    ``parallelismFirst`` keeps shuffles at default parallelism — dozens
-    of near-empty tasks per round × several stages × several rounds is
-    pure scheduling overhead.  So partitioning is sized from the
-    MATERIALIZED edge count (the checkpoint makes the count free):
-    ~``rows_per_partition`` rows per task, which collapses to 1-2
-    partitions on test data and grows linearly for a 10^12-edge list."""
-    spark = edges.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    a_col = pdf["a"].to_numpy()
+    b_col = pdf["b"].to_numpy()
+    for a, b in zip(a_col, b_col):
+        ra, rb = find(int(a)), find(int(b))
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
 
-    def ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    # materialize the pair list BEFORE the symmetrizing union: both
-    # union branches reference `edges`, and without this the (possibly
-    # expensive — LSH candidate generation) upstream plan runs twice
-    edges = ckpt(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    parallelism = spark.sparkContext.defaultParallelism
-    parts = max(1, min(parallelism * 8, 2 * edges.count() // rows_per_partition + 1))
-    sym = edges.union(edges.select(F.col("b"), F.col("a")))
-    sym = ckpt(sym.repartition(parts, "b"))
-
-    labels = ckpt(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .repartition(parts, "node")
+    nodes = set(map(int, a_col))
+    nodes.update(map(int, b_col))
+    return pd.DataFrame(
+        {"node": list(nodes), "root": [find(n) for n in nodes]},
+        dtype="int64",
     )
 
+
+def _min_label_loop(
+    sym: DataFrame,
+    labels: DataFrame,
+    max_iter: int,
+    ckpt,
+) -> DataFrame:
+    """Min-label propagation + pointer jumping to fixpoint.
+
+    ``sym``: symmetric edge list (a, b); ``labels``: (node, component)
+    initial labels.  Both should be materialized by the caller."""
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -132,6 +139,131 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    rows_per_partition: int = 2_000_000,
+    checkpoint_dir: str | None = None,
+    local_phase: bool = True,
+) -> DataFrame:
+    """Return (node, component) — component = min node id reachable.
+
+    ``edges``: undirected pair list (each pair once is fine); ids must
+    be integral (cast to BIGINT internally).
+    Raises if the propagation loop hasn't converged in ``max_iter``
+    rounds (contracted-graph diameter guard).
+
+    ``checkpoint_dir``: when given, per-round lineage truncation uses a
+    RELIABLE ``checkpoint`` into that directory (HDFS/S3 path on a real
+    cluster) — executor loss can then recover from storage instead of
+    recomputing the whole iteration cascade.  When ``None`` (local/test
+    default) the cheaper ``localCheckpoint`` is used; its blocks live
+    in executor memory/disk and die with the executor, which is fine on
+    a single-node session and NOT fine on a 1000-executor job.
+
+    ``local_phase``: set False to skip the union-find contraction and
+    run pure min-label propagation on the raw edges (the loop is then
+    bounded by the raw graph's diameter — kept for tests and as the
+    fallback for non-integral ids).
+
+    The iteration frames (edge list + labels) are usually orders of
+    magnitude smaller than the documents they came from, but AQE's
+    ``parallelismFirst`` keeps shuffles at default parallelism — dozens
+    of near-empty tasks per round × several stages × several rounds is
+    pure scheduling overhead.  So bucket/partition counts are sized
+    from the MATERIALIZED edge count (the checkpoint makes the count
+    free): ~``rows_per_partition`` rows per task, which collapses to
+    1-2 buckets on test data and grows linearly for a 10^12-edge
+    list."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    # materialize the pair list BEFORE anything that references it twice
+    # (the upstream plan — possibly expensive LSH candidate generation —
+    # must run exactly once)
+    edges = ckpt(
+        edges.select(
+            F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+        )
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    n_edges = edges.count()
+    parts = max(1, min(parallelism * 8, 2 * n_edges // rows_per_partition + 1))
+
+    if not local_phase:
+        sym = edges.union(edges.select(F.col("b"), F.col("a")))
+        sym = ckpt(sym.repartition(parts, "b"))
+        labels = ckpt(
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .repartition(parts, "node")
+        )
+        return _min_label_loop(sym, labels, max_iter, ckpt)
+
+    # ---- phase 1: bucket edges, union-find each bucket in-executor ----
+    # bucket by hash of the src endpoint so star edges co-locate; any
+    # partition of the edge SET is correct — bucketing only decides how
+    # much collapses locally vs in the bridge loop.
+    n_buckets = max(1, min(parallelism * 8, n_edges // rows_per_partition + 1))
+    local = ckpt(
+        edges.withColumn("_bucket", F.pmod(F.xxhash64("a"), F.lit(n_buckets)))
+        .groupBy("_bucket")
+        .applyInPandas(
+            lambda _key, pdf: _union_find_partition(pdf),
+            "node bigint, root bigint",
+        )
+    )
+
+    # ---- phase 2: bridge local components that share a node ----
+    # node seen in k buckets with distinct roots r1..rk, gmin = min ri:
+    # contraction edges (ri, gmin).  Two local components are globally
+    # connected iff a chain of shared nodes links them, which is exactly
+    # the connectivity of this bridge graph.
+    gmin = local.groupBy("node").agg(F.min("root").alias("gmin"))
+    bridges = ckpt(
+        local.join(gmin, "node")
+        .filter(F.col("root") != F.col("gmin"))
+        .select(F.col("root").alias("a"), F.col("gmin").alias("b"))
+        .distinct()
+    )
+
+    if bridges.limit(1).count() == 0:
+        # single bucket, or no component spans buckets: roots are final
+        return local.groupBy("node").agg(F.min("root").alias("component"))
+
+    sym = bridges.union(bridges.select(F.col("b"), F.col("a")))
+    sym = ckpt(sym.repartition(parts, "b"))
+    blabels = ckpt(
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .repartition(parts, "node")
+    )
+    bcomp = _min_label_loop(sym, blabels, max_iter, ckpt).select(
+        F.col("node").alias("r_node"), F.col("component").alias("r_comp")
+    )
+
+    # map local roots through the resolved bridge components; roots not
+    # in the bridge graph already are their component's min.  A node's
+    # rows across buckets all resolve to the same component (their roots
+    # are bridge-connected), so the groupBy-min is a dedup, not a choice.
+    return (
+        local.join(bcomp, local["root"] == bcomp["r_node"], "left")
+        .select("node", F.coalesce("r_comp", F.col("root")).alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def dedup_components(

@@ -36,9 +36,44 @@ def test_dedup_components_includes_singletons(spark):
 
 
 def test_nonconvergence_guard(spark):
+    # the guard lives in the propagation loop; disable the union-find
+    # contraction so a length-11 chain actually needs >1 round
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "src int, dst int")
     with pytest.raises(RuntimeError):
-        connected_components(edges, "src", "dst", max_iter=1)
+        connected_components(edges, "src", "dst", max_iter=1, local_phase=False)
+
+
+def test_multibucket_matches_pure_propagation(spark):
+    # random-ish graph forced across many union-find buckets: the
+    # two-phase result must equal the pure min-label-propagation result
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    two_phase = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, "src", "dst", rows_per_partition=10
+        ).collect()
+    }
+    pure = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst", local_phase=False).collect()
+    }
+    assert two_phase == pure
+
+
+def test_chain_across_buckets(spark):
+    # a single long chain sliced over many buckets exercises the bridge
+    # graph: every bucket's local component must contract to min id 0
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst", rows_per_partition=4).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
 
 
 def test_reliable_checkpoint_path(spark, tmp_path):

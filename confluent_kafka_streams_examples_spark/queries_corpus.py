@@ -638,3 +638,121 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(
         docs.withColumn("ntext", ntext), "doc_id", "ntext"
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+    src AS (SELECT DISTINCT source,
+                   concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+            FROM toks, unnest(range(1, greatest(len(tk)-1, 1))) u(i)),
+    sizes AS (SELECT source, count(*) AS n_sh FROM src GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_shingles
+      FROM src a JOIN src b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, shared_shingles,
+           floor(shared_shingles / least(sa.n_sh, sb.n_sh) * 1e4 + 0.5) / 1e4
+             AS overlap_coef
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word 3-grams they share, and the overlap coefficient
+    shared / min(|A|, |B|) — the "is subcorpus A secretly a copy of a
+    slice of B" diagnostic run before mixing training sources.
+
+    Scale shape: shingles are reduced to DISTINCT (source, shingle)
+    FIRST, so the per-shingle join bucket is bounded by the number of
+    sources (single digits), never by document frequency — unlike
+    doc-level Jaccard there is no hot-shingle quadratic risk, so no DF
+    cap is needed.  The self-join keys on xxhash64(shingle): 8-byte
+    shuffle keys, long compares.  Everything else (sizes, the final
+    ratio) is a broadcast of a #sources-row frame.
+    """
+    from pyspark import StorageLevel
+
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+    from confluent_kafka_streams_examples_spark.operators import dedup
+
+    docs = load_table(spark, "documents", sf_dir).select("source", "text")
+    # shingles() with the SOURCE as the id column = distinct
+    # (source, shingle) in one explode+distinct — no per-doc stage
+    sh = (
+        dedup.shingles(docs, "source", "text", n=3)
+        .select("source", F.xxhash64("shingle").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            round_det(
+                F.col("shared_shingles") / F.least("n_a", "n_b"), 4
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+@query(
+    "duplicate_rate_by_source",
+    oracle="""
+    WITH h AS (SELECT source, md5(text) AS th FROM documents),
+    dup AS (SELECT th FROM h GROUP BY th HAVING count(*) > 1)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(dup.th) AS BIGINT) AS n_dup_docs,
+           floor(count(dup.th) / count(*) * 1e4 + 0.5) / 1e4 AS dup_rate
+    FROM h LEFT JOIN dup ON h.th = dup.th
+    GROUP BY source
+    """,
+)
+def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate exposure: the fraction of a source's
+    documents whose text also appears elsewhere in the corpus (itself
+    included) — the first quality number to pull when deciding how hard
+    to dedup each source.  Two 16-byte-key shuffles (hash rollup, then
+    per-source rollup); document bodies are reduced to md5 in the scan
+    projection and never shuffled."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", F.md5("text").alias("th")
+    )
+    dup = (
+        docs.groupBy("th")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("th")
+        .withColumn("_isdup", F.lit(1))
+    )
+    return (
+        docs.join(dup, "th", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("_isdup", F.lit(0))).cast("bigint").alias("n_dup_docs"),
+            round_det(
+                F.sum(F.coalesce("_isdup", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+    )

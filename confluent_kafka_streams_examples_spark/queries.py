@@ -529,11 +529,12 @@ _VERIFY_FIRST = [
     "merge_upsert_balances", "similarity_ann_lsh", "embedding_centroids",
     "similarity_ivf_probe", "quality_repetition_signals",
     "shipping_priority",
+    # --- new this round: first oracle run ---
+    "source_overlap_matrix", "duplicate_rate_by_source",
     # --- long-green sentinels (r2-green) filling out the prefix ---
     "basic_pipeline", "ktable_latest", "stream_table_join",
     "agg_running_total", "regional_revenue", "windowed_tumbling",
     "dedup_exact", "dedup_minhash_lsh", "bm25_search",
-    "pivot_event_counts", "sql_interface",
 ]
 
 

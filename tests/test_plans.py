@@ -200,3 +200,20 @@ def test_simhash64_no_cartesian_single_scan_family(spark):
 def test_sample_n_per_group_plans_window_group_limit(spark):
     p = plan(spark, "sample_n_per_group")
     assert "WindowGroupLimit" in p, p
+
+
+def test_source_overlap_bounded_join(spark):
+    """Cross-source overlap: the shingle self-join must be an equi-join
+    (never cartesian) and the sizes frames must broadcast."""
+    p = plan(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, f"sizes frames must broadcast\n{p}"
+
+
+def test_duplicate_rate_no_body_shuffle(spark):
+    """duplicate_rate_by_source: text bodies reduce to md5 in the scan
+    projection — no Exchange may carry the text column."""
+    p = plan(spark, "duplicate_rate_by_source")
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges, p
+    assert not any("text#" in ln for ln in exchanges), exchanges

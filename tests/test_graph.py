@@ -94,3 +94,18 @@ def test_reliable_checkpoint_path(spark, tmp_path):
 
     ckpt_files = list(pathlib.Path(ckdir).rglob("*"))
     assert any(p.is_file() for p in ckpt_files)
+
+
+def test_empty_and_selfloop_edges(spark):
+    # empty pair list -> every id a singleton via dedup_components
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_representative"])
+        for r in dedup_components(empty, ids, "doc_id").collect()
+    }
+    assert got == {1: (1, True), 2: (2, True)}
+    # self-loops are inert
+    loops = spark.createDataFrame([(3, 3), (3, 4)], "src long, dst long")
+    comp = {r["node"]: r["component"] for r in connected_components(loops, "src", "dst").collect()}
+    assert comp == {3: 3, 4: 3}

@@ -45,12 +45,20 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — DISTINCT word n-grams per document.
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) — word n-grams per document, DISTINCT by default.
 
     Built with array higher-order functions (JVM-side): split -> sliding
     windows via transform over an index sequence -> explode -> distinct.
     Documents with < n tokens produce no shingles.
+
+    ``distinct=False`` skips the dedup SHUFFLE — correct whenever the
+    consumer is duplicate-insensitive (a min()-aggregate like MinHash,
+    or a semi-join probe): the distinct here shuffles (id, n-gram
+    STRING) rows, the single most expensive exchange in the whole LSH
+    family at corpus scale.
     """
     tok = F.split(F.col(text_col), " ")
     # sequence(0, size-n) is inclusive => size-n+1 windows; guard size < n
@@ -62,8 +70,24 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    out = _spread(df).select(F.col(id_col), F.explode(windows).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle: BIGINT) — DISTINCT xxhash64'd word n-grams.
+
+    Hash-BEFORE-distinct: the dedup exchange then carries 8-byte longs
+    instead of n-gram text (~3 words each) — same result set as
+    distinct-then-hash up to 2^-64 collisions, at a fraction of the
+    shuffle bytes.  The consumer set (Jaccard counting, overlap
+    matrices) only ever compares shingles for equality, never reads
+    them back."""
     return (
-        _spread(df).select(F.col(id_col), F.explode(windows).alias("shingle"))
+        shingles(df, id_col, text_col, n, distinct=False)
+        .select(id_col, F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
 
@@ -113,10 +137,8 @@ def ngram_jaccard_pairs(
     # the shuffle carries 8-byte longs instead of n-gram text and the
     # join compares longs (collision odds over 2^64 are noise next to
     # the 0.4 threshold's own sensitivity).
-    sh = (
-        shingles(df, id_col, text_col, n)
-        .select(id_col, F.xxhash64("shingle").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_hashes(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     if max_df is not None:
         hot = (
@@ -175,7 +197,9 @@ def minhash_signatures(
     permutation — the difference between 1 and 16 passes over a
     100 TB shingle set.
     """
-    sh = shingles(df, id_col, text_col, n)
+    # distinct=False: min() over a multiset equals min() over its set,
+    # so the duplicate-dropping shuffle would be pure waste here
+    sh = shingles(df, id_col, text_col, n, distinct=False)
     h1, h2 = hash_pair(F.col("shingle"))
     sh = sh.withColumn("h1", h1).withColumn("h2", h2)
     aggs = [

@@ -165,7 +165,10 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "text", "lang", "source"
     )
-    sh = dedup.shingles(docs, "doc_id", "text", n=5)
+    # distinct=False: the eval side re-distincts below and the probe
+    # side feeds a semi-join + distinct(doc_id) — per-doc shingle
+    # dedup would add a full (doc_id, 5-gram string) shuffle for nothing
+    sh = dedup.shingles(docs, "doc_id", "text", n=5, distinct=False)
     eval_sh = (
         sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
     )
@@ -681,11 +684,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from confluent_kafka_streams_examples_spark.operators import dedup
 
     docs = load_table(spark, "documents", sf_dir).select("source", "text")
-    # shingles() with the SOURCE as the id column = distinct
-    # (source, shingle) in one explode+distinct — no per-doc stage
+    # shingle_hashes() with the SOURCE as the id column = distinct
+    # (source, shingle-hash) in one explode+hash+distinct — no per-doc
+    # stage, and the dedup exchange carries 8-byte longs, not n-grams
     sh = (
-        dedup.shingles(docs, "source", "text", n=3)
-        .select("source", F.xxhash64("shingle").alias("h"))
+        dedup.shingle_hashes(docs, "source", "text", n=3)
+        .withColumnRenamed("shingle", "h")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -109,3 +109,42 @@ def test_empty_and_selfloop_edges(spark):
     loops = spark.createDataFrame([(3, 3), (3, 4)], "src long, dst long")
     comp = {r["node"]: r["component"] for r in connected_components(loops, "src", "dst").collect()}
     assert comp == {3: 3, 4: 3}
+
+
+def test_union_find_partition_matches_brute_force():
+    # pure-python: the bucket-local union-find against naive fixpoint
+    # propagation on 100 random multigraphs (no Spark needed)
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from confluent_kafka_streams_examples_spark.operators.graph import (
+        _union_find_partition,
+    )
+
+    def brute(edges, nodes):
+        comp = {n: n for n in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                m = min(comp[a], comp[b])
+                for x in (a, b):
+                    if comp[x] != m:
+                        comp[x] = m
+                        changed = True
+        for _ in range(len(nodes)):
+            for x in nodes:
+                if comp[comp[x]] < comp[x]:
+                    comp[x] = comp[comp[x]]
+        return comp
+
+    rng = random.Random(3)
+    for _ in range(100):
+        m = rng.randrange(1, 30)
+        edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(m)]
+        pdf = pd.DataFrame({"a": [e[0] for e in edges], "b": [e[1] for e in edges]})
+        out = _union_find_partition(pdf)
+        got = dict(zip(out["node"], out["root"]))
+        assert got == brute(edges, set(itertools.chain(*edges)))

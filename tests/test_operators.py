@@ -239,3 +239,35 @@ def test_bm25_topk_plan_is_take_ordered(spark):
     plan = bm25_rank(docs, ["cat", "dog"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_epoch_us_ntz_and_ltz_agree(spark, tmp_path):
+    """Regression: driver testdata has shipped `ts` as TIMESTAMP(MICROS,
+    NTZ) — unix_micros() rejects NTZ outright, and the NTZ->LTZ
+    normalization must be exact (same microseconds DuckDB's epoch_us
+    sees) under the UTC session timezone load_table pins."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from confluent_kafka_streams_examples_spark.functions.scalar import epoch_us
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    # events.parquet with an NTZ (no-timezone) microsecond ts column
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(micros, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    df = load_table(spark, "events", d)
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    got = {r["event_id"]: r["us"] for r in df.select("event_id", epoch_us("ts").alias("us")).collect()}
+    assert got == {1: micros[0], 2: micros[1]}

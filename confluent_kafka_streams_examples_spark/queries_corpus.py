@@ -760,3 +760,43 @@ def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@query(
+    "skewed_event_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_value_micros,
+           CAST(max(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_value_micros
+    FROM events GROUP BY event_type
+    """,
+)
+def skewed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key rollup through the explicit two-phase salted aggregate
+    (operators/skew.py): event_type has single-digit cardinality over
+    the whole corpus — the textbook straggler-reducer shape.  Phase 1
+    spreads each key over 16 salt buckets (partial agg per (key,
+    salt)), phase 2 merges the 16 partials — one straggler becomes 16
+    parallel reducers.  AQE can split skewed JOIN partitions but not
+    aggregations, which is exactly the case this path exists for.
+    Money math in integer micros so the two-phase merge is associative
+    and engine-exact (float sums are order-dependent)."""
+    from confluent_kafka_streams_examples_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 1e6 + 0.5).cast("bigint").alias("value_micros"),
+    )
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "value_micros"),
+            "total_value_micros": ("sum", "value_micros"),
+            "max_value_micros": ("max", "value_micros"),
+        },
+        salt_buckets=16,
+    ).select("event_type", "n_events", "total_value_micros", "max_value_micros")

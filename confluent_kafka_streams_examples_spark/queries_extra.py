@@ -787,3 +787,88 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round_det(F.max("c") / F.sum("c").cast("double"), 4).alias("top_token_frac"),
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    b AS (SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM n),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+          FROM b WHERE vec_id < 5),
+    exact AS (
+      SELECT q.query_id, c.vec_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY round(list_inner_product(c.v, q.qv)
+                                               / (c.nrm * q.qnrm), 6) DESC,
+                                         c.vec_id) AS rn
+      FROM q JOIN n c ON c.vec_id != q.query_id),
+    e3 AS (SELECT query_id, vec_id FROM exact WHERE rn <= 3),
+    ann AS (
+      SELECT q.query_id, c.vec_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY round(list_inner_product(c.v, q.qv)
+                                               / (c.nrm * q.qnrm), 6) DESC,
+                                         c.vec_id) AS rn
+      FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id),
+    a3 AS (SELECT query_id, vec_id FROM ann WHERE rn <= 3)
+    SELECT e3.query_id,
+           CAST(count(a3.vec_id) AS BIGINT) AS hits,
+           floor(count(a3.vec_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall_at_3
+    FROM e3 LEFT JOIN a3 ON e3.query_id = a3.query_id AND e3.vec_id = a3.vec_id
+    GROUP BY e3.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the hyperplane-LSH probe
+    (similarity_ann_lsh's plan) against exact brute-force top-3 — the
+    measurement loop every production ANN deployment needs before
+    trusting an approximate index.  Ground truth is ONE corpus scan for
+    the whole query batch (queries broadcast, WindowGroupLimit top-3
+    per query — same shape as similarity_topk_batch); the probe side
+    touches only its LSH bucket.  Both rankings share the deterministic
+    tie-break (rounded cosine DESC, vec_id), so recall is
+    engine-reproducible; at 100 TB the eval runs on a sampled query set
+    while the index itself never materializes all-pairs."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = _norm_bucket_base(emb)
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = base.select("vec_id", "v", "nrm", "bucket")
+    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+
+    exact3 = (
+        cand.crossJoin(F.broadcast(q))  # 5-row broadcast: batch ground truth
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id")
+    )
+    ann3 = (
+        cand.join(F.broadcast(q), cand["bucket"] == q["qbucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact3.join(ann3, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").cast("bigint").alias("hits"),
+            round_det(F.count("_hit") / F.lit(3.0), 4).alias("recall_at_3"),
+        )
+    )

@@ -531,11 +531,10 @@ _VERIFY_FIRST = [
     "shipping_priority",
     # --- new this round: first oracle run ---
     "source_overlap_matrix", "duplicate_rate_by_source",
-    "skewed_event_rollup", "ann_recall_eval",
+    "skewed_event_rollup", "ann_recall_eval", "embedding_kmeans_fixed",
     # --- long-green sentinels (r2-green) filling out the prefix ---
     "basic_pipeline", "ktable_latest", "stream_table_join",
     "agg_running_total", "regional_revenue", "windowed_tumbling",
-    "dedup_exact",
 ]
 
 

@@ -872,3 +872,111 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.count("_hit") / F.lit(3.0), 4).alias("recall_at_3"),
         )
     )
+
+
+def _km_assign_sql(vrel: str, crel: str, out: str) -> str:
+    """One Lloyd assignment step in DuckDB SQL: nearest centroid by
+    squared L2 (rounded to 6 dp, ties to the smaller cid)."""
+    return f"""{out} AS (
+      SELECT vec_id, v, cid, dist FROM (
+        SELECT {vrel}.vec_id, {vrel}.v, {crel}.cid,
+               round(list_sum(list_transform(range(1, {_DIMS + 1}),
+                     d -> ({vrel}.v[d] - {crel}.c[d]) * ({vrel}.v[d] - {crel}.c[d]))), 6) AS dist,
+               row_number() OVER (
+                 PARTITION BY {vrel}.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, {_DIMS + 1}),
+                          d -> ({vrel}.v[d] - {crel}.c[d]) * ({vrel}.v[d] - {crel}.c[d]))), 6),
+                          {crel}.cid) AS rn
+        FROM {vrel} CROSS JOIN {crel}) WHERE rn = 1)"""
+
+
+def _km_recompute_sql(arel: str, out: str) -> str:
+    """Centroid recomputation in DuckDB SQL: per-dimension mean rounded
+    to 6 dp (matching the Spark side exactly so the NEXT iteration's
+    distances are computed over identical doubles)."""
+    return f"""{out} AS (
+      SELECT cid, list(cv ORDER BY d) AS c FROM (
+        SELECT cid, d, floor(avg(v[d]) * 1e6 + 0.5) / 1e6 AS cv
+        FROM {arel}, unnest(range(1, {_DIMS + 1})) u(d)
+        GROUP BY cid, d) GROUP BY cid)"""
+
+
+@query(
+    "embedding_kmeans_fixed",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+           FROM embeddings WHERE vec_id < 8),
+    {_km_assign_sql('v', 'c0', 'a1')},
+    {_km_recompute_sql('a1', 'c1')},
+    {_km_assign_sql('v', 'c1', 'a2')},
+    {_km_recompute_sql('a2', 'c2')},
+    {_km_assign_sql('v', 'c2', 'a3')}
+    SELECT cid, count(*) AS n_members,
+           CAST(sum(CAST(floor(dist * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS inertia_micro
+    FROM a3 GROUP BY cid
+    """,
+)
+def embedding_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 2 refinement iterations) as
+    ONE declarative plan — the iterative-algorithm pattern beyond
+    connected components, oracle-checked end to end.
+
+    Determinism contract: init centroids are the 8 smallest vec_ids (no
+    seeded sampling), ties assign to the smaller cid, and recomputed
+    centroids are rounded to 6 dp on BOTH engines, so every subsequent
+    distance is computed over identical IEEE doubles; inertia is
+    reported in integer micros.  Scale shape: each iteration is one
+    8-row centroid BROADCAST into the corpus scan (assignment never
+    shuffles the vectors) + one posexplode partial-agg shuffle of
+    (cid, dim) partials for the recompute — the corpus-side cost is
+    iterations x one scan.  On a real cluster, checkpoint between
+    iterations to cut the growing lineage (same lever as
+    connected_components); at 3 iterations the single lazy plan is
+    fine and lets Catalyst pipeline the final assignment with the last
+    recompute."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("c")
+    )
+
+    def assign(cur_cents: DataFrame) -> DataFrame:
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            vecs.crossJoin(F.broadcast(cur_cents))  # 8-row broadcast
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "dist")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        pos = assigned.select("cid", F.posexplode("v").alias("d", "val"))
+        per_dim = pos.groupBy("cid", "d").agg(round_det(F.avg("val"), 6).alias("cv"))
+        return (
+            per_dim.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "cv"))).alias("pairs"))
+            .select("cid", F.transform("pairs", lambda p: p["cv"]).alias("c"))
+        )
+
+    a = assign(cents)
+    for _ in range(2):
+        a = assign(recompute(a))
+    return a.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.floor(F.col("dist") * 1e6 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("inertia_micro"),
+    )

@@ -800,3 +800,41 @@ def skewed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=16,
     ).select("event_type", "n_events", "total_value_micros", "max_value_micros")
+
+
+@query(
+    "top_terms_per_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS (SELECT source, token, count(*) AS freq
+           FROM tok GROUP BY source, token),
+    ranked AS (
+      SELECT source, token, freq,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY freq DESC, token) AS rnk
+      FROM tf)
+    SELECT source, token, freq, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: the 5 most frequent tokens of
+    every source (deterministic tie-break on the token itself) — the
+    quick look at what a subcorpus is actually made of before mixing.
+    Plan shape: explode -> (source, token) partial-agg shuffle (the
+    exchange carries counted partials, never raw token streams), then
+    rank-limit planned as WindowGroupLimit: each partition keeps its
+    local top-5 per source BEFORE the final exchange, so the window
+    shuffle moves O(partitions x sources x 5) rows at any corpus
+    size."""
+    docs = load_table(spark, "documents", sf_dir).select("source", "text")
+    tok = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "token", "freq", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -217,3 +217,15 @@ def test_duplicate_rate_no_body_shuffle(spark):
     exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
     assert exchanges, p
     assert not any("text#" in ln for ln in exchanges), exchanges
+
+
+def test_new_ml_queries_plan_discipline(spark):
+    """k-means: vectors must never shuffle for a join (assignment is a
+    tiny-centroid broadcast); ann_recall/top_terms: rank-limits plan as
+    WindowGroupLimit; nothing plans a cartesian product."""
+    for name in ("top_terms_per_source", "embedding_kmeans_fixed", "ann_recall_eval"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, f"{name}\n{p}"
+        assert "WindowGroupLimit" in p, f"{name}: rank-limit must push partial top-k\n{p}"
+    km = plan(spark, "embedding_kmeans_fixed")
+    assert "SortMergeJoin" not in km, f"kmeans must broadcast centroids, never shuffle vectors\n{km}"

@@ -57,31 +57,44 @@ def quality_filter(
     tokens or whose most frequent token exceeds ``max_top_token_frac``
     of all tokens (Gopher-style repetition gate).
 
-    Cost: one (id, token) partial-agg shuffle + one id rollup — shuffle
-    volume tracks per-doc vocabulary, not corpus bytes.  The ratio is a
-    single IEEE double division of two exact integers, so the threshold
-    compare is engine-reproducible without rounding."""
+    Cost: ZERO shuffles.  The max token count equals the longest run in
+    the SORTED token array, so the whole gate is array_sort + one
+    JVM-side aggregate() fold fused into the scan as a plain filter —
+    no (id, token) explode, no per-doc rollup, nothing leaves the input
+    partition.  At 100 TB the gate's cost is the scan it was already
+    paying.  The ratio is a single IEEE double division of two exact
+    integers, so the threshold compare is engine-reproducible without
+    rounding (identical to the oracle's max(c)/sum(c))."""
 
     def stage(df: DataFrame) -> DataFrame:
-        tc = (
-            df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
-            .groupBy(id_col, "token")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        keep = (
-            tc.groupBy(id_col)
-            .agg(
-                F.sum("c").alias("n_tokens"),
-                (F.max("c") / F.sum("c")).alias("top_frac"),
+        toks = F.split(F.col(text_col), " ")
+        n_tokens = F.size(toks)
+
+        def step(acc, x):
+            new_run = F.when(
+                acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1
+            ).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                new_run.alias("run"),
+                F.greatest(acc["best"], new_run).alias("best"),
             )
-            .filter(
-                (F.col("n_tokens") >= min_tokens)
-                & (F.col("n_tokens") <= max_tokens)
-                & (F.col("top_frac") <= max_top_token_frac)
-            )
-            .select(id_col)
+
+        max_count = F.aggregate(
+            F.array_sort(toks),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            step,
+            lambda acc: acc["best"],
         )
-        return df.join(keep, id_col, "left_semi")
+        return df.filter(
+            (n_tokens >= min_tokens)
+            & (n_tokens <= max_tokens)
+            & ((max_count / n_tokens) <= max_top_token_frac)
+        )
 
     return stage
 

@@ -229,3 +229,16 @@ def test_new_ml_queries_plan_discipline(spark):
         assert "WindowGroupLimit" in p, f"{name}: rank-limit must push partial top-k\n{p}"
     km = plan(spark, "embedding_kmeans_fixed")
     assert "SortMergeJoin" not in km, f"kmeans must broadcast centroids, never shuffle vectors\n{km}"
+
+
+def test_quality_gate_is_shuffle_free(spark):
+    """The Gopher-style quality gate must fuse into the scan as a plain
+    filter — no Exchange, no explode-aggregate round trip."""
+    from confluent_kafka_streams_examples_spark.pipeline import quality_filter
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+    from confluent_kafka_streams_examples_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    p = explain_str(quality_filter()(docs))
+    assert "Exchange" not in p, f"quality gate must not shuffle\n{p}"

@@ -532,10 +532,10 @@ _VERIFY_FIRST = [
     # --- new this round: first oracle run ---
     "source_overlap_matrix", "duplicate_rate_by_source",
     "skewed_event_rollup", "ann_recall_eval", "embedding_kmeans_fixed",
-    "top_terms_per_source",
+    "top_terms_per_source", "boilerplate_chunks",
     # --- long-green sentinels (r2-green) filling out the prefix ---
     "basic_pipeline", "ktable_latest", "stream_table_join",
-    "agg_running_total", "regional_revenue",
+    "agg_running_total",
 ]
 
 

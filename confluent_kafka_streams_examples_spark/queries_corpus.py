@@ -838,3 +838,55 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("source", "token", "freq", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@query(
+    "boilerplate_chunks",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(tk[(i - 1) * 16 + 1 : i * 16], ' ')) AS chunk_hash
+      FROM toks, unnest(range(1, CAST(floor(len(tk) / 16) AS BIGINT) + 1)) u(i))
+    SELECT chunk_hash,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occ,
+           min(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING count(*) > 1
+    """,
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate detection: fingerprint every
+    non-overlapping 16-token chunk and keep fingerprints occurring more
+    than once corpus-wide — repeated passages (headers, license
+    blurbs, templated spans) that document-level dedup can never see
+    because the surrounding text differs.
+
+    Scale shape: the chunking is pure array slicing fused into the scan
+    (no explode of single tokens — one row per CHUNK, 16x fewer), and
+    the only exchange carries (16-byte md5, doc_id) partial-agg rows.
+    The output is the heavy-hitter set, bounded by repeated-passage
+    volume, not corpus size."""
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(toks) / 16).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 16 + 1, 16))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.explode(chunks).alias("chunk_hash")
+    )
+    return (
+        docs.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )

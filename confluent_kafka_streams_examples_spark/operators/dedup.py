@@ -31,10 +31,27 @@ def _spread(df: DataFrame) -> DataFrame:
     parquet scan often yields 1 partition, which would single-thread
     everything downstream until the first shuffle; a well-partitioned
     cluster-scale input must NOT pay an extra full shuffle of raw
-    document bodies here, so the repartition is conditional."""
+    document bodies here, so the repartition is conditional.
+
+    Under-partitioning is detected from the leaf scan's file count
+    (``inputFiles()`` — a driver-side plan walk), NOT from
+    ``df.rdd.getNumPartitions()``: the RDD probe forces a full physical
+    planning pass of the subtree at construction time, double-planning
+    every dedup query.  A file-backed input with >= defaultParallelism
+    files is already parallel enough (each file is at least one scan
+    task); a corpus-scale table has thousands of files and skips the
+    shuffle.  Non-file inputs (createDataFrame fixtures, memory
+    sources) report zero files and get the spread — the safe default
+    for the small frames those are in practice.  The one mis-judged
+    shape — a single multi-GB file that maxPartitionBytes would split
+    many ways — pays a redundant (correct, cheap relative to the
+    downstream explode) repartition."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # plans without file sources: fall through to the spread
     return df.repartition(target)
 
 

@@ -161,8 +161,13 @@ def connected_components(
 ) -> DataFrame:
     """Return (node, component) — component = min node id reachable.
 
-    ``edges``: undirected pair list (each pair once is fine); ids must
-    be integral (cast to BIGINT internally).
+    ``edges``: undirected pair list (each pair once is fine).  Integral
+    ids (the dedup operators emit BIGINT doc ids) take the fast
+    union-find phase; non-integral ids (strings, uuids) are detected
+    from the column types and automatically fall back to pure min-label
+    propagation (``local_phase=False``) — F.min/least order strings
+    lexicographically, so "component = min reachable id" stays
+    well-defined, just without the numpy contraction step.
     Raises if the propagation loop hasn't converged in ``max_iter``
     rounds (contracted-graph diameter guard).
 
@@ -197,14 +202,22 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    # the union-find phase needs int64 numpy ids; anything else (string
+    # doc ids, uuids) routes to the propagation-only path UNCASTED — an
+    # ANSI bigint cast on strings would throw at runtime (or null out
+    # nodes with ANSI off)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dt = dict(edges.select(src, dst).dtypes)
+    if not (dt[src] in integral and dt[dst] in integral):
+        local_phase = False
+        id_expr = F.col
+    else:
+        id_expr = lambda c: F.col(c).cast("bigint")  # noqa: E731
+
     # materialize the pair list BEFORE anything that references it twice
     # (the upstream plan — possibly expensive LSH candidate generation —
     # must run exactly once)
-    edges = ckpt(
-        edges.select(
-            F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
-        )
-    )
+    edges = ckpt(edges.select(id_expr(src).alias("a"), id_expr(dst).alias("b")))
     parallelism = spark.sparkContext.defaultParallelism
     n_edges = edges.count()
     parts = max(1, min(parallelism * 8, 2 * n_edges // rows_per_partition + 1))
@@ -221,12 +234,17 @@ def connected_components(
         return _min_label_loop(sym, labels, max_iter, ckpt)
 
     # ---- phase 1: bucket edges, union-find each bucket in-executor ----
-    # bucket by hash of the src endpoint so star edges co-locate; any
-    # partition of the edge SET is correct — bucketing only decides how
-    # much collapses locally vs in the bridge loop.
+    # bucket by hash of the FULL edge (a, b): any partition of the edge
+    # SET is correct — bucketing only decides how much collapses locally
+    # vs in the bridge loop — and the full-edge hash keeps every bucket
+    # ~uniform at ~rows_per_partition edges.  Hashing only the src
+    # endpoint would co-locate stars (nice locally) but lets one hot hub
+    # concentrate millions of edges in a single applyInPandas group — a
+    # straggler/OOM at corpus scale; a hub's edges spread here instead
+    # and its component is stitched by the bridge loop.
     n_buckets = max(1, min(parallelism * 8, n_edges // rows_per_partition + 1))
     local = ckpt(
-        edges.withColumn("_bucket", F.pmod(F.xxhash64("a"), F.lit(n_buckets)))
+        edges.withColumn("_bucket", F.pmod(F.xxhash64("a", "b"), F.lit(n_buckets)))
         .groupBy("_bucket")
         .applyInPandas(
             lambda _key, pdf: _union_find_partition(pdf),

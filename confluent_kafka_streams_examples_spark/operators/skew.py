@@ -30,17 +30,22 @@ def salted_aggregate(
     """Two-phase skew-safe aggregation.
 
     ``aggs`` maps output column -> (kind, input column), kind in
-    {"sum", "count", "min", "max"} — the mergeable aggregates (avg is
-    sum/count composed by the caller).  Example::
+    {"sum", "count", "count*", "min", "max"} — the mergeable
+    aggregates (avg is sum/count composed by the caller).  ``count``
+    follows SQL count(col) semantics (NULLs skipped); ``count*`` is
+    count(*) — every row, input column ignored (pass None).  Example::
 
         salted_aggregate(ev, ["user_id"], {"total": ("sum", "value"),
-                                           "n": ("count", "value")})
+                                           "n": ("count*", None)})
     """
     salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
     phase1_aggs = []
     phase2_aggs = []
     for out, (kind, col) in aggs.items():
-        if kind == "count":
+        if kind == "count*":
+            phase1_aggs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+            phase2_aggs.append(F.sum(f"_p_{out}").alias(out))
+        elif kind == "count":
             phase1_aggs.append(F.count(col).alias(f"_p_{out}"))
             phase2_aggs.append(F.sum(f"_p_{out}").alias(out))
         elif kind == "sum":

@@ -794,7 +794,10 @@ def skewed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         {
-            "n_events": ("count", "value_micros"),
+            # count* = count(*) semantics: count(col) would silently
+            # skip NULL values and diverge from the oracle's count(*)
+            # the day events.value ships with NULLs
+            "n_events": ("count*", None),
             "total_value_micros": ("sum", "value_micros"),
             "max_value_micros": ("max", "value_micros"),
         },

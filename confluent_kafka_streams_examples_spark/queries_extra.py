@@ -265,7 +265,7 @@ def distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile == SQL
     quantile_cont linear interpolation)."""
-    from confluent_kafka_streams_examples_spark.functions.scalar import epoch_us, round_det
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
 
     ev = load_table(spark, "events", sf_dir).select("event_type", "value")
     return ev.groupBy("event_type").agg(

@@ -148,3 +148,44 @@ def test_union_find_partition_matches_brute_force():
         out = _union_find_partition(pdf)
         got = dict(zip(out["node"], out["root"]))
         assert got == brute(edges, set(itertools.chain(*edges)))
+
+
+def test_string_ids_auto_fallback(spark):
+    # non-integral ids must route to the propagation-only path (an ANSI
+    # bigint cast on these would throw); min-component is lexicographic
+    edges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zzz", "yyy")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "yyy": "yyy",
+        "zzz": "yyy",
+    }
+
+
+def test_string_ids_dedup_components(spark):
+    pairs = spark.createDataFrame([("u1", "u5")], "id_a string, id_b string")
+    ids = spark.createDataFrame([("u1",), ("u5",), ("u9",)], "doc_id string")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_representative"])
+        for r in dedup_components(pairs, ids, "doc_id").collect()
+    }
+    assert got == {"u1": ("u1", True), "u5": ("u1", False), "u9": ("u9", True)}
+
+
+def test_hot_hub_star_spreads_buckets(spark):
+    # a 300-edge star on one hub with tiny buckets: full-edge bucketing
+    # must keep every applyInPandas group bounded and still stitch the
+    # component via the bridge loop
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 301)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "src", "dst", rows_per_partition=20).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 301

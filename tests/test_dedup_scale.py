@@ -41,16 +41,24 @@ def test_ngram_hot_shingle_cap_prevents_quadratic_pairs(spark):
     assert (100, 101) in got
 
 
-def test_spread_is_noop_on_well_partitioned_input(spark):
+def test_spread_is_noop_on_well_partitioned_input(spark, tmp_path):
     target = spark.sparkContext.defaultParallelism
-    df = spark.range(1000)
-    wide = df.repartition(target)
-    # already at target parallelism: _spread must return the SAME frame
-    # (no extra Exchange in the plan)
+    # production shape: a file-backed scan with >= target files must be
+    # returned AS-IS (no extra Exchange, and no .rdd planning probe)
+    wide_path = str(tmp_path / "wide")
+    spark.range(1000).repartition(target).write.parquet(wide_path)
+    wide = spark.read.parquet(wide_path)
+    assert len(wide.inputFiles()) >= target  # precondition
     assert dedup._spread(wide) is wide
-    narrow = df.coalesce(1)
-    spread = dedup._spread(narrow)
-    assert spread.rdd.getNumPartitions() == target
+    # a single-file scan is under-partitioned -> spread to target
+    narrow_path = str(tmp_path / "narrow")
+    spark.range(1000).coalesce(1).write.parquet(narrow_path)
+    narrow = spark.read.parquet(narrow_path)
+    assert dedup._spread(narrow).rdd.getNumPartitions() == target
+    # file-less plans (test fixtures, memory sources) take the safe
+    # default: spread
+    mem = spark.range(1000).coalesce(1)
+    assert dedup._spread(mem).rdd.getNumPartitions() == target
 
 
 def test_simhash64_halves_fit_32_bits(spark, sf_dir):

@@ -628,9 +628,55 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # second sublinear scale path, complementing the LSH-bucket variant)
 # =====================================================================
 
-@query(
-    "similarity_ivf_probe",
-    oracle="""
+
+def _ivf_codebook(emb: DataFrame) -> DataFrame:
+    """(label, cv): per-label centroid codebook — k rows, broadcastable.
+    posexplode -> partial-agg mean per (label, dim): vectors never
+    shuffle, only (label, dim, partial-sum) triples do."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(round_det(F.avg("val"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("cv")
+        )
+    )
+
+
+def _ivf_dist(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, label, d2): rounded squared distance of every vector to
+    every centroid (k-row broadcast product).  argmin over it is the
+    inverted-list assignment; round_det(6) BEFORE any argmin keeps the
+    assignment reproducible across engines and summation orders."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    d2 = round_det(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        base.select("vec_id", "v")
+        .join(F.broadcast(cent), F.lit(True))
+        .select("vec_id", "label", d2.alias("d2"))
+    )
+
+
+# shared by similarity_ivf_probe and its materialized-index twin
+# similarity_ivf_pruned: the pruned path is a scale variant of the SAME
+# computation and must agree with it row-for-row.
+_IVF_PROBE_SQL = """
     WITH n AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
@@ -665,8 +711,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN n c ON c.vec_id = a.vec_id
       JOIN q ON q.query_id = p.query_id)
     SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 3
-    """,
-)
+    """
+
+
+@query("similarity_ivf_probe", oracle=_IVF_PROBE_SQL)
 def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the per-label centroids are the coarse codebook,
     EVERY vector is re-assigned to its nearest centroid (the inverted
@@ -679,39 +727,10 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, not the table; recall tuning = larger nprobe.  Distances
     are rounded (round_det 6) before the argmin so the assignment is
     reproducible across engines and summation orders."""
-    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
-
     emb = load_table(spark, "embeddings", sf_dir)
     base = _norm_bucket_base(emb)
-
-    cent = (
-        emb.select(
-            "label",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
-        )
-        .groupBy("label", "pos")
-        .agg(round_det(F.avg("val"), 6).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
-            ).alias("cv")
-        )
-    )
-
-    d2 = round_det(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    dist = (
-        base.select("vec_id", "v")
-        .join(F.broadcast(cent), F.lit(True))
-        .select("vec_id", "label", d2.alias("d2"))
-    )
+    cent = _ivf_codebook(emb)
+    dist = _ivf_dist(base, cent)
     assign = (
         dist.groupBy("vec_id")
         .agg(F.min(F.struct("d2", "label")).alias("m"))
@@ -734,6 +753,89 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assign.join(base.select("vec_id", "v", "nrm"), "vec_id")
         .join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    """Deterministic scratch location for the materialized IVF index of
+    one sf directory (overwritten per run; /tmp — never the repo or the
+    read-only testdata)."""
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"ckse_ivf_index_{tag}")
+
+
+@query("similarity_ivf_pruned", oracle=_IVF_PROBE_SQL)
+def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF index with REAL partition pruning: the inverted
+    lists are written as a parquet table ``partitionBy(list_id)`` and
+    the probe reads back only the probed lists — the scan carries a
+    static ``PartitionFilters: [list_id IN (...)]`` (plan-asserted in
+    tests/test_plans.py), so at 100 TB a probe touches nprobe
+    directories of the index, never the corpus.  The router step (which
+    lists each query probes) is centroid math; its result — Q x nprobe
+    scalars — is the only thing collected to the driver, exactly the
+    role a vector-DB router plays (and why the pruning filter can be
+    static rather than DPP-dependent).  Same computation and SAME
+    oracle as similarity_ivf_probe: the union-of-probed-lists scan
+    filter is a superset of every per-query probe and the per-query
+    join restricts it, so the two queries must agree row-for-row — the
+    pruned path is the scale variant, not a different answer.
+    Reference analog: reading a materialized state store instead of
+    recomputing the stream (ProcessorApiExample.scala:74-78)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = _norm_bucket_base(emb)
+    cent = _ivf_codebook(emb)
+    dist = _ivf_dist(base, cent)
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "label")).alias("m"))
+        .select("vec_id", F.col("m.label").alias("label"))
+    )
+    index_path = _ivf_index_path(sf_dir)
+    (
+        assign.join(base.select("vec_id", "v", "nrm"), "vec_id")
+        .withColumnRenamed("label", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(index_path)
+    )
+
+    # router: nprobe=2 nearest lists per query vector (Q x 2 scalars)
+    wq = Window.partitionBy("query_id").orderBy("d2", "label")
+    probe_rows = (
+        dist.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "label", "d2")
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= 2)
+        .select("query_id", "label")
+        .collect()
+    )
+    probed_lists = sorted({r["label"] for r in probe_rows})
+    probe = spark.createDataFrame(
+        [(r["query_id"], r["label"]) for r in probe_rows],
+        "query_id bigint, list_id int",
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    idx = spark.read.parquet(index_path).filter(F.col("list_id").isin(probed_lists))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        idx.join(F.broadcast(probe), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(q), "query_id")
         .withColumn(

@@ -242,3 +242,26 @@ def test_quality_gate_is_shuffle_free(spark):
     docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
     p = explain_str(quality_filter()(docs))
     assert "Exchange" not in p, f"quality gate must not shuffle\n{p}"
+
+
+def test_ivf_pruned_scan_carries_partition_filters(spark):
+    """The materialized-IVF probe must read the index with a STATIC
+    partition filter on list_id — the scan touches nprobe directories,
+    not the table (the claim similarity_ivf_pruned's docstring makes).
+    Also: fewer list_id dirs must be probed than exist on disk, or the
+    pruning would be vacuous."""
+    import glob
+    import re
+
+    from confluent_kafka_streams_examples_spark.queries_extra import _ivf_index_path
+
+    p = plan(spark, "similarity_ivf_pruned")  # also (re)writes the index
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any("list_id" in ln and " IN " in ln for ln in pf), p
+    probed = set()
+    for ln in pf:
+        m = re.search(r"list_id#\d+ IN \(([^)]*)\)", ln)
+        if m:
+            probed |= {int(x) for x in m.group(1).split(",")}
+    on_disk = glob.glob(_ivf_index_path(SF_SMOKE) + "/list_id=*")
+    assert probed and len(probed) < len(on_disk), (probed, on_disk)

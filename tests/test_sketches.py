@@ -59,3 +59,34 @@ def test_approx_quantiles_ordered_and_bounded(spark):
         li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
     )
     assert lo <= q10 and q90 <= hi
+
+
+def test_merge_associativity_across_partitionings_sf01(spark):
+    """The sketch-once/merge-forever contract, hardened at sf0.1: the
+    union of per-partition HLL blobs must give the same estimate as
+    sketching the whole range directly, no matter how fine the
+    partitioning (per-day, per-(day,type)) or how the rows are
+    physically distributed — within the sketch's own error band.  (Not
+    bit-identically: a small per-partition sketch lives in sparse/coupon
+    mode and the union's promotion to dense HLL lands on slightly
+    different register state than sketching dense directly — measured
+    ~0.7% apart at lgk=12, where rsd = 1.04/sqrt(2^12) ~ 1.6%.)"""
+    ev = load_table(spark, "events", "/root/testdata/sf0.1").withColumn(
+        "day", F.to_date("ts")
+    )
+    direct = merge_sketches(
+        sketch_column(ev, [], "user_id").withColumn("all", F.lit(1)), ["all"]
+    ).collect()[0]["distinct_est"]
+    exact = ev.select("user_id").distinct().count()
+    ests = [direct]
+    for cols, nparts in [(["day"], 1), (["day"], 32), (["day", "event_type"], 7)]:
+        fine = sketch_column(ev.repartition(nparts), cols, "user_id")
+        ests.append(
+            merge_sketches(fine.withColumn("all", F.lit(1)), ["all"]).collect()[0][
+                "distinct_est"
+            ]
+        )
+    for est in ests:
+        assert abs(est - exact) <= max(3, 0.04 * exact), (est, exact, ests)
+    # merge paths agree with each other tighter than with the truth
+    assert max(ests) - min(ests) <= max(2, 0.02 * exact), ests

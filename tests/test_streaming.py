@@ -251,3 +251,51 @@ def test_windowed_join_subsecond_precision(spark, tmp_path):
         q.stop()
     rows = spark.sql(f"SELECT * FROM {qname}").collect()
     assert [r["r_value"] for r in rows] == [44.0]
+
+
+def test_windowed_join_grace_admits_late_within_grace(spark, tmp_path):
+    """W2 grace twin (reference JoinWindows.ofTimeDifferenceAndGrace vs
+    the example's ofTimeDifferenceWithNoGrace, JoinsExample.scala:47-49):
+    grace extends the watermark BEYOND the join window, so a record that
+    is late relative to stream-time but within grace still joins, while
+    one older than window+grace is dropped.  The no-grace twin on the
+    same data drops both — proving grace (not the window) admits it."""
+    for grace, expect in [(60, {10.0}), (0, set())]:
+        left_p = str(tmp_path / f"l{grace}")
+        right_p = str(tmp_path / f"r{grace}")
+        # batch 1 advances both sides to t=200; ±5s window.
+        # grace=60 -> watermark 200-65=135; grace=0 -> watermark 195.
+        write_batch(
+            spark,
+            left_p,
+            [("u1", 1.0, ts(148)), ("u2", 2.0, ts(100)), ("wm-a", 0.0, ts(200))],
+        )
+        write_batch(spark, right_p, [("wm-b", 0.0, ts(200))])
+        left = spark.readStream.schema(EVENT_SCHEMA).parquet(left_p)
+        right = spark.readStream.schema(EVENT_SCHEMA).parquet(right_p)
+        joined = windowed_stream_join(
+            left, right, "key", "ts", "ts",
+            window_seconds=5, grace_seconds=grace,
+        ).select("key", "value", "r_value")
+
+        qname = f"g{grace}_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2, both records late vs stream-time 200:
+            #   right u1 @150 joins left u1 @148 — within grace (150>135)
+            #   right u2 @100 would join left u2 @100 — beyond grace
+            write_batch(
+                spark, right_p, [("u1", 10.0, ts(150)), ("u2", 99.0, ts(100))]
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["r_value"] for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+        assert got == expect, (grace, got)

@@ -656,3 +656,54 @@ def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "bucketed_revenue_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through the write-once/join-forever bucketed
+    layout (operators/skew.py write_bucketed): lineitem and orders are
+    persisted hash-bucketed AND sorted by the join key, so the
+    sort-merge join reads co-located buckets with NO Exchange and NO
+    Sort on either side — the plan's only shuffle is the final
+    4-row-per-partition priority rollup (asserted in
+    tests/test_plans.py).  At 100 TB this is the difference between
+    shuffling the two largest tables for every join and paying the
+    layout cost once at ingest; the merge hint pins the join strategy
+    the layout was built for (a broadcast would also be exchange-free
+    here but stops scaling the moment orders outgrows the threshold).
+    Money math in integer cents so the rollup is associative and
+    engine-exact."""
+    import hashlib
+
+    from confluent_kafka_streams_examples_spark.operators.skew import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lt, ot = f"ckse_bkt_lineitem_{tag}", f"ckse_bkt_orders_{tag}"
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    od = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, lt, "l_orderkey")
+    write_bucketed(od, ot, "o_orderkey")
+    lb, ob = spark.table(lt), spark.table(ot)
+    return (
+        lb.join(ob.hint("merge"), lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

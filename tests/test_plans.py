@@ -265,3 +265,17 @@ def test_ivf_pruned_scan_carries_partition_filters(spark):
             probed |= {int(x) for x in m.group(1).split(",")}
     on_disk = glob.glob(_ivf_index_path(SF_SMOKE) + "/list_id=*")
     assert probed and len(probed) < len(on_disk), (probed, on_disk)
+
+
+def test_bucketed_query_join_is_exchange_free(spark):
+    """bucketed_revenue_by_priority: the fact-fact sort-merge join must
+    consume the bucketed layout directly — the plan's only Exchange is
+    the final priority rollup, never the join inputs."""
+    p = plan(spark, "bucketed_revenue_by_priority")  # also writes the tables
+    assert "SortMergeJoin" in p, p
+    n_exchange = sum(
+        1
+        for ln in p.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln and "AQEShuffleRead" not in ln
+    )
+    assert n_exchange == 1, p

@@ -203,3 +203,59 @@ def test_streaming_session_window(spark, tmp_path):
     closed = {(r["ws"], r["we"]): (r["total"], r["cnt"]) for r in rows}
     # session [0, 30+60) emitted with both on-time rows merged
     assert closed.get((T0, ts(90))) == (3.0, 2), rows
+
+
+def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
+    """Exactly-once at the SINK (reference processing.guarantee=
+    exactly_once_v2 analog, SURVEY §2.7): a batch delivered twice —
+    the crash-between-sink-write-and-checkpoint-commit scenario — must
+    leave exactly one copy of its rows in the output."""
+    from confluent_kafka_streams_examples_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    out = str(tmp_path / "out")
+    sink = idempotent_parquet_sink(out)
+    batch1 = spark.range(10).withColumnRenamed("id", "v")
+    batch2 = spark.range(10, 15).withColumnRenamed("id", "v")
+    sink(batch1, 0)
+    sink(batch2, 1)
+    sink(batch1, 0)  # replay of epoch 0 after a simulated crash
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    assert got.select("v").distinct().count() == 15
+
+
+def test_idempotent_sink_end_to_end_stream(spark, tmp_path):
+    """The sink through a real streaming query: multi-batch file-source
+    drain, then a full restart from the same checkpoint with no new
+    data — output must not change (re-listing produces no new epochs,
+    existing epochs are not re-appended)."""
+    from confluent_kafka_streams_examples_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    spark.range(100).coalesce(1).write.mode("append").parquet(src)
+    spark.range(100, 200).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    first = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    run()  # restart from checkpoint, nothing new to process
+    second = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert first == list(range(200))
+    assert second == first

@@ -279,3 +279,29 @@ def test_bucketed_query_join_is_exchange_free(spark):
         if ln.strip().startswith("(") and "Exchange" in ln and "AQEShuffleRead" not in ln
     )
     assert n_exchange == 1, p
+
+
+def test_no_rdd_and_bounded_driver_collect_in_engine():
+    """Source hygiene, greppable guarantees: no `.rdd` anywhere in the
+    engine package (it forces a full physical-planning pass of the
+    subtree), and driver-side `.collect(` only at the two documented
+    spots — Stream.peek (debug tap, reference parity) and the IVF
+    router (Q x nprobe scalars by design)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "confluent_kafka_streams_examples_spark"
+    allowed_collect = {"operators/stream.py", "queries_extra.py"}
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        code_lines = [
+            ln
+            for ln in py.read_text().splitlines()
+            if ".rdd" in ln or ".collect(" in ln
+        ]
+        for ln in code_lines:
+            stripped = ln.strip()
+            if stripped.startswith("#") or "``" in ln:
+                continue  # docstring/comment mention, not a call
+            if ".rdd" in ln:
+                raise AssertionError(f"{rel}: .rdd in engine code: {ln!r}")
+            assert rel in allowed_collect, f"{rel}: undocumented collect: {ln!r}"

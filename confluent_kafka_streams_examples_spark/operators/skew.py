@@ -97,9 +97,33 @@ def write_bucketed(
 ) -> None:
     """Persist hash-bucketed by the join key: subsequent joins or
     aggregations on ``key`` between bucketed tables are planned without
-    an Exchange (the 100 TB answer to repeated joins on the same key)."""
+    an Exchange (the 100 TB answer to repeated joins on the same key).
+
+    The pre-write ``repartition(buckets, key)`` aligns the shuffle with
+    the bucket function (both are murmur3(key) mod buckets), so every
+    task holds exactly one bucket and writes exactly one file — without
+    it each of P input partitions writes a file per bucket it touches,
+    a P x buckets small-file explosion at cluster scale.  One file per
+    bucket is also what lets later sort-merge reads skip the per-bucket
+    Sort.
+
+    Overwrite is made re-entrant ACROSS sessions: a managed-table
+    location left by a previous session's crash (or an in-memory
+    catalog that forgot the table) would otherwise fail the write with
+    LOCATION_ALREADY_EXISTS, so both the catalog entry and any orphaned
+    location are dropped first (Hadoop FS API — works for any storage
+    scheme, not just local disk)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    sc = spark.sparkContext
+    jvm = sc._jvm  # type: ignore[attr-defined]
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
+    fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    fs.delete(loc, True)
     (
-        df.write.mode("overwrite")
+        df.repartition(buckets, key)
+        .write.mode("overwrite")
         .bucketBy(buckets, key)
         .sortBy(key)
         .format("parquet")

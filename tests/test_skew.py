@@ -76,3 +76,31 @@ def test_salted_join_rejects_small_side_preserving_how(spark):
         salted_join(big, small, "k", how="full")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "k", how="right")
+
+
+def test_write_bucketed_overwrites_orphaned_location(spark):
+    """A managed-table location left on disk by a dead session (the
+    catalog no longer knows the table) must not fail the next
+    write_bucketed with LOCATION_ALREADY_EXISTS — the driver runs every
+    query in a fresh session against a warehouse dir that may hold
+    leftovers."""
+    import os
+    import pathlib
+
+    from confluent_kafka_streams_examples_spark.operators.skew import write_bucketed
+
+    name = "bt_orphan"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = pathlib.Path(wh) / name
+    orphan.mkdir(parents=True, exist_ok=True)
+    (orphan / "stale.parquet").write_text("not a real parquet file")
+    try:
+        df = spark.range(100).select((F.col("id") % 7).alias("k"), "id")
+        write_bucketed(df, name, "k", buckets=4)
+        assert spark.table(name).count() == 100
+        # one file per bucket: the aligned repartition guarantee
+        files = [f for f in os.listdir(orphan) if f.startswith("part-")]
+        assert len(files) == 4, files
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

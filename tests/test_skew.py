@@ -99,8 +99,10 @@ def test_write_bucketed_overwrites_orphaned_location(spark):
         df = spark.range(100).select((F.col("id") % 7).alias("k"), "id")
         write_bucketed(df, name, "k", buckets=4)
         assert spark.table(name).count() == 100
-        # one file per bucket: the aligned repartition guarantee
+        # at most one file per bucket (empty buckets write none): the
+        # aligned-repartition guarantee — without it each task writes a
+        # file per bucket it touches
         files = [f for f in os.listdir(orphan) if f.startswith("part-")]
-        assert len(files) == 4, files
+        assert 1 <= len(files) <= 4, files
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -518,6 +518,7 @@ _VERIFY_FIRST = [
     "decontaminate_train", "skewed_event_rollup", "similarity_ivf_probe",
     # --- new this round: first oracle run ---
     "similarity_ivf_pruned", "bucketed_revenue_by_priority",
+    "dedup_cdc_chunks",
     # --- r2-green queries not re-checked in the r3 window: rotate ALL
     #     of them through r4 so every green row is at most one testdata
     #     generation old (the r2 failure mode was exactly a stale-green
@@ -538,8 +539,8 @@ _VERIFY_FIRST = [
     "corpus_split_assignment", "corpus_stratified_sample", "pii_scrub",
     "embedding_quantize", "rolling_user_stats", "pack_sequences",
     "corpus_mixture_sample", "sample_n_per_group",
-    # --- long-green sentinels (r3-green) filling the prefix to 50 ---
-    "basic_pipeline", "ktable_latest",
+    # --- long-green sentinel (r3-green) filling the prefix to 50 ---
+    "basic_pipeline",
 ]
 
 

@@ -893,3 +893,92 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occ") > 1)
     )
+
+
+_CDC_BOUNDARY_SQL = f"{_hex_to_int_sql('md5(token)', 1, 4)} % 8 = 0"
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, tk[i] AS token
+      FROM toks, unnest(range(1, len(tk) + 1)) u(i)),
+    b AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN {_CDC_BOUNDARY_SQL} THEN 1 ELSE 0 END AS is_boundary
+      FROM tok),
+    c AS (
+      SELECT doc_id, pos, token,
+             sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      FROM b),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+      FROM c GROUP BY doc_id, chunk_id)
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           min(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup with CONTENT-DEFINED chunk boundaries
+    (Rabin/LBFS-style chunking, here with an md5 gear): a token starts
+    a new chunk when md5(token) % 8 == 0, so chunk boundaries are a
+    function of the CONTENT, not the offset — inserting one sentence
+    shifts every boundary of boilerplate_chunks' fixed 16-token grid
+    but leaves all other CDC chunks (and their hashes) intact, which is
+    the whole reason rsync/LBFS chunk this way.
+
+    Scale shape: the chunking is a single map-side array fold
+    (F.aggregate over split(text) — no window, no per-token shuffle);
+    the ONLY exchange carries (chunk_hash, doc_id) pairs, 40 bytes a
+    row, regardless of chunk length.  The oracle states the same
+    grouping relationally (running-sum-of-boundaries window) — same
+    chunks, same hashes.  Production knobs not modeled here: min/max
+    chunk-size clamps (gear % 8 gives ~8-token expected chunks) and a
+    rolling multi-token gear window.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def is_b(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % F.lit(8)
+        ) == 0
+
+    empty = F.array().cast("array<string>")
+    merged = F.aggregate(
+        F.split(F.col("text"), " "),
+        F.struct(empty.alias("done"), empty.alias("cur")),
+        lambda acc, t: F.struct(
+            F.when(
+                is_b(t) & (F.size(acc["cur"]) > 0),
+                F.array_append(acc["done"], F.concat_ws(" ", acc["cur"])),
+            )
+            .otherwise(acc["done"])
+            .alias("done"),
+            F.when(is_b(t), F.array(t))
+            .otherwise(F.array_append(acc["cur"], t))
+            .alias("cur"),
+        ),
+        lambda acc: F.when(
+            F.size(acc["cur"]) > 0,
+            F.array_append(acc["done"], F.concat_ws(" ", acc["cur"])),
+        ).otherwise(acc["done"]),
+    )
+    return (
+        docs.select("doc_id", F.explode(merged).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -5,10 +5,21 @@ when timestamps are within ±window, zero grace (late records silently
 dropped; the example's producer deliberately sends half the right side
 late to demonstrate it, JoinsExample.scala:150,176-178).
 
-Spark twin: watermarks on BOTH sides (the no-grace policy -> watermark
-delay == window size) + an interval join condition.  Spark uses the
-watermark to expire join state, so state per side is bounded by
-(rate x window) rows regardless of total stream length.
+Spark twin: watermarks on BOTH sides + an interval join condition.
+Spark uses the watermark to expire join state, so state per side is
+bounded by (rate x (window + grace)) rows regardless of total stream
+length.
+
+Window bound and grace are SEPARATE knobs, exactly as in the
+reference's JoinWindows API: ``window_seconds`` is the match predicate
+(|l.ts - r.ts| <= window), ``grace_seconds`` extends only the
+watermark delay — how long a late record may still arrive and join —
+without widening what matches.  ``grace_seconds=0`` is
+``ofTimeDifferenceWithNoGrace`` (the example's choice); nonzero is the
+``ofTimeDifferenceAndGrace`` analog
+(tests/test_streaming.py::test_windowed_join_grace_admits_late_within_grace:
+late-but-within-grace joins, beyond-grace drops, and the no-grace twin
+drops both).
 """
 
 from __future__ import annotations

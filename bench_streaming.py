@@ -1,7 +1,8 @@
-"""Structured-Streaming throughput micro-bench for the three stateful
-pillars — latest-per-key (KTable), windowed stream-stream join, and the
-running-total processor — so streaming perf regressions are visible
-round-to-round (the main bench.py covers batch queries only).
+"""Structured-Streaming throughput micro-bench for the stateful
+pillars — latest-per-key (KTable), windowed stream-stream join, the
+running-total processor, watermark-bounded dedup, and tumbling windowed
+aggregation — so streaming perf regressions are visible round-to-round
+(the main bench.py covers batch queries only).
 
 Method: a deterministic synthetic event stream is pre-written as
 parquet files (file source, 16 files, 4 files per trigger -> 4
@@ -120,6 +121,29 @@ def main() -> None:
         totals = running_total_with_emission(_read(spark, left_p), "key", "value")
         took = _drain(spark, totals, f"{root}/ckpt_total", "update")
         results["running_total"] = round(N_ROWS / took)
+
+        from confluent_kafka_streams_examples_spark.streaming.dedup import (
+            dedup_within_watermark,
+        )
+
+        dd = dedup_within_watermark(
+            _read(spark, left_p), ["key", "value"], "ts", delay="30 seconds"
+        )
+        took = _drain(spark, dd, f"{root}/ckpt_dedup", "append")
+        results["dedup_within_watermark"] = round(N_ROWS / took)
+
+        from confluent_kafka_streams_examples_spark.operators.windows import tumbling_agg
+
+        ta = tumbling_agg(
+            _read(spark, left_p).withWatermark("ts", "10 seconds"),
+            "ts",
+            "10 seconds",
+            ["key"],
+            F.sum("value").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        took = _drain(spark, ta, f"{root}/ckpt_tumbling", "append")
+        results["tumbling_agg"] = round(N_ROWS / took)
 
         print(
             json.dumps(

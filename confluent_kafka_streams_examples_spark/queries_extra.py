@@ -1082,3 +1082,55 @@ def embedding_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("inertia_micro"),
     )
+
+
+@query(
+    "events_concurrent_degree",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events)
+    SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_concurrent
+    FROM e a JOIN e b ON abs(a.t - b.t) <= 1000000
+                     AND a.event_id != b.event_id
+    GROUP BY a.event_id
+    """,
+)
+def events_concurrent_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS time-band self-join (the range-join shape the windowed
+    stream join does NOT cover — that one equi-keys on user first):
+    for every event, how many other events happened within ±1s,
+    across ALL keys.
+
+    A pure range join is a cross product at scale; the decomposition
+    here is the standard cell-bucketing: quantize time into 1s cells,
+    replicate ONE side into its cell and both neighbors (3x, exact —
+    |dt| <= 1s implies cell distance <= 1, and each pair matches in
+    exactly one bucket value), equi-join on the 8-byte cell id, then
+    apply the exact |dt| predicate as a post-filter.  Cost is
+    sum over cells of n_i * m_i — linear for time-uniform streams,
+    and the residual risk is a hot SECOND (thundering herd), which is
+    an AQE-skew-join / finer-cell problem, not a cross-join problem.
+    The oracle states the same join declaratively (DuckDB plans it as
+    an IEJoin)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", epoch_us(F.col("ts")).alias("t")
+    )
+    cell = F.floor(F.col("t") / F.lit(1_000_000)).cast("long")
+    probe = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("t").alias("a_t"),
+        F.explode(F.array(cell - 1, cell, cell + 1)).alias("bucket"),
+    )
+    build = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("t").alias("b_t"),
+        cell.alias("bucket"),
+    )
+    return (
+        probe.join(build, "bucket")
+        .filter(
+            (F.abs(F.col("a_t") - F.col("b_t")) <= 1_000_000)
+            & (F.col("a_id") != F.col("b_id"))
+        )
+        .groupBy(F.col("a_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_concurrent"))
+    )

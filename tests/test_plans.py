@@ -305,3 +305,18 @@ def test_no_rdd_and_bounded_driver_collect_in_engine():
             if ".rdd" in ln:
                 raise AssertionError(f"{rel}: .rdd in engine code: {ln!r}")
             assert rel in allowed_collect, f"{rel}: undocumented collect: {ln!r}"
+
+
+def test_cdc_chunking_is_map_side(spark):
+    """dedup_cdc_chunks: the chunking itself must be a map-side array
+    fold — no Window operator anywhere, and no Exchange below the
+    explode (the only shuffles are the final chunk_hash aggregation
+    pair for the distinct-count)."""
+    p = plan(spark, "dedup_cdc_chunks")
+    assert "Window" not in p, p
+    n_exchange = sum(
+        1
+        for ln in p.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln and "AQEShuffleRead" not in ln
+    )
+    assert n_exchange <= 2, p

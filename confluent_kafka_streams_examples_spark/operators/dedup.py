@@ -190,6 +190,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """DIRECTIONAL containment C(A⊆B) = |A∩B| / |A| (Broder's
+    containment, the asymmetric twin of Jaccard): emits ordered
+    (id_a, id_b, containment) where at least ``threshold`` of A's
+    shingles also occur in B.  This is the detector Jaccard cannot be:
+    a 100-word document quoted whole inside a 10,000-word one has
+    Jaccard ~ 0.01 but containment ~ 1.0 — the embedded-duplicate /
+    quotation / wrapper-page case in corpus dedup.
+
+    Same single inverted-index self-join as ngram_jaccard_pairs (one
+    shared-count shuffle keyed on 8-byte shingle hashes; ``max_df``
+    hot-shingle cap applied first), scored in both directions from the
+    one unordered shared count — the direction pass is a projection,
+    not a second join.  ``min_shingles`` guards the trivial numerator:
+    a 1-shingle doc is "contained" in everything sharing that shingle.
+    """
+    sh = shingle_hashes(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    both = shared.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        "id_a", "id_b", F.col("shared"), F.col("n_a").alias("n_small")
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_a"),
+        F.col("id_a").alias("id_b"),
+        F.col("shared"),
+        F.col("n_b").alias("n_small"),
+    )
+    cont = round_det(F.col("shared") / F.col("n_small"), 4)
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("n_small") >= min_shingles)
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def hash_pair(col: Column) -> tuple[Column, Column]:
     """One md5 per value, split into two independent 48-bit integers
     (hex chars 1-12 and 13-24).  Spark side of the Carter-Wegman

@@ -87,6 +87,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {_NGRAM_MAX_DF}),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    both_dir AS (
+      SELECT id_a, id_b, shared, sa.n_sh AS n_small
+      FROM shared JOIN sizes sa ON sa.doc_id = id_a
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b, shared, sb.n_sh AS n_small
+      FROM shared JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b,
+           floor((shared / CAST(n_small AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS containment
+    FROM both_dir
+    WHERE n_small >= 5
+      AND floor((shared / CAST(n_small AS DOUBLE)) * 1e4 + 0.5) / 1e4 >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup (Broder): ordered (id_a, id_b)
+    pairs where >= 80% of A's 3-gram shingles also occur in B — the
+    embedded-duplicate detector symmetric Jaccard structurally misses
+    (a short doc quoted whole inside a long one scores Jaccard ~ |A|/|B|
+    but containment ~ 1).  Same single inverted-index shared-count
+    shuffle as dedup_ngram_jaccard; the direction pass is a projection
+    union, not a second join (operators/dedup.py containment_pairs)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8,
+        max_df=_NGRAM_MAX_DF, min_shingles=5,
+    )
+
+
 _MH = 16
 _BANDS = 4
 

@@ -238,7 +238,15 @@ def containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    both = shared.join(sa, "id_a").join(sb, "id_b")
+    # the direction pass references this subtree TWICE (fwd + rev), and
+    # Spark has no cross-reference CSE — persist the (pair, shared,
+    # sizes) table (one row per candidate pair, tiny next to the
+    # shingle join that builds it) so the shared-count shuffle runs once
+    both = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     fwd = both.select(
         "id_a", "id_b", F.col("shared"), F.col("n_a").alias("n_small")
     )

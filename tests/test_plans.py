@@ -307,6 +307,43 @@ def test_no_rdd_and_bounded_driver_collect_in_engine():
             assert rel in allowed_collect, f"{rel}: undocumented collect: {ln!r}"
 
 
+def test_containment_reuses_persisted_pair_table(spark):
+    """dedup_containment: the direction pass reads the persisted
+    (pair, shared, sizes) table twice — both union branches must plan
+    InMemoryTableScan over the SAME cache (shared-count shuffle runs
+    once), the documents parquet is scanned once inside the cached
+    subtree, and nothing plans a cartesian product."""
+    p = plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in p, p
+    assert p.count("InMemoryTableScan") >= 2, (
+        f"fwd+rev must both read the persisted pair table\n{p}"
+    )
+    # the shingle inverted-index join + shared-count agg live inside the
+    # cached subtree; the union branches above it add NO further joins
+    above_cache = p.split("InMemoryRelation")[0]
+    assert "Join" not in above_cache, (
+        f"direction pass must be a projection union, not a second join\n{p}"
+    )
+
+
+def test_concurrent_degree_is_single_equi_join(spark):
+    """events_concurrent_degree: the keyless ±1s band join must plan as
+    ONE equi-join on the time cell (never a cartesian / nested-loop
+    range join), with the 3x cell replication as a single Generate on
+    the probe side only."""
+    df = QUERIES["events_concurrent_degree"](spark, SF_SMOKE)
+    p = explain_str(df, "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    n_joins = sum(
+        p.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, f"expected exactly one equi-join\n{p}"
+    assert p.count("Generate") == 1, (
+        f"cell replication must be one explode on the probe side\n{p}"
+    )
+
+
 def test_cdc_chunking_is_map_side(spark):
     """dedup_cdc_chunks: the chunking itself must be a map-side array
     fold — no Window operator anywhere, and no Exchange below the

@@ -848,6 +848,72 @@ def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_ivf_dynamic", oracle=_IVF_PROBE_SQL)
+def similarity_ivf_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT-FREE twin of similarity_ivf_pruned: the router's
+    query->list assignments stay a DataFrame and reach the materialized
+    index as a broadcast equi-join on the partition column, so Spark's
+    dynamic partition pruning injects the probed-list filter into the
+    index scan at runtime (``PartitionFilters: [... dynamicpruning...]``,
+    plan-asserted in tests/test_plans.py).  Same computation and SAME
+    oracle as similarity_ivf_probe/similarity_ivf_pruned.
+
+    This is the serving-scale variant: at a 10^6-query probe batch the
+    static path's driver round-trip (collect the routing table, build an
+    ``isin``) becomes a plan-build bottleneck, while here the routing
+    rows never leave the executors — the broadcast that feeds the join
+    is reused as the pruning subquery, so the index still reads only the
+    probed list directories.  Reference analog: reading a materialized
+    state store instead of recomputing the stream
+    (ProcessorApiExample.scala:74-78)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = _norm_bucket_base(emb)
+    cent = _ivf_codebook(emb)
+    dist = _ivf_dist(base, cent)
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "label")).alias("m"))
+        .select("vec_id", F.col("m.label").alias("label"))
+    )
+    index_path = _ivf_index_path(sf_dir) + "_dyn"
+    (
+        assign.join(base.select("vec_id", "v", "nrm"), "vec_id")
+        .withColumnRenamed("label", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(index_path)
+    )
+
+    # router: nprobe=2 nearest lists per query vector — kept distributed
+    wq = Window.partitionBy("query_id").orderBy("d2", "label")
+    probe = (
+        dist.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "label", "d2")
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= 2)
+        .select("query_id", F.col("label").alias("list_id"))
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    idx = spark.read.parquet(index_path)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        idx.join(F.broadcast(probe), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
 # =====================================================================
 # Gopher-style repetition / quality signals
 # =====================================================================

@@ -267,6 +267,19 @@ def test_ivf_pruned_scan_carries_partition_filters(spark):
     assert probed and len(probed) < len(on_disk), (probed, on_disk)
 
 
+def test_ivf_dynamic_scan_prunes_via_dpp(spark):
+    """similarity_ivf_dynamic: the index scan must carry a DYNAMIC
+    partition-pruning filter on list_id (the router join's broadcast is
+    reused as the pruning subquery) — no driver collect anywhere in the
+    query, yet the scan still touches only probed list directories."""
+    p = plan(spark, "similarity_ivf_dynamic")  # also (re)writes the index
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "list_id" in ln and "dynamicpruning" in ln for ln in pf
+    ), f"index scan must be DPP-pruned on list_id\n{p}"
+    assert "CartesianProduct" not in p, p
+
+
 def test_bucketed_query_join_is_exchange_free(spark):
     """bucketed_revenue_by_priority: the fact-fact sort-merge join must
     consume the bucketed layout directly — the plan's only Exchange is

@@ -268,6 +268,66 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sig_table_path(sf_dir: str) -> str:
+    """Deterministic scratch location for the persisted corpus MinHash
+    signature table of one sf directory (overwritten per run; /tmp —
+    never the repo or the read-only testdata)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"ckse_corpus_sig_{tag}")
+
+
+@query(
+    "dedup_incremental_persisted",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS}),
+    tagged AS (
+      SELECT b.*, ({_INC_BUCKET_SQL} < 10) AS is_new FROM banded b)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN b.is_new THEN 'batch' ELSE 'corpus' END AS match_src
+    FROM tagged a
+    JOIN tagged b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+    WHERE a.is_new
+      AND (NOT b.is_new OR a.doc_id < b.doc_id)
+    """,
+)
+def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental run the way production runs it: the corpus
+    MinHash signature table is WRITTEN TO PARQUET once (the ~1e-4-of-
+    corpus-bytes stored dataset prior runs left behind) and the daily
+    batch matches against the STORED table — the corpus parquet is
+    never re-read, let alone re-shingled, on the daily path
+    (plan-asserted in tests/test_plans.py: exactly one documents scan,
+    belonging to the new batch).  Same oracle as dedup_incremental —
+    the signature roundtrip is exact (BIGINT columns), so the stored
+    and recomputed paths must agree row-for-row.  Reference analog:
+    a compacted changelog topic restoring a state store instead of
+    replaying the source (KTableExample.scala:52-56)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from confluent_kafka_streams_examples_spark.queries_corpus import _bucket
+
+    is_new = _bucket(F.col("doc_id")) < 10
+    sig_path = _sig_table_path(sf_dir)
+    dedup.minhash_signatures(
+        docs.filter(~is_new), "doc_id", "text", num_hashes=_MH
+    ).write.mode("overwrite").parquet(sig_path)
+    corpus_sig = spark.read.parquet(sig_path)
+    return dedup.incremental_minhash_pairs(
+        docs.filter(is_new), corpus_sig, "doc_id", "text",
+        num_hashes=_MH, bands=_BANDS,
+    )
+
+
 _BITS = 16
 _V_EXPR = (
     f"{_hexval('md5(token)', 1)} * 4096 + {_hexval('md5(token)', 2)} * 256 + "

@@ -357,6 +357,19 @@ def test_concurrent_degree_is_single_equi_join(spark):
     )
 
 
+def test_incremental_persisted_never_rereads_corpus(spark):
+    """dedup_incremental_persisted: the daily-batch plan must read the
+    STORED signature parquet for the corpus side — exactly one
+    documents scan exists (the new batch being shingled) and one
+    signature-table scan; the corpus text is never re-shingled."""
+    p = plan(spark, "dedup_incremental_persisted")  # also writes the sig table
+    doc_scans = [ln for ln in p.splitlines() if "documents.parquet" in ln]
+    sig_scans = [ln for ln in p.splitlines() if "ckse_corpus_sig" in ln]
+    assert len(doc_scans) == 1, f"corpus must not be re-shingled\n{p}"
+    assert len(sig_scans) == 1, f"corpus side must read the stored signatures\n{p}"
+    assert "CartesianProduct" not in p, p
+
+
 def test_cdc_chunking_is_map_side(spark):
     """dedup_cdc_chunks: the chunking itself must be a map-side array
     fold — no Window operator anywhere, and no Exchange below the

@@ -92,6 +92,68 @@ def salted_join(
     return big_salted.join(small_exploded, [key, "_salt"], how).drop("_salt")
 
 
+def keyless_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    t_col: str,
+    window: int,
+    cell: int | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """(a_id, a_t, b_id, b_t) pairs with ``|a_t - b_t| <= window`` over
+    a KEYLESS stream — the time-band self-join decomposed into an
+    equi-join on quantized time cells (cell size = ``window`` unless
+    overridden): the probe side replicates into its cell and both
+    neighbors (3x), the exact ``|dt|`` predicate is a post-filter.
+    Exact with no dedup pass: the build row has exactly ONE cell, so
+    every qualifying pair meets in exactly one bucket (and, salted,
+    exactly one (bucket, salt)) — the output needs no DISTINCT.
+
+    ``salt_buckets=S`` is the HOT-CELL (thundering-herd second) guard:
+    the build side gets a deterministic salt ``pmod(xxhash64(id), S)``
+    appended to the join key, the probe side replicates over all S
+    salts (3*S total).  Any single cell's build rows then split across
+    S reducers, bounding the largest join task at ~n_hot/S build rows —
+    the explicit fallback for when the runtime can't see the skew (AQE
+    splits sort-merge partitions, but only after the straggler
+    materializes; pre-salting avoids planning it at all).  Cost: S x
+    probe replication, so use it when one cell dwarfs the mean, not by
+    default.  Results are salt-invariant (asserted in tests/test_skew.py
+    against a thundering-herd fixture)."""
+    cell_size = cell or window
+    e = df.select(F.col(id_col), F.col(t_col))
+    cell_of = F.floor(F.col(t_col) / F.lit(cell_size)).cast("long")
+    probe_cells = F.explode(F.array(cell_of - 1, cell_of, cell_of + 1))
+    build = e.select(
+        F.col(id_col).alias("b_id"),
+        F.col(t_col).alias("b_t"),
+        cell_of.alias("_bucket"),
+    )
+    probe = e.select(
+        F.col(id_col).alias("a_id"),
+        F.col(t_col).alias("a_t"),
+        probe_cells.alias("_bucket"),
+    )
+    join_keys = ["_bucket"]
+    if salt_buckets is not None:
+        build = build.withColumn(
+            "_salt", F.pmod(F.xxhash64("b_id"), F.lit(salt_buckets))
+        )
+        probe = probe.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)])),
+        )
+        join_keys.append("_salt")
+    return (
+        probe.join(build, join_keys)
+        .filter(
+            (F.abs(F.col("a_t") - F.col("b_t")) <= window)
+            & (F.col("a_id") != F.col("b_id"))
+        )
+        .select("a_id", "a_t", "b_id", "b_t")
+    )
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 32
 ) -> None:
@@ -112,7 +174,20 @@ def write_bucketed(
     catalog that forgot the table) would otherwise fail the write with
     LOCATION_ALREADY_EXISTS, so both the catalog entry and any orphaned
     location are dropped first (Hadoop FS API — works for any storage
-    scheme, not just local disk)."""
+    scheme, not just local disk).
+
+    ``table_name`` must be UNQUALIFIED and resolves in the default
+    database: the orphan-location cleanup derives the path as
+    ``{warehouse.dir}/{name.lower()}``, which is only correct there — a
+    ``db.table`` name (or a session whose current database was switched)
+    would drop the wrong directory, so qualified names are rejected."""
+    if "." in table_name:
+        raise ValueError(
+            f"write_bucketed requires an unqualified default-database "
+            f"table name, got {table_name!r}: the orphan-location "
+            "cleanup string-builds {warehouse.dir}/{name} and would "
+            "target the wrong directory for a qualified name"
+        )
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
     sc = spark.sparkContext

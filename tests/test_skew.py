@@ -9,11 +9,26 @@ from pyspark.sql import functions as F
 
 from confluent_kafka_streams_examples_spark.operators.skew import (
     bucketed_table,
+    keyless_band_pairs,
     salted_aggregate,
     salted_join,
     write_bucketed,
 )
 from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+
+
+def _herd(spark):
+    """Thundering-herd fixture: 300 events inside ONE 1-second cell
+    (every pair qualifies at window=1s -> a quadratic hot bucket), plus
+    500 background events spaced 3 s apart (no pairs)."""
+    hot = spark.range(0, 300).select(
+        F.col("id"),
+        (F.lit(5_000_000) + (F.col("id") * 3333) % 1_000_000).alias("t"),
+    )
+    bg = spark.range(1000, 1500).select(
+        F.col("id"), (F.col("id") * 3_000_000).alias("t")
+    )
+    return hot.unionByName(bg)
 
 
 def test_salted_aggregate_matches_plain(spark):
@@ -67,6 +82,57 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_keyless_band_join_salt_invariant_on_herd(spark):
+    """The salted keyless band join must return EXACTLY the unsalted
+    result on the thundering-herd fixture — same pairs, same per-event
+    degree (hot events see all 299 peers, background events none)."""
+    e = _herd(spark)
+
+    def degrees(pairs):
+        return {
+            r["a_id"]: r["n"]
+            for r in pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    plain = degrees(keyless_band_pairs(e, "id", "t", window=1_000_000))
+    salted = degrees(
+        keyless_band_pairs(e, "id", "t", window=1_000_000, salt_buckets=8)
+    )
+    assert plain == salted
+    assert set(plain.values()) == {299} and len(plain) == 300
+
+
+def test_keyless_band_join_salt_bounds_hot_bucket(spark):
+    """The salt must actually split the hot cell: with S=8, the largest
+    (bucket, salt) build-side group holds ~n_hot/S rows (asserted at
+    <= 2x the uniform share — xxhash64 splits ids near-uniformly),
+    where the unsalted hot bucket holds all 300.  The salted plan joins
+    on (bucket, salt) with no cartesian anywhere."""
+    import math
+
+    e = _herd(spark)
+    S = 8
+    # mirror of the operator's documented build-side key derivation
+    build_keys = e.select(
+        F.floor(F.col("t") / F.lit(1_000_000)).cast("long").alias("bucket"),
+        F.pmod(F.xxhash64("id"), F.lit(S)).alias("salt"),
+    )
+    sizes = [
+        r["n"]
+        for r in build_keys.groupBy("bucket", "salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(sizes) <= 2 * math.ceil(300 / S), sizes
+
+    p = explain_str(
+        keyless_band_pairs(e, "id", "t", window=1_000_000, salt_buckets=S),
+        "simple",
+    )
+    assert "_salt" in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_salted_join_rejects_small_side_preserving_how(spark):

@@ -118,6 +118,17 @@ def main() -> None:
         took = _drain(spark, joined, f"{root}/ckpt_join", "append")
         results["windowed_join"] = round((N_ROWS + N_ROWS // 2) / took)
 
+        # grace-window variant (ofTimeDifferenceAndGrace analog): the
+        # +30s grace widens only the watermark delay — join state per
+        # side grows from rate x 5s to rate x 35s, which is exactly the
+        # cost being measured relative to the no-grace pipeline above
+        joined_g = windowed_stream_join(
+            _read(spark, left_p), _read(spark, right_p), "key", "ts", "ts",
+            window_seconds=5, grace_seconds=30,
+        ).select("key", "value", "r_value")
+        took = _drain(spark, joined_g, f"{root}/ckpt_join_grace", "append")
+        results["windowed_join_grace"] = round((N_ROWS + N_ROWS // 2) / took)
+
         totals = running_total_with_emission(_read(spark, left_p), "key", "value")
         took = _drain(spark, totals, f"{root}/ckpt_total", "update")
         results["running_total"] = round(N_ROWS / took)

@@ -33,25 +33,51 @@ def _spread(df: DataFrame) -> DataFrame:
     cluster-scale input must NOT pay an extra full shuffle of raw
     document bodies here, so the repartition is conditional.
 
-    Under-partitioning is detected from the leaf scan's file count
-    (``inputFiles()`` — a driver-side plan walk), NOT from
+    Skipped outright for streaming inputs (a repartition there re-runs
+    as a per-microbatch shuffle — the streaming paths own their
+    partitioning) and for plans that already contain a
+    shuffle-producing operator (RepartitionByExpression / Join /
+    Aggregate / Deduplicate — their output is already spread over
+    shuffle.partitions; checked on the ANALYZED logical plan, which
+    PySpark has already built, so no extra planning pass).  A bare
+    ``Repartition`` node is deliberately NOT evidence: ``coalesce(1)``
+    analyzes to the same node name, and a count-shrinking coalesce is
+    exactly the shape that needs the spread.
+
+    Under-partitioning is otherwise detected from the leaf scan's file
+    count (``inputFiles()`` — a driver-side plan walk), NOT from
     ``df.rdd.getNumPartitions()``: the RDD probe forces a full physical
     planning pass of the subtree at construction time, double-planning
     every dedup query.  A file-backed input with >= defaultParallelism
-    files is already parallel enough (each file is at least one scan
-    task); a corpus-scale table has thousands of files and skips the
-    shuffle.  Non-file inputs (createDataFrame fixtures, memory
+    files is already parallel enough: Spark's scan bin-packing charges
+    every file at least ``openCostInBytes`` (4 MB default), so N >=
+    defaultParallelism files pack into ~defaultParallelism scan
+    partitions even when the files are tiny — the many-tiny-files
+    single-partition scan only exists where openCostInBytes has been
+    tuned toward 0, in which case restore the default before blaming
+    this heuristic.  Non-file inputs (createDataFrame fixtures, memory
     sources) report zero files and get the spread — the safe default
     for the small frames those are in practice.  The one mis-judged
     shape — a single multi-GB file that maxPartitionBytes would split
     many ways — pays a redundant (correct, cheap relative to the
     downstream explode) repartition."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         if len(df.inputFiles()) >= target:
             return df
     except Exception:
-        pass  # plans without file sources: fall through to the spread
+        pass  # plans without file sources: fall through to the checks below
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().treeString()
+        if any(
+            op in analyzed
+            for op in ("RepartitionByExpression", "Join", "Aggregate", "Deduplicate")
+        ):
+            return df
+    except Exception:
+        pass  # non-JVM-backed frames: safe default is the spread
     return df.repartition(target)
 
 

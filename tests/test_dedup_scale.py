@@ -61,6 +61,30 @@ def test_spread_is_noop_on_well_partitioned_input(spark, tmp_path):
     assert dedup._spread(mem).rdd.getNumPartitions() == target
 
 
+def test_spread_skips_streaming_and_already_shuffled_inputs(spark, tmp_path):
+    """_spread hygiene: a streaming input must pass through untouched (a
+    repartition would re-run as a per-microbatch shuffle), and a plan
+    whose output already went through a shuffle-producing operator
+    (aggregate / repartition-by-expression) must not pay a second
+    full exchange of its rows."""
+    src = str(tmp_path / "stream_src")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d").alias("text")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    assert dedup._spread(stream) is stream
+
+    agged = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert dedup._spread(agged) is agged
+
+    keyed = spark.range(1000).repartition(4, F.col("id"))
+    assert dedup._spread(keyed) is keyed
+
+
 def test_simhash64_halves_fit_32_bits(spark, sf_dir):
     from confluent_kafka_streams_examples_spark.session import load_table
 

@@ -1,16 +1,24 @@
 """Structured-Streaming throughput micro-bench for the stateful
-pillars — latest-per-key (KTable), windowed stream-stream join, the
-running-total processor, watermark-bounded dedup, and tumbling windowed
-aggregation — so streaming perf regressions are visible round-to-round
-(the main bench.py covers batch queries only).
+pillars — latest-per-key (KTable), windowed stream-stream join (no-grace
+and grace variants), the running-total processor, watermark-bounded
+dedup, and tumbling windowed aggregation — so streaming perf regressions
+are visible round-to-round (the main bench.py covers batch queries
+only).
 
 Method: a deterministic synthetic event stream is pre-written as
 parquet files (file source, 16 files, 4 files per trigger -> 4
-micro-batches), each pipeline drains it via ``processAllAvailable``
+micro-batches); each pipeline drains it via ``processAllAvailable``
 into the noop sink, and throughput = input rows / wall seconds.
 File-backed input measures the ENGINE (state store, shuffle, watermark
 bookkeeping), not a generator's wall-clock rate the way a rate source
 would.
+
+EACH PIPELINE RUNS IN ITS OWN SparkSession, warmed on a 50k-row prefix
+of the same pipeline before timing.  Isolation is load-bearing: a
+shared session lets one pipeline's leftover state-store files and GC
+pressure tax the next (measured ~1.9x on the running-total processor
+after the grace-window join was added in front of it), which would make
+numbers depend on pipeline ORDER rather than the engine.
 
 Prints ONE JSON line:
   {"metric": "streaming_rows_per_sec", "value": <min over pipelines>,
@@ -32,15 +40,11 @@ import os
 from pyspark.sql import functions as F
 
 from confluent_kafka_streams_examples_spark.session import get_spark
-from confluent_kafka_streams_examples_spark.streaming.join import windowed_stream_join
-from confluent_kafka_streams_examples_spark.streaming.ktable import latest_per_key_stream
-from confluent_kafka_streams_examples_spark.streaming.processor import (
-    running_total_with_emission,
-)
 
 N_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "2000000"))
 N_FILES = 16
 SCHEMA = "key string, value double, ts timestamp"
+WARM_ROWS = 50_000
 
 
 def _gen(spark, path: str, n: int, offset_s: float = 0.0) -> None:
@@ -84,77 +88,110 @@ def _read(spark, path: str):
     )
 
 
-def main() -> None:
-    spark = get_spark("ckse-bench-streaming")
-    spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="ckse_stream_bench_")
-    try:
-        left_p, right_p = f"{root}/left", f"{root}/right"
-        _gen(spark, left_p, N_ROWS)
-        # right side shifted +1s: every row still inside the ±5s window
-        _gen(spark, right_p, N_ROWS // 2, offset_s=1.0)
+# --- pipeline factories: (spark, left_path, right_path) -> (df, mode) ---
 
-        # JVM/python-worker warmup on a small prefix so pipeline #1
-        # isn't charged for first-use JIT
-        warm = f"{root}/warm"
-        _gen(spark, warm, 50_000)
-        _drain(
-            spark,
-            latest_per_key_stream(_read(spark, warm), "key", "ts", ["value"]),
-            f"{root}/ckpt_warm",
-            "update",
-        )
+def _p_latest(spark, left, right):
+    from confluent_kafka_streams_examples_spark.streaming.ktable import (
+        latest_per_key_stream,
+    )
 
-        results: dict[str, float] = {}
+    return latest_per_key_stream(_read(spark, left), "key", "ts", ["value"]), "update"
 
-        out = latest_per_key_stream(_read(spark, left_p), "key", "ts", ["value"])
-        took = _drain(spark, out, f"{root}/ckpt_ktable", "update")
-        results["latest_per_key"] = round(N_ROWS / took)
 
-        joined = windowed_stream_join(
-            _read(spark, left_p), _read(spark, right_p), "key", "ts", "ts",
-            window_seconds=5,
-        ).select("key", "value", "r_value")
-        took = _drain(spark, joined, f"{root}/ckpt_join", "append")
-        results["windowed_join"] = round((N_ROWS + N_ROWS // 2) / took)
+def _p_join(spark, left, right, grace=0):
+    from confluent_kafka_streams_examples_spark.streaming.join import (
+        windowed_stream_join,
+    )
 
-        # grace-window variant (ofTimeDifferenceAndGrace analog): the
-        # +30s grace widens only the watermark delay — join state per
-        # side grows from rate x 5s to rate x 35s, which is exactly the
-        # cost being measured relative to the no-grace pipeline above
-        joined_g = windowed_stream_join(
-            _read(spark, left_p), _read(spark, right_p), "key", "ts", "ts",
-            window_seconds=5, grace_seconds=30,
-        ).select("key", "value", "r_value")
-        took = _drain(spark, joined_g, f"{root}/ckpt_join_grace", "append")
-        results["windowed_join_grace"] = round((N_ROWS + N_ROWS // 2) / took)
+    df = windowed_stream_join(
+        _read(spark, left), _read(spark, right), "key", "ts", "ts",
+        window_seconds=5, grace_seconds=grace,
+    ).select("key", "value", "r_value")
+    return df, "append"
 
-        totals = running_total_with_emission(_read(spark, left_p), "key", "value")
-        took = _drain(spark, totals, f"{root}/ckpt_total", "update")
-        results["running_total"] = round(N_ROWS / took)
 
-        from confluent_kafka_streams_examples_spark.streaming.dedup import (
-            dedup_within_watermark,
-        )
+def _p_join_grace(spark, left, right):
+    # grace widens only the watermark delay: join state per side grows
+    # from rate x 5s to rate x 35s — that state-size cost is exactly
+    # what this entry measures relative to windowed_join
+    return _p_join(spark, left, right, grace=30)
 
-        dd = dedup_within_watermark(
-            _read(spark, left_p), ["key", "value"], "ts", delay="30 seconds"
-        )
-        took = _drain(spark, dd, f"{root}/ckpt_dedup", "append")
-        results["dedup_within_watermark"] = round(N_ROWS / took)
 
-        from confluent_kafka_streams_examples_spark.operators.windows import tumbling_agg
+def _p_total(spark, left, right):
+    from confluent_kafka_streams_examples_spark.streaming.processor import (
+        running_total_with_emission,
+    )
 
-        ta = tumbling_agg(
-            _read(spark, left_p).withWatermark("ts", "10 seconds"),
+    return running_total_with_emission(_read(spark, left), "key", "value"), "update"
+
+
+def _p_dedup(spark, left, right):
+    from confluent_kafka_streams_examples_spark.streaming.dedup import (
+        dedup_within_watermark,
+    )
+
+    return (
+        dedup_within_watermark(
+            _read(spark, left), ["key", "value"], "ts", delay="30 seconds"
+        ),
+        "append",
+    )
+
+
+def _p_tumbling(spark, left, right):
+    from confluent_kafka_streams_examples_spark.operators.windows import tumbling_agg
+
+    return (
+        tumbling_agg(
+            _read(spark, left).withWatermark("ts", "10 seconds"),
             "ts",
             "10 seconds",
             ["key"],
             F.sum("value").alias("total"),
             F.count(F.lit(1)).alias("n"),
-        )
-        took = _drain(spark, ta, f"{root}/ckpt_tumbling", "append")
-        results["tumbling_agg"] = round(N_ROWS / took)
+        ),
+        "append",
+    )
+
+
+PIPELINES = [
+    ("latest_per_key", _p_latest, N_ROWS),
+    ("windowed_join", _p_join, N_ROWS + N_ROWS // 2),
+    ("windowed_join_grace", _p_join_grace, N_ROWS + N_ROWS // 2),
+    ("running_total", _p_total, N_ROWS),
+    ("dedup_within_watermark", _p_dedup, N_ROWS),
+    ("tumbling_agg", _p_tumbling, N_ROWS),
+]
+
+
+def main() -> None:
+    root = tempfile.mkdtemp(prefix="ckse_stream_bench_")
+    try:
+        spark = get_spark("ckse-bench-streaming-gen")
+        spark.sparkContext.setLogLevel("ERROR")
+        left_p, right_p = f"{root}/left", f"{root}/right"
+        warm_l, warm_r = f"{root}/warm_l", f"{root}/warm_r"
+        _gen(spark, left_p, N_ROWS)
+        # right side shifted +1s: every row still inside the ±5s window
+        _gen(spark, right_p, N_ROWS // 2, offset_s=1.0)
+        _gen(spark, warm_l, WARM_ROWS)
+        _gen(spark, warm_r, WARM_ROWS // 2, offset_s=1.0)
+        spark.stop()
+
+        results: dict[str, float] = {}
+        for name, factory, rows in PIPELINES:
+            spark = get_spark(f"ckse-bench-streaming-{name}")
+            spark.sparkContext.setLogLevel("ERROR")
+            try:
+                # JVM/python-worker warmup on the same pipeline shape so
+                # the timed run isn't charged for first-use JIT
+                warm_df, mode = factory(spark, warm_l, warm_r)
+                _drain(spark, warm_df, f"{root}/ckpt_warm_{name}", mode)
+                df, mode = factory(spark, left_p, right_p)
+                took = _drain(spark, df, f"{root}/ckpt_{name}", mode)
+                results[name] = round(rows / took)
+            finally:
+                spark.stop()
 
         print(
             json.dumps(
@@ -169,7 +206,6 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-        spark.stop()
 
 
 if __name__ == "__main__":

@@ -1200,3 +1200,40 @@ def events_concurrent_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_id").alias("event_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_concurrent"))
     )
+
+
+@query(
+    "events_concurrent_degree_salted",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events)
+    SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_concurrent
+    FROM e a JOIN e b ON abs(a.t - b.t) <= 1000000
+                     AND a.event_id != b.event_id
+    GROUP BY a.event_id
+    """,
+)
+def events_concurrent_degree_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-second (thundering-herd) variant of
+    events_concurrent_degree: delegates to
+    operators.skew.keyless_band_pairs with salt_buckets=8, so the build
+    side of every 1-second cell splits across 8 reducers
+    (pmod(xxhash64(id), 8) appended to the join key; probe replicated
+    over all salts).  Identical oracle to the unsalted query — salting
+    may never change the answer, and the driver checks that here
+    against DuckDB's IEJoin plan of the same declarative range join.
+    The salt-invariance and the <= 2x-uniform-share bucket-size bound
+    are additionally pinned on a 300-events-in-one-second fixture in
+    tests/test_skew.py."""
+    from confluent_kafka_streams_examples_spark.operators.skew import (
+        keyless_band_pairs,
+    )
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", epoch_us(F.col("ts")).alias("t")
+    )
+    pairs = keyless_band_pairs(
+        e, "event_id", "t", window=1_000_000, salt_buckets=8
+    )
+    return pairs.groupBy(F.col("a_id").alias("event_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_concurrent")
+    )

@@ -35,14 +35,23 @@ def _spread(df: DataFrame) -> DataFrame:
 
     Skipped outright for streaming inputs (a repartition there re-runs
     as a per-microbatch shuffle — the streaming paths own their
-    partitioning) and for plans that already contain a
-    shuffle-producing operator (RepartitionByExpression / Join /
-    Aggregate / Deduplicate — their output is already spread over
-    shuffle.partitions; checked on the ANALYZED logical plan, which
-    PySpark has already built, so no extra planning pass).  A bare
-    ``Repartition`` node is deliberately NOT evidence: ``coalesce(1)``
-    analyzes to the same node name, and a count-shrinking coalesce is
-    exactly the shape that needs the spread.
+    partitioning) and when the input's OWN partitioning already comes
+    from a shuffle: the analyzed logical plan's root is walked through
+    partitioning-preserving nodes (Project/Filter/SubqueryAlias) and
+    the spread is skipped iff the first real node is itself
+    shuffle-producing (Aggregate / RepartitionByExpression /
+    Deduplicate — each hash-partitions its output over
+    shuffle.partitions).  The check must be the ROOT's provenance, not
+    a containment scan of the tree: a broadcast join with an aggregate
+    on its BUILD side contains an Aggregate yet leaves the probe side
+    on the scan's partitioning (exactly the clean-corpus pipeline's
+    shape — a tree-wide substring check regressed its shingle stage
+    2.2x by skipping the spread there).  Join is NOT evidence for the
+    same reason; a bare ``Repartition`` node is NOT evidence because
+    ``coalesce(1)`` analyzes to the same node name, and a
+    count-shrinking coalesce is exactly the shape that needs the
+    spread.  The walk uses the already-built analyzed plan — no extra
+    planning pass.
 
     Under-partitioning is otherwise detected from the leaf scan's file
     count (``inputFiles()`` — a driver-side plan walk), NOT from
@@ -70,10 +79,17 @@ def _spread(df: DataFrame) -> DataFrame:
     except Exception:
         pass  # plans without file sources: fall through to the checks below
     try:
-        analyzed = df._jdf.queryExecution().analyzed().treeString()
-        if any(
-            op in analyzed
-            for op in ("RepartitionByExpression", "Join", "Aggregate", "Deduplicate")
+        node = df._jdf.queryExecution().analyzed()
+        while node.getClass().getSimpleName() in (
+            "Project",
+            "Filter",
+            "SubqueryAlias",
+        ):
+            node = node.children().apply(0)
+        if node.getClass().getSimpleName() in (
+            "Aggregate",
+            "RepartitionByExpression",
+            "Deduplicate",
         ):
             return df
     except Exception:

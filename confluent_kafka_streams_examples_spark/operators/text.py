@@ -102,6 +102,63 @@ def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    statistical quality signal between the cheap ratio heuristics
+    (text_stats) and a neural LM: documents whose token distribution is
+    improbable under the corpus itself (gibberish, boilerplate floods,
+    wrong-language fragments) score low and can be gated on.
+
+    score(d) = mean over token occurrences of ln p(w), with
+    p(w) = c(w) / total over the whole corpus (every scored token is
+    in-corpus, so the MLE is smoothing-free here; feeding held-out text
+    would need the usual add-k on the vocab frame).
+
+    Returns (id, n_tokens, score_micro, avg_logp): per-(doc, token)
+    partials are micronized to integers BEFORE the per-document sum
+    (float addition is not associative; integer addition is), so the
+    result is bitwise reproducible across engines and shuffle orders —
+    the same trick bm25_rank uses.
+
+    Scale shape: token counts collapse map-side, so both the per-doc
+    and vocab shuffles carry (key, count) pairs bounded by vocabulary,
+    not corpus length; the corpus total joins back as a broadcast
+    1-rower; the logprob table joins on the token key (AQE broadcasts
+    it while the vocabulary fits, falls back to a hash join keyed on
+    the token when it doesn't).  Nothing re-reads text after the first
+    tokenize."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tc = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tc.groupBy("token").agg(F.sum("c").alias("cw"))
+    total = vocab.agg(F.sum("cw").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log(F.col("cw") / F.col("total").cast("double")).alias("logp"),
+    )
+    scored = tc.join(logp, "token").select(
+        F.col(id_col),
+        F.col("c"),
+        F.floor(F.col("c") * F.col("logp") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("sm"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum("sm").cast("bigint").alias("score_micro"),
+    )
+    avg = (F.col("score_micro") / F.col("n_tokens").cast("double")) / F.lit(1e6)
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "score_micro",
+        round_det(avg, 4).alias("avg_logp"),
+    )
+
+
 def bm25_rank(
     df: DataFrame,
     terms: list[str],

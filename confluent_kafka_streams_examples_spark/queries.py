@@ -517,7 +517,8 @@ _VERIFY_FIRST = [
     # --- new this round: first oracle run (pre-slotted; ignored until
     #     registered) ---
     "similarity_ivf_dynamic", "dedup_incremental_persisted",
-    "events_concurrent_degree_salted",
+    "events_concurrent_degree_salted", "lm_unigram_score",
+    "dedup_cluster_representatives",
     # --- r3-green queries not re-checked in the r4 window: rotate them
     #     through r5 so every green row is at most one testdata
     #     generation old (the r2 failure mode was exactly a stale-green

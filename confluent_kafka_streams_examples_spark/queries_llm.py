@@ -9,7 +9,7 @@ computed doubles rounded identically on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from confluent_kafka_streams_examples_spark.operators import dedup, similarity, text, multimodal
@@ -751,6 +751,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION ALL SELECT id_b, id_a FROM cand),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+    member AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (SELECT *, count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM member)
+    WHERE rn = 1
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based representative selection — the step after
+    clustering in a real dedup pipeline: within every near-duplicate
+    cluster keep the doc you'd actually train on (here: most tokens,
+    ties to the smaller id), not blindly the minimum id the clustering
+    label happens to be.  One row per cluster: (cluster_id, rep_id,
+    rep_tokens, n_members).
+
+    Scale shape: clusters come from the same sublinear LSH + min-label
+    components as dedup_clusters; the argmax is a WindowGroupLimit
+    (top-1 pre-filtered on both sides of the cluster_id shuffle) over
+    (id, cluster, n_tokens) triples — document text never shuffles.
+    Reference analog: reduce-to-representative over a grouped changelog
+    (KTableExample.scala:52-62's latest-per-key, generalized to
+    best-per-cluster)."""
+    from confluent_kafka_streams_examples_spark.operators.graph import dedup_components
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS
+    )
+    comp = dedup_components(pairs, docs.select("doc_id"), "doc_id")
+    member = comp.join(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        member.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_id"),
+            F.col("n_tokens").alias("rep_tokens"),
+            "n_members",
+        )
+    )
+
+
+@query(
     "pipeline_clean_corpus",
     oracle=f"""
     WITH RECURSIVE
@@ -804,6 +886,41 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return clean_corpus(docs)
+
+
+@query(
+    "lm_unigram_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT token, sum(c) AS cw FROM tc GROUP BY token),
+    tot AS (SELECT sum(cw) AS total FROM vocab),
+    logp AS (SELECT token, ln(cw / CAST(total AS DOUBLE)) AS logp
+             FROM vocab, tot),
+    scored AS (
+      SELECT tc.doc_id, tc.c,
+             CAST(floor(tc.c * l.logp * 1000000.0 + 0.5) AS BIGINT) AS sm
+      FROM tc JOIN logp l ON tc.token = l.token),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(sm) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tokens, score_micro,
+           floor(((score_micro / CAST(n_tokens AS DOUBLE)) / 1000000.0)
+                 * 1e4 + 0.5) / 1e4 AS avg_logp
+    FROM per_doc
+    """,
+)
+def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity-style quality score per document
+    (operators/text.py unigram_lm_scores): mean ln p(token) under the
+    corpus's own unigram distribution — the statistical gate between
+    ratio heuristics and a neural scorer.  Integer-micronized partial
+    scores make the per-doc sum order-independent (bm25's trick), so
+    the DuckDB oracle is bit-exact."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.unigram_lm_scores(docs, "doc_id", "text")
 
 
 #: fixed keyword query for the BM25 retrieval demo — mid-frequency

@@ -357,6 +357,30 @@ def test_concurrent_degree_is_single_equi_join(spark):
     )
 
 
+def test_cluster_representatives_plan_discipline(spark):
+    """dedup_cluster_representatives: the per-cluster argmax must plan
+    WindowGroupLimit (top-1 pre-filtered on both sides of the
+    cluster_id shuffle), document text must never reach an Exchange
+    (only (id, cluster, count) triples shuffle), and nothing plans a
+    cartesian product."""
+    p = plan(spark, "dedup_cluster_representatives")
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert not any("text#" in ln for ln in exchanges), exchanges
+
+
+def test_lm_unigram_score_partial_aggregation(spark):
+    """lm_unigram_score: both count shuffles must plan map-side partial
+    aggregation (shuffle volume tracks vocabulary, not corpus length)
+    and the corpus-total 1-rower must broadcast, never shuffle the
+    vocab side to meet it."""
+    p = plan(spark, "lm_unigram_score")
+    assert p.count("HashAggregate") >= 4, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_incremental_persisted_never_rereads_corpus(spark):
     """dedup_incremental_persisted: the daily-batch plan must read the
     STORED signature parquet for the corpus side — exactly one

@@ -124,6 +124,48 @@ def test_windowed_join_drops_late_data(spark, tmp_path):
     assert rows[0]["r_value"] == 10.0  # on-time join emitted, late one dropped
 
 
+def test_windowed_join_left_outer_null_pads_expired(spark, tmp_path):
+    """Left-outer windowed stream-stream join (the Kafka Streams DSL's
+    leftJoin, which the reference declares via JoinWindows but leaves
+    unused): an unmatched left record is emitted NULL-padded — but only
+    once the watermark proves no matching right record can still
+    arrive, which Spark does on a subsequent microbatch after state
+    expiry."""
+    left_p, right_p = str(tmp_path / "l"), str(tmp_path / "r")
+    # u1 has no right-side match; per-side watermark-advance records
+    # (distinct keys so they never join) push the global watermark far
+    # past u1's ±5s window
+    write_batch(spark, left_p, [("u1", 1.0, ts(100)), ("wml", 0.0, ts(300))])
+    write_batch(spark, right_p, [("wmr", 0.0, ts(300))])
+
+    left = spark.readStream.schema(EVENT_SCHEMA).parquet(left_p)
+    right = spark.readStream.schema(EVENT_SCHEMA).parquet(right_p)
+    joined = windowed_stream_join(
+        left, right, "key", "ts", "ts", window_seconds=5, how="left_outer"
+    ).select("key", "value", "r_value")
+
+    qname = f"lo{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # next batch advances the watermark again -> expired unmatched
+        # left state is emitted null-padded
+        write_batch(spark, left_p, [("wml2", 0.0, ts(400))])
+        write_batch(spark, right_p, [("wmr2", 0.0, ts(400))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    u1 = [r for r in rows if r["key"] == "u1"]
+    assert len(u1) == 1 and u1[0]["value"] == 1.0 and u1[0]["r_value"] is None
+
+
 def test_running_total_with_emission(spark, tmp_path):
     """A2/A3 (reference AggregationsExample.scala:83-92 generator: a few
     keys x 4 orders): per-key fold through the managed state store."""

@@ -102,6 +102,50 @@ def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the training-prep
+    primitive that turns documents into model-window-sized pieces
+    (chunk_size tokens every stride tokens, overlap = chunk_size -
+    stride).  Returns (id, chunk_idx, n_chunk_tokens, chunk_hash); the
+    hash stands in for the chunk body so downstream joins/dedup carry
+    16 bytes, not text (emit the text itself by slicing at write time).
+
+    A trailing chunk no longer than the overlap is dropped (its tokens
+    are fully covered by the previous chunk); chunk 0 always emits, so
+    every document — even shorter than one stride — yields at least
+    one chunk.
+
+    Scale shape: pure map-side — split once, slice per start offset via
+    array functions, explode; no shuffle, no Python, cost linear in
+    corpus tokens times the overlap factor (chunk_size/stride)."""
+    overlap = chunk_size - stride
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | ((n - s) > overlap),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"), F.explode(starts).alias("_s"))
+        .select(
+            F.col(id_col),
+            (F.col("_s") / stride).cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(chunk_size), F.size("_tk") - F.col("_s"))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice("_tk", F.col("_s") + 1, chunk_size))
+            ).alias("chunk_hash"),
+        )
+    )
+
+
 def unigram_lm_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

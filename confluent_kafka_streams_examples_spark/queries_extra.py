@@ -1215,15 +1215,18 @@ def events_concurrent_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_concurrent_degree_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-second (thundering-herd) variant of
     events_concurrent_degree: delegates to
-    operators.skew.keyless_band_pairs with salt_buckets=8, so the build
-    side of every 1-second cell splits across 8 reducers
-    (pmod(xxhash64(id), 8) appended to the join key; probe replicated
+    operators.skew.keyless_band_pairs with salt_buckets=4, so the build
+    side of every 1-second cell splits across 4 reducers
+    (pmod(xxhash64(id), 4) appended to the join key; probe replicated
     over all salts).  Identical oracle to the unsalted query — salting
     may never change the answer, and the driver checks that here
     against DuckDB's IEJoin plan of the same declarative range join.
     The salt-invariance and the <= 2x-uniform-share bucket-size bound
-    are additionally pinned on a 300-events-in-one-second fixture in
-    tests/test_skew.py."""
+    are additionally pinned (at S=8) on a 300-events-in-one-second
+    fixture in tests/test_skew.py.  S=4 here because salt cost is
+    probe replication (3 x S): the salt count should track how many
+    reducers the HOT cell needs, not be maxed defensively on a stream
+    that may not even skew."""
     from confluent_kafka_streams_examples_spark.operators.skew import (
         keyless_band_pairs,
     )
@@ -1232,7 +1235,7 @@ def events_concurrent_degree_salted(spark: SparkSession, sf_dir: str) -> DataFra
         "event_id", epoch_us(F.col("ts")).alias("t")
     )
     pairs = keyless_band_pairs(
-        e, "event_id", "t", window=1_000_000, salt_buckets=8
+        e, "event_id", "t", window=1_000_000, salt_buckets=4
     )
     return pairs.groupBy(F.col("a_id").alias("event_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_concurrent")

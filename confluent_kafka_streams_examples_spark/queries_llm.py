@@ -889,6 +889,32 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_chunk_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    starts AS (
+      SELECT doc_id, tk, u.s
+      FROM toks, unnest(range(0, greatest(len(tk), 1), 48)) u(s)
+      WHERE s = 0 OR len(tk) - s > 16)
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_idx,
+           CAST(least(64, len(tk) - s) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(tk[s + 1:s + 64], ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-window chunking (operators/text.py chunk_documents):
+    64-token chunks every 48 tokens (16-token overlap), trailing
+    fully-overlapped tails dropped, chunk bodies carried as md5 so no
+    join downstream ever shuffles text.  Pure map-side: split, slice
+    per start offset, explode — no shuffle at any corpus size."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.chunk_documents(docs, "doc_id", "text", chunk_size=64, stride=48)
+
+
+@query(
     "lm_unigram_score",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -381,6 +381,15 @@ def test_lm_unigram_score_partial_aggregation(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_chunking_is_map_only(spark):
+    """corpus_chunk_documents: model-window chunking must be pure
+    map-side — split, slice, explode inside the scan stage; NO Exchange
+    anywhere in the plan."""
+    p = plan(spark, "corpus_chunk_documents")
+    assert "Exchange" not in p, f"chunking must not shuffle\n{p}"
+    assert "Generate" in p, p
+
+
 def test_incremental_persisted_never_rereads_corpus(spark):
     """dedup_incremental_persisted: the daily-batch plan must read the
     STORED signature parquet for the corpus side — exactly one

@@ -519,13 +519,18 @@ _VERIFY_FIRST = [
     "similarity_ivf_dynamic", "dedup_incremental_persisted",
     "events_concurrent_degree_salted", "lm_unigram_score",
     "dedup_cluster_representatives", "corpus_chunk_documents",
+    "bpe_pair_counts",
     # --- r3-green queries not re-checked in the r4 window: rotate them
     #     through r5 so every green row is at most one testdata
     #     generation old (the r2 failure mode was exactly a stale-green
-    #     query breaking on regenerated parquet).  multimodal_features
-    #     is the one cohort member left out to keep the prefix at 50 —
-    #     its decode stage is an environment-gated stub, so its oracle
-    #     only exercises metadata plumbing (lowest regeneration risk).
+    #     query breaking on regenerated parquet).  The new-query head
+    #     above displaces the tail of this cohort from the 50-entry
+    #     window (multimodal_features — stub-decode plumbing, lowest
+    #     regeneration risk — plus whatever falls past slot 50:
+    #     currently ann_recall_eval, embedding_kmeans_fixed,
+    #     top_terms_per_source, boilerplate_chunks); the displaced
+    #     names stay r3-green with unchanged bodies and lead the r6
+    #     rotation.
     "stream_stream_window_join", "ktable_latest", "stream_table_join",
     "agg_running_total", "user_sessions", "json_props_extract",
     "ktable_filter_extract", "agg_pricing_summary", "windowed_hopping",

@@ -889,6 +889,37 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    pairs AS (
+      SELECT concat_ws(' ', tk[i], tk[i + 1]) AS pair
+      FROM toks, unnest(range(1, greatest(len(tk), 1))) u(i))
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop as a corpus query: frequency of every
+    ADJACENT token pair (occurrences, not distinct-per-doc), top 50 —
+    the statistic a tokenizer-training pipeline recomputes per merge
+    round.  Reuses the shingle machinery (dedup.shingles n=2,
+    distinct=False: the dedup SHUFFLE is skipped because counting wants
+    the multiset).  One partial-agg shuffle of (pair, count) partials —
+    shuffle volume tracks pair vocabulary, not corpus length; top-k is
+    TakeOrdered, never a global sort."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sh = dedup.shingles(docs, "doc_id", "text", n=2, distinct=False)
+    return (
+        sh.groupBy(F.col("shingle").alias("pair"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(50)
+    )
+
+
+@query(
     "corpus_chunk_documents",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk

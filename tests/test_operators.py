@@ -271,3 +271,55 @@ def test_epoch_us_ntz_and_ltz_agree(spark, tmp_path):
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     got = {r["event_id"]: r["us"] for r in df.select("event_id", epoch_us("ts").alias("us")).collect()}
     assert got == {1: micros[0], 2: micros[1]}
+
+
+def test_chunk_documents_boundaries(spark):
+    """chunk_documents edges: empty text yields one empty chunk; a doc
+    shorter than one stride yields exactly chunk 0; a trailing chunk no
+    longer than the overlap is dropped (fully covered by the previous
+    chunk); chunk token counts and hashes are exact."""
+    import hashlib
+
+    from confluent_kafka_streams_examples_spark.operators.text import chunk_documents
+
+    toks100 = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "a b c"), (2, toks100)],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_size=64, stride=48)
+    rows = {(r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_hash) for r in out.collect()}
+    # doc 0: split("") == [""] -> one 1-token chunk (hash of "")
+    assert rows[(0, 0)][0] == 1
+    # doc 1: 3 tokens < stride -> only chunk 0
+    assert {k for k in rows if k[0] == 1} == {(1, 0)}
+    assert rows[(1, 0)] == (3, hashlib.md5(b"a b c").hexdigest())
+    # doc 2: starts 0 and 48 emit; start 96 leaves a 4-token tail
+    # (<= 16-token overlap) -> dropped
+    assert {k for k in rows if k[0] == 2} == {(2, 0), (2, 1)}
+    assert rows[(2, 0)][0] == 64 and rows[(2, 1)][0] == 52
+    chunk1 = " ".join(f"t{i}" for i in range(48, 100))
+    assert rows[(2, 1)][1] == hashlib.md5(chunk1.encode()).hexdigest()
+
+
+def test_keyless_band_pairs_cell_override(spark):
+    """A cell size WIDER than the window may only widen join buckets,
+    never change the result (each pair still meets in exactly one
+    bucket)."""
+    from confluent_kafka_streams_examples_spark.operators.skew import (
+        keyless_band_pairs,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 240), (4, 1000)], "id bigint, t bigint"
+    )
+    def pairs(**kw):
+        return sorted(
+            (r.a_id, r.b_id)
+            for r in keyless_band_pairs(e, "id", "t", window=100, **kw).collect()
+        )
+
+    base = pairs()
+    assert base == [(1, 2), (2, 1), (2, 3), (3, 2)]  # |dt|<=100 pairs, both directions
+    assert pairs(cell=250) == base
+    assert pairs(cell=250, salt_buckets=3) == base

@@ -151,6 +151,56 @@ def shingle_hashes(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every word ``n``-gram, slide a ``window``-wide
+    frame over the hash sequence, keep each frame's MINIMUM — the
+    selected set is guaranteed to share a fingerprint with any copy of
+    a passage at least ``window + n - 1`` tokens long, while storing
+    ~2/(window+1) of the shingle hashes.  The sampling step between a
+    full shingle inverted index (exact, big) and a single whole-doc
+    hash (tiny, brittle): fingerprint tables support plagiarism-style
+    substring matching at a fraction of the index size.
+
+    Returns DISTINCT (id, fp).  One shuffle (the per-document window);
+    the hash is md5-derived (48-bit prefix as integer) so the DuckDB
+    oracle computes identical values — xxhash64 does not exist there.
+
+    Scale shape: the window runs inside one hash-partition of
+    (id, pos, hash) triples (per-partition sort, no global sort); the
+    DISTINCT collapses map-side first.  Fingerprint tables then join
+    like any inverted index — with the same ``max_df`` hot-key
+    discipline as the full-shingle path when self-joined."""
+    tok = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = _spread(df).select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("long")
+    from pyspark.sql import Window as W
+
+    frame = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return (
+        pos.withColumn("h", h)
+        .select(F.col(id_col), F.min("h").over(frame).alias("fp"))
+        .distinct()
+    )
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: one row per distinct text with the representative
     (minimum) id and the duplicate count.  Single hash-shuffle on the

@@ -519,7 +519,7 @@ _VERIFY_FIRST = [
     "similarity_ivf_dynamic", "dedup_incremental_persisted",
     "events_concurrent_degree_salted", "lm_unigram_score",
     "dedup_cluster_representatives", "corpus_chunk_documents",
-    "bpe_pair_counts",
+    "bpe_pair_counts", "doc_winnow_fingerprints",
     # --- r3-green queries not re-checked in the r4 window: rotate them
     #     through r5 so every green row is at most one testdata
     #     generation old (the r2 failure mode was exactly a stale-green

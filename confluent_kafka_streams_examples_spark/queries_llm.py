@@ -889,6 +889,37 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, u.i AS pos,
+             concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]) AS gram
+      FROM toks, unnest(range(1, greatest(len(tk) - 1, 1))) u(i)),
+    hashed AS (
+      SELECT doc_id, pos, {_hex_to_int_sql('md5(gram)', 1, 12)} AS h
+      FROM grams),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM hashed)
+    SELECT DISTINCT doc_id, fp FROM wins
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/dedup.py
+    winnow_fingerprints): 3-gram hashes sampled by 4-wide sliding-window
+    minima — guaranteed to share a fingerprint with any copied passage
+    of >= 6 tokens while storing ~40% of the shingle hashes.  The
+    index-size/robustness middle ground between the full inverted index
+    and a whole-doc hash."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.winnow_fingerprints(docs, "doc_id", "text", n=3, window=4)
+
+
+@query(
     "bpe_pair_counts",
     oracle="""
     WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),

@@ -150,3 +150,26 @@ def test_incremental_pairs_never_pair_old_with_old(spark):
         (11, 2): "corpus",
         (10, 11): "batch",
     }
+
+
+def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
+    """The winnowing guarantee (SIGMOD 2003): any copied passage of at
+    least window + n - 1 tokens must yield >= 1 shared fingerprint
+    between the two documents — while the selected set stays well under
+    the full shingle count."""
+    passage = "alpha beta gamma delta epsilon zeta"  # 6 tokens = 4+3-1
+    rows = [
+        (1, f"one two three {passage} four five six"),
+        (2, f"seven eight {passage} nine ten eleven twelve"),
+        (3, "totally unrelated words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = dedup.winnow_fingerprints(df, "doc_id", "text", n=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "copied passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # sampling: fingerprints per doc well under the shingle count
+    n_shingles_1 = len(rows[0][1].split()) - 2
+    assert len(by_doc[1]) < n_shingles_1

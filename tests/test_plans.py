@@ -381,6 +381,25 @@ def test_lm_unigram_score_partial_aggregation(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_bpe_and_winnowing_plan_discipline(spark):
+    """bpe_pair_counts: partial-agg pair counts + TakeOrdered top-k
+    (never a global sort).  doc_winnow_fingerprints: one window
+    exchange on the doc plus the distinct pair — no more; no cartesian
+    anywhere."""
+    p = plan(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+    pw = plan(spark, "doc_winnow_fingerprints")
+    assert "CartesianProduct" not in pw, pw
+    n_exchange = sum(
+        1
+        for ln in pw.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln and "AQEShuffleRead" not in ln
+    )
+    assert n_exchange <= 2, pw
+
+
 def test_chunking_is_map_only(spark):
     """corpus_chunk_documents: model-window chunking must be pure
     map-side — split, slice, explode inside the scan stage; NO Exchange

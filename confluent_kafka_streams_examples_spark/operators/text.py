@@ -172,7 +172,10 @@ def unigram_lm_scores(
     1-rower; the logprob table joins on the token key (AQE broadcasts
     it while the vocabulary fits, falls back to a hash join keyed on
     the token when it doesn't).  Nothing re-reads text after the first
-    tokenize."""
+    tokenize.  No pre-spread: the explode feeds a map-side partial
+    count whose output is vocabulary-sized, so a parallelizing shuffle
+    of raw text costs more than the single-threaded stage it saves
+    (A/B-measured 0.65s vs 0.48s at sf0.1)."""
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )

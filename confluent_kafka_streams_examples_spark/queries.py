@@ -520,6 +520,9 @@ _VERIFY_FIRST = [
     "events_concurrent_degree_salted", "lm_unigram_score",
     "dedup_cluster_representatives", "corpus_chunk_documents",
     "bpe_pair_counts", "doc_winnow_fingerprints",
+    # body changed this round (conditional _spread before the fold):
+    # must re-verify even though r4-green
+    "dedup_cdc_chunks",
     # --- r3-green queries not re-checked in the r4 window: rotate them
     #     through r5 so every green row is at most one testdata
     #     generation old (the r2 failure mode was exactly a stale-green

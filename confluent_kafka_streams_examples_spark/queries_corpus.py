@@ -943,8 +943,17 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks, same hashes.  Production knobs not modeled here: min/max
     chunk-size clamps (gear % 8 gives ~8-token expected chunks) and a
     rolling multi-token gear window.
+
+    The conditional ``_spread`` parallelizes the fold on a single-file
+    local scan (measured 1.05s -> 0.55s at sf0.1 — the fold is the
+    whole cost and was single-threaded); at corpus scale the input has
+    enough splits and the spread is a no-op by its file-count check.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from confluent_kafka_streams_examples_spark.operators.dedup import _spread
+
+    docs = _spread(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
 
     def is_b(t):
         return (

@@ -424,9 +424,10 @@ def test_incremental_persisted_never_rereads_corpus(spark):
 
 def test_cdc_chunking_is_map_side(spark):
     """dedup_cdc_chunks: the chunking itself must be a map-side array
-    fold — no Window operator anywhere, and no Exchange below the
-    explode (the only shuffles are the final chunk_hash aggregation
-    pair for the distinct-count)."""
+    fold — no Window operator anywhere; the only shuffles are the
+    final chunk_hash aggregation pair for the distinct-count plus
+    (locally) the conditional _spread round-robin that parallelizes
+    the fold on a single-file scan (a no-op at corpus scale)."""
     p = plan(spark, "dedup_cdc_chunks")
     assert "Window" not in p, p
     n_exchange = sum(
@@ -434,4 +435,4 @@ def test_cdc_chunking_is_map_side(spark):
         for ln in p.splitlines()
         if ln.strip().startswith("(") and "Exchange" in ln and "AQEShuffleRead" not in ln
     )
-    assert n_exchange <= 2, p
+    assert n_exchange <= 3, p

@@ -59,6 +59,11 @@ def main() -> None:
                 break
             finally:
                 spark.catalog.clearCache()  # no cross-query contamination
+        # nudge the JVM between queries: accumulated codegen/broadcast
+        # garbage from earlier queries otherwise taxes later ones
+        # (measured ~2x on sub-second map-only queries deep in a
+        # 100+-query run vs the same query standalone)
+        spark.sparkContext._jvm.System.gc()
         timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)

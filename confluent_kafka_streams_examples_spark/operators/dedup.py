@@ -151,6 +151,55 @@ def shingle_hashes(
     )
 
 
+def cdc_chunk_hashes(
+    df: DataFrame, id_col: str, text_col: str, gear_mod: int = 8
+) -> DataFrame:
+    """(id, chunk_hash) — content-defined chunking (Rabin/LBFS-style,
+    md5 token gear): a token starts a new chunk when
+    ``md5(token) % gear_mod == 0``, so boundaries are a function of the
+    CONTENT, not the offset.  Inserting one sentence invalidates only
+    the chunk(s) it touches; every other chunk hash is unchanged
+    (asserted in tests/test_corpus.py) — the property a fixed grid
+    cannot have, and the whole reason rsync/LBFS chunk this way.
+
+    A single map-side array fold (F.aggregate over split(text)): no
+    window, no per-token shuffle; one row per chunk with its md5.  The
+    conditional ``_spread`` parallelizes the fold on a single-file
+    local scan and is a no-op on well-split inputs."""
+
+    def is_b(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+            % F.lit(gear_mod)
+        ) == 0
+
+    empty = F.array().cast("array<string>")
+    merged = F.aggregate(
+        F.split(F.col(text_col), " "),
+        F.struct(empty.alias("done"), empty.alias("cur")),
+        lambda acc, t: F.struct(
+            F.when(
+                is_b(t) & (F.size(acc["cur"]) > 0),
+                F.array_append(acc["done"], F.concat_ws(" ", acc["cur"])),
+            )
+            .otherwise(acc["done"])
+            .alias("done"),
+            F.when(is_b(t), F.array(t))
+            .otherwise(F.array_append(acc["cur"], t))
+            .alias("cur"),
+        ),
+        lambda acc: F.when(
+            F.size(acc["cur"]) > 0,
+            F.array_append(acc["done"], F.concat_ws(" ", acc["cur"])),
+        ).otherwise(acc["done"]),
+    )
+    return (
+        _spread(df)
+        .select(F.col(id_col), F.explode(merged).alias("chunk"))
+        .select(F.col(id_col), F.md5("chunk").alias("chunk_hash"))
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

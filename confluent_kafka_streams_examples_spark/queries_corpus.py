@@ -944,45 +944,21 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-size clamps (gear % 8 gives ~8-token expected chunks) and a
     rolling multi-token gear window.
 
-    The conditional ``_spread`` parallelizes the fold on a single-file
-    local scan (measured 1.05s -> 0.55s at sf0.1 — the fold is the
-    whole cost and was single-threaded); at corpus scale the input has
-    enough splits and the spread is a no-op by its file-count check.
+    The conditional ``_spread`` (inside the operator) parallelizes the
+    fold on a single-file local scan (measured 1.05s -> 0.55s at sf0.1
+    — the fold is the whole cost and was single-threaded); at corpus
+    scale the input has enough splits and the spread is a no-op by its
+    file-count check.  The chunking fold itself lives in
+    operators/dedup.py::cdc_chunk_hashes, where its insertion-locality
+    property is unit-tested.
     """
-    from confluent_kafka_streams_examples_spark.operators.dedup import _spread
-
-    docs = _spread(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from confluent_kafka_streams_examples_spark.operators.dedup import (
+        cdc_chunk_hashes,
     )
 
-    def is_b(t):
-        return (
-            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % F.lit(8)
-        ) == 0
-
-    empty = F.array().cast("array<string>")
-    merged = F.aggregate(
-        F.split(F.col("text"), " "),
-        F.struct(empty.alias("done"), empty.alias("cur")),
-        lambda acc, t: F.struct(
-            F.when(
-                is_b(t) & (F.size(acc["cur"]) > 0),
-                F.array_append(acc["done"], F.concat_ws(" ", acc["cur"])),
-            )
-            .otherwise(acc["done"])
-            .alias("done"),
-            F.when(is_b(t), F.array(t))
-            .otherwise(F.array_append(acc["cur"], t))
-            .alias("cur"),
-        ),
-        lambda acc: F.when(
-            F.size(acc["cur"]) > 0,
-            F.array_append(acc["done"], F.concat_ws(" ", acc["cur"])),
-        ).otherwise(acc["done"]),
-    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return (
-        docs.select("doc_id", F.explode(merged).alias("chunk"))
-        .select("doc_id", F.md5("chunk").alias("chunk_hash"))
+        cdc_chunk_hashes(docs, "doc_id", "text", gear_mod=8)
         .groupBy("chunk_hash")
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),

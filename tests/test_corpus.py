@@ -157,3 +157,33 @@ def test_mixture_sample_flattens_sources(spark):
     for r in rows:
         assert 0 <= r.kept_docs <= r.n_docs
         assert r.keep_per_10k <= 10000
+
+
+def test_cdc_insertion_locality(spark):
+    """The content-defined-chunking property that justifies the
+    operator: inserting a sentence mid-document changes ONLY the
+    chunk(s) around the insertion point — every other chunk hash
+    survives — while a fixed 16-token grid shifts every chunk after
+    the edit."""
+    from collections import Counter
+
+    from confluent_kafka_streams_examples_spark.operators.dedup import (
+        cdc_chunk_hashes,
+    )
+
+    base_tokens = [f"w{i}" for i in range(200)]
+    base = " ".join(base_tokens)
+    edited = " ".join(
+        base_tokens[:100] + ["inserted", "sentence", "goes", "here"] + base_tokens[100:]
+    )
+    df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    chunks = {1: Counter(), 2: Counter()}
+    for r in cdc_chunk_hashes(df, "doc_id", "text", gear_mod=8).collect():
+        chunks[r.doc_id][r.chunk_hash] += 1
+    n_base = sum(chunks[1].values())
+    changed = sum((chunks[1] - chunks[2]).values())
+    assert n_base >= 10  # the fixture actually chunks
+    # only the chunk(s) at the insertion point differ
+    assert changed <= 2, (changed, n_base)
+    # sanity: the documents are not identical
+    assert chunks[1] != chunks[2]

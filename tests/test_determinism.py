@@ -54,3 +54,57 @@ def test_md5_portability():
         duck = con.execute("SELECT md5(?)", [s]).fetchone()[0]
         assert duck == hashlib.md5(s.encode()).hexdigest(), s
     con.close()
+
+
+def test_round_det_spark_duckdb_parity(spark):
+    """The Spark round_det expression and the oracle SQL floor form
+    produce BIT-IDENTICAL doubles on a seeded batch including the
+    decimal ties where plain ROUND diverges between engines."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    rng = random.Random(42)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(500)]
+    vals += [0.11625, -0.11625, 2.675, -2.675, 0.5, -0.5, 0.00005, 1e-9, 0.0]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    spark_r = [r.r for r in sdf.select(round_det(F.col("x"), 4).alias("r")).collect()]
+    con = duckdb.connect()
+    duck_r = [
+        row[0]
+        for row in con.execute(
+            "SELECT floor(x * 1e4 + 0.5) / 1e4 FROM (SELECT unnest(?) AS x)",
+            [vals],
+        ).fetchall()
+    ]
+    con.close()
+    assert spark_r == duck_r
+
+
+def test_hex_to_int_spark_duckdb_parity(spark):
+    """Spark's conv(substring(md5(s), 1, 12), 16, 10) and the oracle's
+    strpos-arithmetic hex parser produce identical integers — the
+    foundation of every minhash/simhash/winnowing oracle."""
+    from pyspark.sql import functions as F
+
+    # the registry module must import first: queries_llm participates in
+    # a registration cycle that only resolves through queries.py
+    from confluent_kafka_streams_examples_spark import queries  # noqa: F401
+    from confluent_kafka_streams_examples_spark.queries_llm import _hex_to_int_sql
+
+    strs = [f"token-{i} with spaces and unicode £{i}" for i in range(200)] + [""]
+    sdf = spark.createDataFrame([(s,) for s in strs], "s string")
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10).cast("long")
+    spark_r = [r.h for r in sdf.select(h.alias("h")).collect()]
+    con = duckdb.connect()
+    duck_r = [
+        row[0]
+        for row in con.execute(
+            f"SELECT {_hex_to_int_sql('md5(s)', 1, 12)} FROM (SELECT unnest(?) AS s)",
+            [strs],
+        ).fetchall()
+    ]
+    con.close()
+    assert spark_r == duck_r

@@ -520,6 +520,7 @@ _VERIFY_FIRST = [
     "events_concurrent_degree_salted", "lm_unigram_score",
     "dedup_cluster_representatives", "corpus_chunk_documents",
     "bpe_pair_counts", "doc_winnow_fingerprints",
+    "dedup_lsh_recall_eval",
     # body changed this round (conditional _spread before the fold):
     # must re-verify even though r4-green
     "dedup_cdc_chunks",

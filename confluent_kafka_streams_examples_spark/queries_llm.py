@@ -223,6 +223,87 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {_NGRAM_MAX_DF}),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE floor((shared / (sa.n_sh + sb.n_sh - shared)) * 1e4 + 0.5) / 1e4
+            >= 0.4),
+    hashed AS (
+      SELECT doc_id,
+             {_hex_to_int_sql('md5(s)', 1, 12)} AS h1,
+             {_hex_to_int_sql('md5(s)', 13, 12)} AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    hit AS (SELECT t.id_a, t.id_b FROM truth t JOIN cand c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           floor((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE) * 1e4 + 0.5)
+             / 1e4 AS recall,
+           floor((SELECT count(*) FROM hit)
+                 / CAST((SELECT count(*) FROM cand) AS DOUBLE) * 1e4 + 0.5)
+             / 1e4 AS precision
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator quality eval — the measurement every
+    production dedup pipeline needs before trusting its bands: recall
+    and precision of the MinHash-LSH candidate pairs against exact
+    n-gram-Jaccard ground truth (threshold 0.4, same max_df cap).  The
+    ann_recall_eval of the text-dedup path.
+
+    Scale note: exact ground truth is only computable on a sample at
+    100 TB — run this query on a hash-bucketed corpus sample
+    (corpus_split_assignment's bucketing) and the recall estimate is
+    unbiased; the LSH side's cost is the same sublinear band join as
+    production.  One row out; both pair sets reduce to counts via
+    broadcast-joinable frames."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.4, max_df=_NGRAM_MAX_DF
+    ).select("id_a", "id_b")
+    cand = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS
+    )
+    hit = truth.join(cand, ["id_a", "id_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    )
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    return counts.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        round_det(F.col("n_hit") / F.col("n_truth").cast("double"), 4).alias("recall"),
+        round_det(F.col("n_hit") / F.col("n_cand").cast("double"), 4).alias(
+            "precision"
+        ),
+    )
+
+
 #: deterministic "daily batch" split: md5 bucket of doc_id < 10 => the
 #: new 10%; the rest plays the role of the already-deduped corpus
 _INC_BUCKET_SQL = f"{_hex_to_int_sql('md5(CAST(doc_id AS VARCHAR))', 1, 4)} % 100"

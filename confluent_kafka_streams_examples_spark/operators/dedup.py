@@ -39,9 +39,12 @@ def _spread(df: DataFrame) -> DataFrame:
     from a shuffle: the analyzed logical plan's root is walked through
     partitioning-preserving nodes (Project/Filter/SubqueryAlias) and
     the spread is skipped iff the first real node is itself
-    shuffle-producing (Aggregate / RepartitionByExpression /
-    Deduplicate — each hash-partitions its output over
-    shuffle.partitions).  The check must be the ROOT's provenance, not
+    shuffle-producing: Aggregate / Deduplicate (each hash-partitions
+    its output over shuffle.partitions), or a RepartitionByExpression
+    whose partition count is the default or >= target — an explicit
+    ``repartition(2, key)`` is exactly the under-parallel shape the
+    spread exists to fix, so a small explicit count does NOT skip.
+    The check must be the ROOT's provenance, not
     a containment scan of the tree: a broadcast join with an aggregate
     on its BUILD side contains an Aggregate yet leaves the probe side
     on the scan's partitioning (exactly the clean-corpus pipeline's
@@ -86,12 +89,17 @@ def _spread(df: DataFrame) -> DataFrame:
             "SubqueryAlias",
         ):
             node = node.children().apply(0)
-        if node.getClass().getSimpleName() in (
-            "Aggregate",
-            "RepartitionByExpression",
-            "Deduplicate",
-        ):
+        name = node.getClass().getSimpleName()
+        if name in ("Aggregate", "Deduplicate"):
             return df
+        if name == "RepartitionByExpression":
+            # only evidence of parallelism when the partition count is
+            # the default (shuffle.partitions) or an explicit count
+            # >= target — repartition(2, key) is exactly the
+            # under-parallel shape the spread exists to fix
+            opt = node.optNumPartitions()
+            if (not opt.isDefined()) or opt.get() >= target:
+                return df
     except Exception:
         pass  # non-JVM-backed frames: safe default is the spread
     return df.repartition(target)

@@ -119,7 +119,18 @@ def keyless_band_pairs(
     materializes; pre-salting avoids planning it at all).  Cost: S x
     probe replication, so use it when one cell dwarfs the mean, not by
     default.  Results are salt-invariant (asserted in tests/test_skew.py
-    against a thundering-herd fixture)."""
+    against a thundering-herd fixture).
+
+    ``cell`` may only be >= ``window``: with a narrower cell a pair's
+    endpoints can sit 2+ cells apart and the 3-cell probe replication
+    would silently miss it, so that configuration raises instead of
+    returning incomplete results."""
+    if cell is not None and cell < window:
+        raise ValueError(
+            f"cell ({cell}) must be >= window ({window}): a narrower cell "
+            "lets qualifying pairs land 2+ cells apart, outside the 3-cell "
+            "probe replication — the join would silently drop them"
+        )
     cell_size = cell or window
     e = df.select(F.col(id_col), F.col(t_col))
     cell_of = F.floor(F.col(t_col) / F.lit(cell_size)).cast("long")

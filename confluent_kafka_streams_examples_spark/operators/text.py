@@ -160,38 +160,54 @@ def unigram_lm_scores(
     in-corpus, so the MLE is smoothing-free here; feeding held-out text
     would need the usual add-k on the vocab frame).
 
-    Returns (id, n_tokens, score_micro, avg_logp): per-(doc, token)
-    partials are micronized to integers BEFORE the per-document sum
-    (float addition is not associative; integer addition is), so the
-    result is bitwise reproducible across engines and shuffle orders —
-    the same trick bm25_rank uses.
+    Returns (id, n_tokens, score_micro, avg_logp).  Determinism: the
+    log-prob is quantized to integer micro-units ONCE PER VOCABULARY
+    ENTRY (floor(ln p * 1e6 + 0.5)); per-document scores are then
+    exact integer arithmetic (count x quantized logp, summed), so
+    shuffle order can never change the result.  The residual
+    cross-engine exposure is a last-ulp ln() divergence between Spark
+    and the oracle engine landing within ~1e-9 of a floor boundary —
+    a per-VOCAB-ENTRY event (quantizing after the c-multiply would
+    amplify it by c per (doc, token) row instead).
 
     Scale shape: token counts collapse map-side, so both the per-doc
     and vocab shuffles carry (key, count) pairs bounded by vocabulary,
     not corpus length; the corpus total joins back as a broadcast
     1-rower; the logprob table joins on the token key (AQE broadcasts
     it while the vocabulary fits, falls back to a hash join keyed on
-    the token when it doesn't).  Nothing re-reads text after the first
-    tokenize.  No pre-spread: the explode feeds a map-side partial
-    count whose output is vocabulary-sized, so a parallelizing shuffle
-    of raw text costs more than the single-threaded stage it saves
-    (A/B-measured 0.65s vs 0.48s at sf0.1)."""
+    the token when it doesn't).  ``tc`` is persisted because three
+    subtrees reference it (per-doc scores, vocabulary, corpus total)
+    and Spark has no cross-reference CSE — without the persist the
+    corpus would be read and tokenized three times.  No pre-spread:
+    the explode feeds a map-side partial count whose output is
+    vocabulary-sized, so a parallelizing shuffle of raw text costs
+    more than the single-threaded stage it saves (A/B-measured 0.65s
+    vs 0.48s at sf0.1)."""
+    from pyspark.storagelevel import StorageLevel
+
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
-    tc = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    tc = (
+        tok.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vocab = tc.groupBy("token").agg(F.sum("c").alias("cw"))
     total = vocab.agg(F.sum("cw").alias("total"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
         "token",
-        F.log(F.col("cw") / F.col("total").cast("double")).alias("logp"),
+        F.floor(
+            F.log(F.col("cw") / F.col("total").cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
     )
     scored = tc.join(logp, "token").select(
         F.col(id_col),
         F.col("c"),
-        F.floor(F.col("c") * F.col("logp") * F.lit(1e6) + F.lit(0.5))
-        .cast("bigint")
-        .alias("sm"),
+        (F.col("c") * F.col("lp_micro")).cast("bigint").alias("sm"),
     )
     per_doc = scored.groupBy(id_col).agg(
         F.sum("c").cast("bigint").alias("n_tokens"),

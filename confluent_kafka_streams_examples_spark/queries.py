@@ -530,11 +530,13 @@ _VERIFY_FIRST = [
     #     query breaking on regenerated parquet).  The new-query head
     #     above displaces the tail of this cohort from the 50-entry
     #     window (multimodal_features — stub-decode plumbing, lowest
-    #     regeneration risk — plus whatever falls past slot 50:
-    #     currently ann_recall_eval, embedding_kmeans_fixed,
-    #     top_terms_per_source, boilerplate_chunks); the displaced
-    #     names stay r3-green with unchanged bodies and lead the r6
-    #     rotation.
+    #     regeneration risk — plus the EIGHT that fall past slot 50
+    #     with the 12-entry head: quality_repetition_signals,
+    #     shipping_priority, source_overlap_matrix,
+    #     duplicate_rate_by_source, ann_recall_eval,
+    #     embedding_kmeans_fixed, top_terms_per_source,
+    #     boilerplate_chunks); the displaced names stay r3-green with
+    #     unchanged bodies and MUST lead the r6 rotation.
     "stream_stream_window_join", "ktable_latest", "stream_table_join",
     "agg_running_total", "user_sessions", "json_props_extract",
     "ktable_filter_extract", "agg_pricing_summary", "windowed_hopping",

@@ -277,14 +277,23 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus_split_assignment's bucketing) and the recall estimate is
     unbiased; the LSH side's cost is the same sublinear band join as
     production.  One row out; both pair sets reduce to counts via
-    broadcast-joinable frames."""
+    broadcast-joinable frames.  Both pair tables are persisted: each is
+    referenced twice (the hit join and its own count) and Spark has no
+    cross-reference CSE — without the persist the expensive shingle
+    self-join and band join would each run twice."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    truth = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.4, max_df=_NGRAM_MAX_DF
-    ).select("id_a", "id_b")
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.4, max_df=_NGRAM_MAX_DF
+        )
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hit = truth.join(cand, ["id_a", "id_b"])
     counts = (
         truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
@@ -1065,11 +1074,12 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
     vocab AS (SELECT token, sum(c) AS cw FROM tc GROUP BY token),
     tot AS (SELECT sum(cw) AS total FROM vocab),
-    logp AS (SELECT token, ln(cw / CAST(total AS DOUBLE)) AS logp
+    logp AS (SELECT token,
+                    CAST(floor(ln(cw / CAST(total AS DOUBLE)) * 1000000.0
+                               + 0.5) AS BIGINT) AS lp_micro
              FROM vocab, tot),
     scored AS (
-      SELECT tc.doc_id, tc.c,
-             CAST(floor(tc.c * l.logp * 1000000.0 + 0.5) AS BIGINT) AS sm
+      SELECT tc.doc_id, tc.c, CAST(tc.c * l.lp_micro AS BIGINT) AS sm
       FROM tc JOIN logp l ON tc.token = l.token),
     per_doc AS (
       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -1085,9 +1095,12 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity-style quality score per document
     (operators/text.py unigram_lm_scores): mean ln p(token) under the
     corpus's own unigram distribution — the statistical gate between
-    ratio heuristics and a neural scorer.  Integer-micronized partial
-    scores make the per-doc sum order-independent (bm25's trick), so
-    the DuckDB oracle is bit-exact."""
+    ratio heuristics and a neural scorer.  Log-probs quantize to
+    integer micro-units once per vocabulary entry; per-document scores
+    are then exact integer arithmetic, so the result is shuffle-order
+    independent and the only cross-engine exposure is a last-ulp ln()
+    divergence landing within ~1e-9 of a floor boundary, bounded by
+    vocabulary size."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return text.unigram_lm_scores(docs, "doc_id", "text")
 

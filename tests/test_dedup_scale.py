@@ -81,8 +81,19 @@ def test_spread_skips_streaming_and_already_shuffled_inputs(spark, tmp_path):
     )
     assert dedup._spread(agged) is agged
 
-    keyed = spark.range(1000).repartition(4, F.col("id"))
+    target = spark.sparkContext.defaultParallelism
+    # default-count repartition(key) => shuffle.partitions: skip
+    keyed = spark.range(1000).repartition(F.col("id"))
     assert dedup._spread(keyed) is keyed
+    # explicit count >= target: skip
+    wide_keyed = spark.range(1000).repartition(target * 2, F.col("id"))
+    assert dedup._spread(wide_keyed) is wide_keyed
+    # explicit UNDER-parallel count: exactly the shape the spread
+    # exists to fix — must NOT skip
+    narrow_keyed = spark.range(1000).repartition(2, F.col("id"))
+    spread = dedup._spread(narrow_keyed)
+    assert spread is not narrow_keyed
+    assert spread.rdd.getNumPartitions() == target
 
 
 def test_simhash64_halves_fit_32_bits(spark, sf_dir):

@@ -323,3 +323,10 @@ def test_keyless_band_pairs_cell_override(spark):
     assert base == [(1, 2), (2, 1), (2, 3), (3, 2)]  # |dt|<=100 pairs, both directions
     assert pairs(cell=250) == base
     assert pairs(cell=250, salt_buckets=3) == base
+
+    # cell < window would let pairs land 2+ cells apart and silently
+    # vanish from the 3-cell replication — must raise, never drop rows
+    import pytest
+
+    with pytest.raises(ValueError, match="cell .* must be >= window"):
+        pairs(cell=50)

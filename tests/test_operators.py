@@ -330,3 +330,47 @@ def test_keyless_band_pairs_cell_override(spark):
 
     with pytest.raises(ValueError, match="cell .* must be >= window"):
         pairs(cell=50)
+
+
+def test_media_header_parsing_jvm_side(spark):
+    """Real container-format metadata from binary columns with zero
+    media libs and zero Python: PNG IHDR width/height (big-endian) and
+    WAV sample rate (little-endian), NULL on non-matching payloads —
+    and the plan stays whole-stage codegen (no Python eval)."""
+    import struct
+
+    from confluent_kafka_streams_examples_spark.operators.multimodal import (
+        parse_media_headers,
+        to_blob_table,
+    )
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+
+    def png(w, h):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+        return sig + ihdr
+
+    def wav(rate):
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+        )
+
+    rows = [
+        (1, png(640, 480)),
+        (2, png(16384, 2)),
+        (3, wav(44100)),
+        (4, wav(16000)),
+        (5, b"not a media file at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = parse_media_headers(to_blob_table(df, "media_id", "payload"))
+    got = {r.media_id: (r.png_width, r.png_height, r.wav_sample_rate) for r in out.collect()}
+    assert got[1] == (640, 480, None)
+    assert got[2] == (16384, 2, None)
+    assert got[3] == (None, None, 44100)
+    assert got[4] == (None, None, 16000)
+    assert got[5] == (None, None, None)
+    p = explain_str(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -341,3 +341,48 @@ def test_windowed_join_grace_admits_late_within_grace(spark, tmp_path):
             q.stop()
         got = {r["r_value"] for r in spark.sql(f"SELECT * FROM {qname}").collect()}
         assert got == expect, (grace, got)
+
+
+def test_keyless_band_join_runs_as_streaming_query(spark, tmp_path):
+    """The cell-bucket decomposition (operators/skew.py
+    keyless_band_pairs) is exactly what makes a KEYLESS temporal join
+    feasible as a stream-stream join: Spark requires an equality
+    predicate plus a watermark time-range for state cleanup, and the
+    quantized time cell supplies the equality where no key exists.
+    Two events within ±2s across ALL keys pair up; a far-apart event
+    pairs with nothing."""
+    src = str(tmp_path / "src")
+    write_batch(
+        spark,
+        src,
+        [("a", 1.0, ts(100)), ("b", 2.0, ts(101)), ("c", 3.0, ts(500))],
+    )
+    window_s = 2
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+
+    def side(alias_prefix, explode_cells):
+        s = stream.withWatermark("ts", "10 seconds")
+        cell = F.floor(F.unix_timestamp("ts") / window_s).cast("long")
+        if explode_cells:
+            s = s.withColumn(
+                "bucket", F.explode(F.array(cell - 1, cell, cell + 1))
+            )
+        else:
+            s = s.withColumn("bucket", cell)
+        return s.select(
+            F.col("key").alias(f"{alias_prefix}_key"),
+            F.col("ts").alias(f"{alias_prefix}_ts"),
+            "bucket",
+        )
+
+    probe, build = side("a", True), side("b", False)
+    joined = probe.join(
+        build,
+        (probe.bucket == build.bucket)
+        & (F.col("a_ts") >= F.col("b_ts") - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("a_ts") <= F.col("b_ts") + F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("a_key") != F.col("b_key")),
+    ).select("a_key", "b_key")
+    rows = run_stream(spark, joined, tmp_path, mode="append")
+    got = sorted((r.a_key, r.b_key) for r in rows)
+    assert got == [("a", "b"), ("b", "a")]

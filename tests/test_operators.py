@@ -374,3 +374,37 @@ def test_media_header_parsing_jvm_side(spark):
     assert got[5] == (None, None, None)
     p = explain_str(out)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Property over random documents (hypothesis-style, seeded batch):
+    every token position is covered by >= 1 chunk, chunk 0 always
+    exists, consecutive chunks overlap by exactly chunk_size - stride
+    token positions (except a shorter final chunk), and no emitted
+    chunk is fully contained in its predecessor."""
+    import random
+
+    from confluent_kafka_streams_examples_spark.operators.text import chunk_documents
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(1, 400))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunk_size, stride = 64, 48
+    out = chunk_documents(df, chunk_size=chunk_size, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_chunk_tokens))
+    for doc_id, text in rows:
+        n = len(text.split(" "))
+        chunks = sorted(by_doc[doc_id])
+        assert chunks[0][0] == 0  # chunk 0 always exists
+        covered = set()
+        for idx, ct in chunks:
+            start = idx * stride
+            assert ct == min(chunk_size, n - start)  # counts exact
+            assert ct > (chunk_size - stride) or idx == 0  # no redundant tail
+            covered |= set(range(start, start + ct))
+        assert covered == set(range(n)), (doc_id, n, chunks)

@@ -436,3 +436,24 @@ def test_cdc_chunking_is_map_side(spark):
         if ln.strip().startswith("(") and "Exchange" in ln and "AQEShuffleRead" not in ln
     )
     assert n_exchange <= 3, p
+
+
+def test_query_index_is_fresh():
+    """QUERIES.md is generated from the registry; a stale index (query
+    added without regenerating) fails here rather than rotting."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).parent.parent
+    current = (root / "QUERIES.md").read_text()
+    regenerated = subprocess.run(
+        [sys.executable, str(root / "scripts" / "gen_query_index.py")],
+        capture_output=True,
+        text=True,
+        cwd=root,
+        check=True,
+    ).stdout
+    assert current == regenerated, (
+        "QUERIES.md is stale: run `python scripts/gen_query_index.py > QUERIES.md`"
+    )

@@ -45,15 +45,22 @@ def test_dimension_joins_broadcast(spark):
         assert "SortMergeJoin" not in p, f"{name}: no dim join may shuffle the fact side\n{p}"
 
 
-def test_no_cartesian_products(spark):
-    for name in [
-        "stream_stream_window_join",
-        "dedup_embedding_cosine",
-        "dedup_ngram_jaccard",
-        "similarity_pairs_label",
-    ]:
-        p = plan(spark, name)
-        assert "CartesianProduct" not in p, f"{name} plans a cartesian product\n{p}"
+def test_no_cartesian_products_anywhere(spark):
+    """EVERY registered query must plan without a CartesianProduct —
+    a registry-wide structural guarantee, not a hand-picked sample.
+    (BroadcastNestedLoopJoin is allowed: the scalar-aggregate and
+    tiny-codebook cross joins are deliberate broadcast products of
+    1-to-k-row frames.)"""
+    offenders = {}
+    for name in QUERIES:
+        try:
+            p = plan(spark, name)
+        except Exception as exc:  # plan construction itself must work
+            offenders[name] = f"plan construction failed: {exc}"
+            continue
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+    assert not offenders, offenders
 
 
 def test_windowed_join_is_keyed_join(spark):

@@ -46,11 +46,14 @@ def test_dimension_joins_broadcast(spark):
 
 
 def test_no_cartesian_products_anywhere(spark):
-    """EVERY registered query must plan without a CartesianProduct —
-    a registry-wide structural guarantee, not a hand-picked sample.
+    """EVERY registered query must plan without a CartesianProduct and
+    without a row-at-a-time Python UDF (BatchEvalPython) — the
+    registry-wide structural form of two claims the docs make.
     (BroadcastNestedLoopJoin is allowed: the scalar-aggregate and
     tiny-codebook cross joins are deliberate broadcast products of
-    1-to-k-row frames.)"""
+    1-to-k-row frames.  Arrow-vectorized Python — ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas — is allowed: that is the
+    sanctioned slow path.)"""
     offenders = {}
     for name in QUERIES:
         try:
@@ -60,6 +63,8 @@ def test_no_cartesian_products_anywhere(spark):
             continue
         if "CartesianProduct" in p:
             offenders[name] = "CartesianProduct"
+        if "BatchEvalPython" in p:
+            offenders[name] = "row-at-a-time Python UDF (BatchEvalPython)"
     assert not offenders, offenders
 
 

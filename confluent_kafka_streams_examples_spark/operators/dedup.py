@@ -258,6 +258,90 @@ def winnow_fingerprints(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans — substring-level
+    exact dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022: their suffix-array ExactSubstr
+    pass, re-expressed as a shuffle-bounded n-gram pipeline).  Doc-level
+    dedup (exact/MinHash/containment above) misses the boilerplate
+    paragraph pasted into thousands of otherwise-unique pages; this
+    finds it and reports WHERE it is, so a cleaning pass can cut the
+    span instead of dropping the document.
+
+    Algorithm: positional word ``n``-grams -> an n-gram is *duplicated*
+    when it occurs in >= ``min_docs`` DISTINCT documents -> per
+    document, merge duplicated positions into maximal spans
+    (gaps-and-islands: a new island starts when the next duplicated
+    position is > ``n`` past the previous one, i.e. the grams no longer
+    overlap or touch).  Output one row per span:
+    (id, span_start, span_end, span_tokens), token positions 1-based.
+    Every span is >= ``n`` tokens by construction.
+
+    Scale shape: three keyed exchanges, no quadratic stage —
+    (1) partial-agg on the 8-byte gram hash counting distinct docs
+    (count-distinct partials, never a gram->doc_id list); (2) the
+    semi-join of positions against the duplicated-gram set (same key,
+    so AQE plans it off the same exchange); (3) one window shuffle on
+    doc id carrying ONLY duplicated positions — volume tracks the
+    duplication actually present, not corpus size.  The gram hash is
+    xxhash64 (8 bytes; collisions 2^-64 — the hash never reaches the
+    output).  At 100 TB the dominant cost is exchange (1) at one row
+    per token occurrence; to sample it down, winnow_fingerprints is the
+    index-size lever, at the cost of span-boundary resolution."""
+    tok = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (
+        _spread(df)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            F.col(id_col),
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("gram").alias("h"),
+        )
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = pos.join(dup, "h", "left_semi").select(id_col, "pos")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)
+    ).otherwise(F.lit(1))
+    run = W.partitionBy(id_col).orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        hits.withColumn("brk", brk)
+        .withColumn("isle", F.sum("brk").over(run))
+        .groupBy(id_col, "isle")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("bigint").alias("span_end"),
+            (F.max("pos") + n - F.min("pos")).cast("bigint").alias("span_tokens"),
+        )
+        .drop("isle")
+    )
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: one row per distinct text with the representative
     (minimum) id and the duplicate count.  Single hash-shuffle on the

@@ -127,6 +127,51 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_duplicate_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, u.i AS pos,
+             concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3],
+                       tk[i + 4]) AS g
+      FROM toks, unnest(range(1, greatest(len(tk) - 3, 1))) u(i)
+      WHERE len(tk) - i >= 4),
+    dup AS (SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isle
+      FROM isl)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, isle
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (operators/dedup.py duplicate_spans):
+    maximal token spans whose 5-grams occur in >= 2 distinct documents —
+    the Lee-et-al. ExactSubstr pass that doc-level dedup structurally
+    misses (a boilerplate paragraph shared by thousands of otherwise
+    unique pages).  Reports WHERE the duplication is, so cleaning can
+    cut the span, not the document.  Shuffle volume: one partial-agg on
+    8-byte gram hashes, then only the duplicated positions ever reach
+    the per-document merge window."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
+
+
 _MH = 16
 _BANDS = 4
 

@@ -184,3 +184,43 @@ def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
     # sampling: fingerprints per doc well under the shingle count
     n_shingles_1 = len(rows[0][1].split()) - 2
     assert len(by_doc[1]) < n_shingles_1
+
+
+def test_duplicate_spans_merges_overlapping_grams_and_ignores_unique_text(spark):
+    """A 8-token passage shared by two docs must come back as ONE
+    maximal span per doc (its four 5-gram hits merge), positioned
+    1-based inside each doc; intra-doc repetition alone (one document
+    repeating itself) must NOT create a span."""
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8"  # 8 tokens -> 4 positional 5-grams
+    rows = [
+        (1, f"u1a u1b {passage} u1c"),              # passage at tokens 3..10
+        (2, f"{passage} u2a u2b u2c"),              # passage at tokens 1..8
+        (3, "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5"),       # repeats only itself
+        (4, "short doc"),                            # < n tokens: no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    assert got == {1: (3, 10, 8), 2: (1, 8, 8)}
+
+
+def test_duplicate_spans_does_not_bridge_distant_hits(spark):
+    """Two shared 5-grams separated by more than n unique tokens must
+    stay two separate spans, not merge across the gap."""
+    a = "s1 s2 s3 s4 s5"
+    b = "t1 t2 t3 t4 t5"
+    gap = "g1 g2 g3 g4 g5 g6 g7"  # 7 > n
+    rows = [
+        (1, f"{a} {gap} {b}"),
+        (2, f"{a} other words here {b} trailing bits pad"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    assert (1, 1, 5) in spans and (1, 13, 17) in spans
+    assert (2, 1, 5) in spans and (2, 9, 13) in spans
+    assert len([s for s in spans if s[0] == 1]) == 2

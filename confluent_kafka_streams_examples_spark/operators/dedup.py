@@ -342,6 +342,63 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level corpus cleaning: cut every cross-document duplicated
+    span (``duplicate_spans`` above) out of every document instead of
+    dropping whole documents — the second half of the Lee-et-al.
+    ExactSubstr recipe.  Returns one row per input document:
+    (id, n_tokens, n_removed, clean_hash) where ``clean_hash`` is the
+    md5 of the surviving tokens joined by single spaces (the cleaned
+    body itself never needs to leave the executors — downstream
+    consumers re-derive it the same way, so the driver-facing contract
+    carries 32 bytes per doc).
+
+    Plan shape: the span table groups per document (collect_list of a
+    per-doc HANDFUL of (start, end) structs — bounded by text length /
+    n, not corpus size), LEFT-joins back to the corpus on the id, and
+    the token filter is a map-side array filter with an ``exists``
+    probe against the span array.  Documents with no duplicated span
+    pay the join probe and nothing else."""
+    spans = duplicate_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    tok = F.split(F.col(text_col), " ")
+    indexed = F.transform(
+        tok, lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast(
+                    "array<struct<span_start:bigint,span_end:bigint>>"
+                ),
+            ),
+            lambda sp: (x["p"] >= sp["span_start"])
+            & (x["p"] <= sp["span_end"]),
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(tok).cast("bigint").alias("n_tokens"),
+            (F.size(tok) - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws(" ", F.transform(kept, lambda x: x["t"]))
+            ).alias("clean_hash"),
+        )
+    )
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: one row per distinct text with the representative
     (minimum) id and the duplicate count.  Single hash-shuffle on the

@@ -521,6 +521,7 @@ _VERIFY_FIRST = [
     "dedup_cluster_representatives", "corpus_chunk_documents",
     "bpe_pair_counts", "doc_winnow_fingerprints",
     "dedup_lsh_recall_eval", "dedup_duplicate_spans", "semdedup_prune",
+    "dedup_span_removal", "similarity_pq_adc",
     # body changed this round (conditional _spread before the fold):
     # must re-verify even though r4-green
     "dedup_cdc_chunks",
@@ -530,14 +531,15 @@ _VERIFY_FIRST = [
     #     query breaking on regenerated parquet).  The new-query head
     #     above displaces the tail of this cohort from the 50-entry
     #     window (multimodal_features — stub-decode plumbing, lowest
-    #     regeneration risk — plus the TEN that fall past slot 50
-    #     with the 14-entry head: quality_repetition_signals,
+    #     regeneration risk — plus the TWELVE that fall past slot 50
+    #     with the 16-entry head: scd2_user_history,
+    #     merge_upsert_balances, similarity_ann_lsh,
+    #     embedding_centroids, quality_repetition_signals,
     #     shipping_priority, source_overlap_matrix,
     #     duplicate_rate_by_source, ann_recall_eval,
     #     embedding_kmeans_fixed, top_terms_per_source,
-    #     boilerplate_chunks, similarity_ann_lsh, embedding_centroids);
-    #     the displaced names stay r3-green with unchanged bodies and
-    #     MUST lead the r6 rotation.
+    #     boilerplate_chunks); the displaced names stay r3-green with
+    #     unchanged bodies and MUST lead the r6 rotation.
     "stream_stream_window_join", "ktable_latest", "stream_table_join",
     "agg_running_total", "user_sessions", "json_props_extract",
     "ktable_filter_extract", "agg_pricing_summary", "windowed_hopping",

@@ -1238,6 +1238,142 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_pq_adc",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id AS code, embedding::DOUBLE[] AS c
+           FROM embeddings WHERE vec_id < 16),
+    sub AS (
+      SELECT a.vec_id, cb.code, u.s,
+             CAST(floor(list_sum(list_transform(range(1, 9),
+                  d -> (a.v[u.s * 8 + d] - cb.c[u.s * 8 + d])
+                     * (a.v[u.s * 8 + d] - cb.c[u.s * 8 + d]))) * 1e6
+                  + 0.5) AS BIGINT) AS dm
+      FROM v a CROSS JOIN cb CROSS JOIN unnest(range(0, 8)) u(s)),
+    enc AS (SELECT vec_id, s, code FROM (
+              SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY dm, code) AS rn
+              FROM sub) WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, s, code, dm FROM sub
+            WHERE vec_id < 5),
+    adc AS (SELECT l.query_id, e.vec_id,
+                   CAST(sum(l.dm) AS BIGINT) AS adc_micro
+            FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+            WHERE e.vec_id != l.query_id GROUP BY 1, 2)
+    SELECT query_id, vec_id, adc_micro FROM (
+      SELECT adc.*, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_micro, vec_id) AS rn
+      FROM adc) WHERE rn <= 3
+    """,
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric-distance top-k (Jegou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011) — the memory-side half of every billion-vector ANN stack:
+    64-dim vectors split into M=8 subspaces of 8 dims; each subspace
+    quantized against a 16-codeword sub-codebook (deterministic
+    training set: vec_id < 16), so a vector stores as 8 small codes
+    instead of 64 doubles (64x compression here, 512x at float32/256
+    codewords).  Search is ADC: the RAW query builds a per-subspace
+    lookup table of distances to every codeword (Q x 8 x 16 — tiny,
+    broadcast), and each database vector's distance is 8 integer table
+    lookups summed — no float math touches the corpus scan.
+
+    Scale shape: codebook fan-out is a 16-row broadcast; encoding is
+    ONE partial-agg shuffle of per-vector argmin partials; the ADC scan
+    is map-side (broadcast LUT + array lookups) into a WindowGroupLimit
+    top-k — the same brute-force-over-codes layout FAISS IVFADC uses
+    inside each probed list, and it composes with the IVF partition
+    pruning here (similarity_ivf_pruned) unchanged.  All distances are
+    integer micros BEFORE any summation: bitwise-identical across
+    engines and shuffle orders."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("embedding").cast("array<double>").alias("c"),
+    )
+
+    def subdists(vcol, ccol):
+        def sq(i):
+            return (F.element_at(vcol, i) - F.element_at(ccol, i)) * (
+                F.element_at(vcol, i) - F.element_at(ccol, i)
+            )
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda s: F.floor(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(8)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + sq(s * 8 + d),
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+
+    paired = vecs.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "code", subdists(F.col("v"), F.col("c")).alias("darr")
+    )
+    aggs = [
+        F.min(
+            F.struct(
+                F.element_at("darr", s + 1).alias("dm"),
+                F.col("code").alias("code"),
+            )
+        ).alias(f"m{s}")
+        for s in range(8)
+    ]
+    codes = (
+        paired.groupBy("vec_id")
+        .agg(*aggs)
+        .select(
+            "vec_id",
+            F.array(*[F.col(f"m{s}.code") for s in range(8)]).alias("codes"),
+        )
+    )
+    lut = (
+        vecs.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "v")
+        .crossJoin(F.broadcast(cb))
+        .select("query_id", "code", subdists(F.col("v"), F.col("c")).alias("darr"))
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "darr"))).alias("pairs"))
+        .select(
+            "query_id", F.transform("pairs", lambda p: p["darr"]).alias("lut")
+        )
+    )
+    adc = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "adc_micro",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(7)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.element_at(
+                        F.col("lut"), F.element_at(F.col("codes"), s + 1) + 1
+                    ),
+                    s + 1,
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "adc_micro")
+    )
+
+
+@query(
     "events_concurrent_degree",
     oracle="""
     WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events)

@@ -127,11 +127,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_duplicate_spans",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-                  FROM documents),
+#: shared oracle CTE chain: maximal cross-document duplicated 5-gram
+#: spans over ``documents`` (gaps-and-islands over duplicated positions)
+_SPAN_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+             FROM documents),
     grams AS (
       SELECT doc_id, u.i AS pos,
              concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3],
@@ -151,12 +151,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS UNBOUNDED PRECEDING) AS isle
-      FROM isl)
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + 4 AS BIGINT) AS span_end,
-           CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
-    FROM grp GROUP BY doc_id, isle
+      FROM isl),
+    spans AS (
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 4 AS BIGINT) AS span_end,
+             CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
+      FROM grp GROUP BY doc_id, isle)
+"""
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH {_SPAN_CTE}
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
     """,
 )
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +179,37 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-document merge window."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return dedup.duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH {_SPAN_CTE},
+    pos AS (SELECT doc_id, u.p, tk[p] AS tok
+            FROM toks, unnest(range(1, len(tk) + 1)) u(p)),
+    rem AS (SELECT DISTINCT p.doc_id, p.p
+            FROM pos p JOIN spans s
+              ON p.doc_id = s.doc_id
+             AND p.p BETWEEN s.span_start AND s.span_end)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(r.p) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN r.p IS NULL THEN p.tok END,
+                                   ' ' ORDER BY p.p), '')) AS clean_hash
+    FROM pos p LEFT JOIN rem r ON p.doc_id = r.doc_id AND p.p = r.p
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level corpus cleaning (operators/dedup.py
+    remove_duplicate_spans): cut the duplicated spans out of every
+    document — keep the document.  One row per input doc with token
+    counts before/removed and the md5 of the cleaned body (32 bytes to
+    the driver, never the text).  The map-side array filter does the
+    surgery; only the tiny (start, end) span structs ever join back to
+    the corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.remove_duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
 
 
 _MH = 16

@@ -224,3 +224,74 @@ def test_duplicate_spans_does_not_bridge_distant_hits(spark):
     assert (1, 1, 5) in spans and (1, 13, 17) in spans
     assert (2, 1, 5) in spans and (2, 9, 13) in spans
     assert len([s for s in spans if s[0] == 1]) == 2
+
+
+def test_span_removal_full_and_partial_and_untouched_docs(spark):
+    """remove_duplicate_spans keeps every input row: a fully-duplicated
+    doc cleans to the EMPTY body (md5('') — the COALESCE contract the
+    oracle mirrors), a partial overlap loses exactly the span tokens,
+    and a unique doc passes through with its original body hash."""
+    import hashlib
+
+    shared = "c1 c2 c3 c4 c5 c6"
+    rows = [
+        (1, shared),                      # the whole doc is the span
+        (2, f"u1 u2 {shared} u3 u4"),     # span embedded in unique text
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8"),   # untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_hash)
+        for r in dedup.remove_duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (6, 6, md5(""))
+    assert got[2] == (10, 6, md5("u1 u2 u3 u4"))
+    assert got[3] == (8, 0, md5(rows[2][1]))
+
+
+def test_duplicate_spans_matches_python_reference_on_random_corpus(spark):
+    """Property over random documents (seeded batch): the Spark span set
+    equals a brute-force Python reference — positional 5-grams, 'in >= 2
+    distinct docs' duplicate rule, gap-<=-n island merge — on a small
+    token alphabet dense enough to force real cross-document collisions,
+    intra-doc repetition, and boundary spans."""
+    import random
+
+    rng = random.Random(13)
+    n = 5
+    rows = [
+        (i, " ".join(f"w{rng.randrange(12)}" for _ in range(rng.randrange(1, 40))))
+        for i in range(50)
+    ]
+
+    # pure-python reference
+    gram_docs: dict[tuple, set] = {}
+    positions = {}
+    for doc_id, txt in rows:
+        tk = txt.split(" ")
+        ps = [(p + 1, tuple(tk[p : p + n])) for p in range(len(tk) - n + 1)]
+        positions[doc_id] = ps
+        for _, g in ps:
+            gram_docs.setdefault(g, set()).add(doc_id)
+    expected = set()
+    for doc_id, _ in rows:
+        hits = sorted(p for p, g in positions[doc_id] if len(gram_docs[g]) >= 2)
+        run = []
+        for p in hits:
+            if run and p - run[-1] <= n:
+                run.append(p)
+            else:
+                if run:
+                    expected.add((doc_id, run[0], run[-1] + n - 1))
+                run = [p]
+        if run:
+            expected.add((doc_id, run[0], run[-1] + n - 1))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert expected, "fixture must generate duplicated spans"
+    assert got == expected

@@ -469,3 +469,28 @@ def test_query_index_is_fresh():
     assert current == regenerated, (
         "QUERIES.md is stale: run `python scripts/gen_query_index.py > QUERIES.md`"
     )
+
+
+def test_pq_adc_plan_discipline(spark):
+    """PQ/ADC: every corpus-side join must broadcast (the 16-row
+    codebook and the Q-row LUT — never a shuffle join of the corpus
+    against either), and the final top-k must plan WindowGroupLimit so
+    the per-query rank-limit is applied before the exchange."""
+    p = plan(spark, "similarity_pq_adc")
+    assert "SortMergeJoin" not in p, f"codebook/LUT must broadcast\n{p}"
+    assert "WindowGroupLimit" in p, p
+
+
+def test_duplicate_spans_no_text_in_hash_exchanges(spark):
+    """Span detection: every hash exchange carries (id, pos, gram-hash)
+    rows, never the document text.  (The conditional _spread repartition
+    is RoundRobin and local-scan-only, so it is excluded: at cluster
+    scale the input splits make it a no-op.)"""
+    p = plan(spark, "dedup_duplicate_spans")
+    exchanges = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert exchanges, p
+    assert not any("text#" in ln for ln in exchanges), exchanges

@@ -295,3 +295,21 @@ def test_duplicate_spans_matches_python_reference_on_random_corpus(spark):
     }
     assert expected, "fixture must generate duplicated spans"
     assert got == expected
+
+
+def test_duplicate_spans_min_docs_threshold_path(spark):
+    """min_docs > 2 takes the count-distinct fallback path: a gram in
+    exactly 2 docs no longer qualifies, one in 3 does."""
+    tri = "a1 a2 a3 a4 a5"
+    duo = "b1 b2 b3 b4 b5"
+    rows = [
+        (1, f"{tri} x1 {duo}"),
+        (2, f"{tri} y1 y2 y3 y4 y5 y6"),
+        (3, f"{tri} z1 {duo} z2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, "doc_id", "text", n=5, min_docs=3).collect()
+    }
+    assert got == {(1, 1, 5), (2, 1, 5), (3, 1, 5)}

@@ -521,7 +521,7 @@ _VERIFY_FIRST = [
     "dedup_cluster_representatives", "corpus_chunk_documents",
     "bpe_pair_counts", "doc_winnow_fingerprints",
     "dedup_lsh_recall_eval", "dedup_duplicate_spans", "semdedup_prune",
-    "dedup_span_removal", "similarity_pq_adc",
+    "dedup_span_removal", "similarity_pq_adc", "pq_recall_eval",
     # body changed this round (conditional _spread before the fold):
     # must re-verify even though r4-green
     "dedup_cdc_chunks",
@@ -531,9 +531,9 @@ _VERIFY_FIRST = [
     #     query breaking on regenerated parquet).  The new-query head
     #     above displaces the tail of this cohort from the 50-entry
     #     window (multimodal_features — stub-decode plumbing, lowest
-    #     regeneration risk — plus the TWELVE that fall past slot 50
-    #     with the 16-entry head: scd2_user_history,
-    #     merge_upsert_balances, similarity_ann_lsh,
+    #     regeneration risk — plus the THIRTEEN that fall past slot 50
+    #     with the 17-entry head: dedup_embedding_cosine,
+    #     scd2_user_history, merge_upsert_balances, similarity_ann_lsh,
     #     embedding_centroids, quality_repetition_signals,
     #     shipping_priority, source_overlap_matrix,
     #     duplicate_rate_by_source, ann_recall_eval,

@@ -1237,10 +1237,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_pq_adc",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+#: shared PQ oracle CTE chain: 8x16 sub-codebooks, per-vector codes,
+#: per-query integer-micro LUT, ADC distances for vec_id < 5 queries
+_PQ_CTE = """
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cb AS (SELECT vec_id AS code, embedding::DOUBLE[] AS c
            FROM embeddings WHERE vec_id < 16),
     sub AS (
@@ -1261,6 +1261,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(l.dm) AS BIGINT) AS adc_micro
             FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
             WHERE e.vec_id != l.query_id GROUP BY 1, 2)
+"""
+
+
+@query(
+    "similarity_pq_adc",
+    oracle=f"""
+    WITH {_PQ_CTE}
     SELECT query_id, vec_id, adc_micro FROM (
       SELECT adc.*, row_number() OVER (PARTITION BY query_id
                                        ORDER BY adc_micro, vec_id) AS rn
@@ -1288,6 +1295,12 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning here (similarity_ivf_pruned) unchanged.  All distances are
     integer micros BEFORE any summation: bitwise-identical across
     engines and shuffle orders."""
+    return _pq_adc_topk(spark, sf_dir, k=3)
+
+
+def _pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """The PQ/ADC pipeline shared by similarity_pq_adc and its recall
+    eval: (query_id, vec_id, adc_micro) top-k rows per query."""
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1368,8 +1381,85 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
     return (
         adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "adc_micro")
+    )
+
+
+@query(
+    "pq_recall_eval",
+    oracle=f"""
+    WITH {_PQ_CTE},
+    exact AS (
+      SELECT q.vec_id AS query_id, a.vec_id,
+             CAST(floor(list_sum(list_transform(range(1, 65),
+                  d -> (a.v[d] - q.v[d]) * (a.v[d] - q.v[d]))) * 1e6
+                  + 0.5) AS BIGINT) AS dmicro
+      FROM v a JOIN v q ON q.vec_id < 5 AND a.vec_id != q.vec_id),
+    truth3 AS (SELECT query_id, vec_id FROM (
+      SELECT exact.*, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dmicro, vec_id) AS rn
+      FROM exact) WHERE rn <= 3),
+    pq3 AS (SELECT query_id, vec_id FROM (
+      SELECT adc.*, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_micro, vec_id) AS rn
+      FROM adc) WHERE rn <= 3)
+    SELECT t.query_id,
+           CAST(count(p.vec_id) AS BIGINT) AS hits,
+           floor(count(p.vec_id) / 3.0 * 1e4 + 0.5) / 1e4 AS recall_at_3
+    FROM truth3 t LEFT JOIN pq3 p
+      ON t.query_id = p.query_id AND t.vec_id = p.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality eval closing the ANN measurement triad
+    (LSH -> dedup_lsh_recall_eval, IVF probe -> ann_recall_eval,
+    PQ -> here): recall@3 of the ADC top-k against EXACT L2 ground
+    truth — the number that decides codebook size and M before a PQ
+    index ships.  Ground truth is one batched corpus scan (5-row query
+    broadcast, exact distances integer-micronized, ties to the smaller
+    vec_id — the same determinism contract as the ADC side); at 100 TB
+    the exact pass runs over a corpus sample and the recall estimate
+    stays unbiased while the PQ side scans codes, exactly like
+    production recall monitoring."""
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dmicro = F.floor(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy("dmicro", "vec_id")
+    truth3 = (
+        vecs.crossJoin(F.broadcast(q))  # 5-row broadcast: batch ground truth
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dmicro", dmicro)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id")
+    )
+    pq3 = _pq_adc_topk(spark, sf_dir, k=3).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        truth3.join(pq3, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").cast("bigint").alias("hits"),
+            round_det(F.count("_hit") / F.lit(3.0), 4).alias("recall_at_3"),
+        )
     )
 
 

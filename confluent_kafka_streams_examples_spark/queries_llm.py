@@ -127,38 +127,45 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: shared oracle CTE chain: maximal cross-document duplicated 5-gram
-#: spans over ``documents`` (gaps-and-islands over duplicated positions)
-_SPAN_CTE = """
-    toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-             FROM documents),
-    grams AS (
+def _span_cte(rel: str, p: str = "") -> str:
+    """Oracle CTE chain over relation ``rel(doc_id, text)``: maximal
+    cross-document duplicated 5-gram spans (gaps-and-islands over
+    duplicated positions).  ``p`` prefixes every CTE name so the chain
+    can be embedded in WITH blocks that already bind toks/sh/etc."""
+    return f"""
+    {p}toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+             FROM {rel}),
+    {p}grams AS (
       SELECT doc_id, u.i AS pos,
              concat_ws(' ', tk[i], tk[i + 1], tk[i + 2], tk[i + 3],
                        tk[i + 4]) AS g
-      FROM toks, unnest(range(1, greatest(len(tk) - 3, 1))) u(i)
+      FROM {p}toks, unnest(range(1, greatest(len(tk) - 3, 1))) u(i)
       WHERE len(tk) - i >= 4),
-    dup AS (SELECT g FROM grams GROUP BY g
+    {p}dup AS (SELECT g FROM {p}grams GROUP BY g
             HAVING count(DISTINCT doc_id) >= 2),
-    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
-    isl AS (
+    {p}hits AS (SELECT doc_id, pos FROM {p}grams JOIN {p}dup USING (g)),
+    {p}isl AS (
       SELECT doc_id, pos,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
                                             ORDER BY pos) <= 5
                   THEN 0 ELSE 1 END AS brk
-      FROM hits),
-    grp AS (
+      FROM {p}hits),
+    {p}grp AS (
       SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS UNBOUNDED PRECEDING) AS isle
-      FROM isl),
-    spans AS (
+      FROM {p}isl),
+    {p}spans AS (
       SELECT doc_id,
              CAST(min(pos) AS BIGINT) AS span_start,
              CAST(max(pos) + 4 AS BIGINT) AS span_end,
              CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
-      FROM grp GROUP BY doc_id, isle)
+      FROM {p}grp GROUP BY doc_id, isle)
 """
+
+
+#: the default span chain over the raw documents table
+_SPAN_CTE = _span_cte("documents")
 
 
 @query(
@@ -1007,10 +1014,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "pipeline_clean_corpus",
-    oracle=f"""
-    WITH RECURSIVE
+#: clean-corpus oracle chain (quality gate -> exact dedup -> LSH
+#: candidates -> connected components); terminal CTE ``kept`` holds the
+#: surviving (doc_id, text) rows.  Requires WITH RECURSIVE.
+_CLEAN_CORPUS_CTE = f"""
     tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
     stats AS (SELECT doc_id, sum(c) AS n_tokens,
@@ -1040,10 +1047,20 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT DISTINCT a, a FROM sym
       UNION
       SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node),
-    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
-    SELECT qe.doc_id, qe.text
-    FROM qe LEFT JOIN comp c ON qe.doc_id = c.node
-    WHERE COALESCE(c.cluster, qe.doc_id) = qe.doc_id
+    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+    kept AS (
+      SELECT qe.doc_id, qe.text
+      FROM qe LEFT JOIN comp c ON qe.doc_id = c.node
+      WHERE COALESCE(c.cluster, qe.doc_id) = qe.doc_id)
+"""
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLEAN_CORPUS_CTE}
+    SELECT doc_id, text FROM kept
     """,
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,6 +1078,100 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return clean_corpus(docs)
+
+
+@query(
+    "pipeline_training_export",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLEAN_CORPUS_CTE},
+    {_span_cte('kept', 'x').strip().rstrip()},
+    xpos AS (SELECT doc_id, u.p
+             FROM xtoks, unnest(range(1, len(tk) + 1)) u(p)),
+    xrem AS (SELECT DISTINCT p.doc_id, p.p
+             FROM xpos p JOIN xspans s
+               ON p.doc_id = s.doc_id
+              AND p.p BETWEEN s.span_start AND s.span_end),
+    sized AS (
+      SELECT t.doc_id,
+             {_hex_to_int_sql("md5(CAST(t.doc_id AS VARCHAR))", 1, 4)} % 8
+               AS bucket,
+             len(t.tk) - COALESCE(r.nrem, 0) AS n_tok
+      FROM xtoks t
+      LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM xrem
+                 GROUP BY doc_id) r
+        ON t.doc_id = r.doc_id
+      WHERE len(t.tk) - COALESCE(r.nrem, 0) > 0),
+    packed AS (
+      SELECT doc_id, bucket, n_tok,
+             CAST(floor(COALESCE(sum(n_tok) OVER (
+                    PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 512.0) AS BIGINT) AS seq_id
+      FROM sized)
+    SELECT bucket, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed GROUP BY bucket, seq_id
+    """,
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL raw-corpus -> trainer-batches path as one composed
+    declarative plan, every stage individually oracle-verified
+    elsewhere: Gopher-style quality gate -> exact dedup -> MinHash-LSH
+    near-dup dedup (pipeline.clean_corpus) -> cross-document
+    duplicated-SPAN removal over the survivors
+    (dedup.remove_duplicate_spans) -> fixed-budget sequence packing
+    (512 tokens, 8 md5-sharded packing workers, doc-preserving greedy
+    concat).  Output: one row per packed training sequence.
+
+    Stage order is the scale story: each stage shrinks or compresses
+    what the next one reads — gates before shingles, doc-level dedup
+    before span analysis, and packing sees only (id, token-count)
+    pairs.  Fully-boilerplate documents (all tokens inside duplicated
+    spans) drop out before packing.  Catalyst prunes the unused
+    clean-hash projection from the span stage, so no text ever
+    reconstructs; the whole pipeline is one lazy plan.  The oracle
+    replays all five stages in a single WITH RECURSIVE chain over the
+    same views."""
+    from confluent_kafka_streams_examples_spark.pipeline import clean_corpus
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    cleaned = clean_corpus(docs)
+    scrubbed = dedup.remove_duplicate_spans(
+        cleaned, "doc_id", "text", n=5, min_docs=2
+    )
+    sized = scrubbed.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("long")
+            % 8
+        ).alias("bucket"),
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.select(
+        "doc_id",
+        "bucket",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(512.0))
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
 
 
 @query(

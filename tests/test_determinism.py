@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pytest
 from hypothesis import given, settings, strategies as st
 
 
@@ -108,3 +109,34 @@ def test_hex_to_int_spark_duckdb_parity(spark):
     ]
     con.close()
     assert spark_r == duck_r
+
+
+_R5_QUERIES = [
+    "dedup_duplicate_spans",
+    "dedup_span_removal",
+    "semdedup_prune",
+    "similarity_pq_adc",
+    "pq_recall_eval",
+    "pipeline_training_export",
+]
+
+
+@pytest.mark.parametrize("name", _R5_QUERIES)
+def test_round5_queries_shuffle_partition_invariant(spark, name):
+    """Same-engine determinism the cross-engine oracle cannot witness:
+    rerunning under a different shuffle partitioning (different
+    summation orders, different window partition packing) must give the
+    IDENTICAL row set — the integer-micronization / rounded-before-sum
+    contracts at work."""
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows_3 = sorted(map(repr, QUERIES[name](spark, SF_SMOKE).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        rows_37 = sorted(map(repr, QUERIES[name](spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows_3 == rows_37

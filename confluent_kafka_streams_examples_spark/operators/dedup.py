@@ -264,6 +264,7 @@ def duplicate_spans(
     text_col: str,
     n: int = 5,
     min_docs: int = 2,
+    spread: bool = True,
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans — substring-level
     exact dedup (Lee et al., "Deduplicating Training Data Makes
@@ -297,7 +298,15 @@ def duplicate_spans(
     xxhash64 (8 bytes; collisions 2^-64 — the hash never reaches the
     output).  At 100 TB the dominant cost is the gram exchange at one
     row per token occurrence; to sample it down, winnow_fingerprints
-    is the index-size lever, at the cost of span-boundary resolution."""
+    is the index-size lever, at the cost of span-boundary resolution.
+
+    ``spread=False`` skips the conditional input repartition for
+    callers that KNOW their input is already wide (e.g. a fresh
+    repartition upstream).  Measure before using it: on a local run the
+    clean-corpus composition got SLOWER with it (4.4s vs 3.7s at sf0.1)
+    because AQE had coalesced the upstream join's output to a handful
+    of partitions, single-threading the gram explode — the exact shape
+    the spread exists to fix."""
     tok = F.split(F.col(text_col), " ")
     grams = F.when(
         F.size(tok) >= n,
@@ -309,7 +318,7 @@ def duplicate_spans(
         ),
     ).otherwise(F.array().cast("array<string>"))
     pos = (
-        _spread(df)
+        (_spread(df) if spread else df)
         .select(F.col(id_col), F.posexplode(grams).alias("pos0", "gram"))
         .select(
             F.col(id_col),
@@ -362,6 +371,7 @@ def remove_duplicate_spans(
     text_col: str,
     n: int = 5,
     min_docs: int = 2,
+    spread: bool = True,
 ) -> DataFrame:
     """Span-level corpus cleaning: cut every cross-document duplicated
     span (``duplicate_spans`` above) out of every document instead of
@@ -379,7 +389,9 @@ def remove_duplicate_spans(
     the token filter is a map-side array filter with an ``exists``
     probe against the span array.  Documents with no duplicated span
     pay the join probe and nothing else."""
-    spans = duplicate_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    spans = duplicate_spans(
+        df, id_col, text_col, n=n, min_docs=min_docs, spread=spread
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

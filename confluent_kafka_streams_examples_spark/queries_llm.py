@@ -1140,6 +1140,11 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     cleaned = clean_corpus(docs)
+    # spread stays ON even though clean_corpus ends in a shuffle join:
+    # AQE coalesces the survivors' small shuffle partitions down to a
+    # handful, which would single-thread the gram explode (measured
+    # 3.7s vs 4.4s at sf0.1 with spread off); at cluster scale the
+    # join partitions stay wide and the spread is a cheap no-op
     scrubbed = dedup.remove_duplicate_spans(
         cleaned, "doc_id", "text", n=5, min_docs=2
     )

@@ -313,3 +313,19 @@ def test_duplicate_spans_min_docs_threshold_path(spark):
         for r in dedup.duplicate_spans(df, "doc_id", "text", n=5, min_docs=3).collect()
     }
     assert got == {(1, 1, 5), (2, 1, 5), (3, 1, 5)}
+
+
+def test_duplicate_spans_hot_boilerplate_gram(spark):
+    """Thundering-herd shape for the window path: a boilerplate sentence
+    present in EVERY document puts all its gram occurrences in one
+    window group (the min/max streaming-aggregate hot key).  Every doc
+    must come back with exactly the boilerplate span, and the unique
+    surroundings must stay out of it."""
+    boiler = "all rights reserved by the owner"  # 6 tokens -> grams at 3,4
+    rows = [(i, f"u{i}a u{i}b {boiler} u{i}c u{i}d") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    assert got == {i: (3, 8) for i in range(200)}

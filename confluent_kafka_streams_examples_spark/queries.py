@@ -522,7 +522,7 @@ _VERIFY_FIRST = [
     "bpe_pair_counts", "doc_winnow_fingerprints",
     "dedup_lsh_recall_eval", "dedup_duplicate_spans", "semdedup_prune",
     "dedup_span_removal", "similarity_pq_adc", "pq_recall_eval",
-    "pipeline_training_export",
+    "pipeline_training_export", "user_retention_cohorts",
     # body changed this round (conditional _spread before the fold):
     # must re-verify even though r4-green
     "dedup_cdc_chunks",
@@ -532,8 +532,9 @@ _VERIFY_FIRST = [
     #     query breaking on regenerated parquet).  The new-query head
     #     above displaces the tail of this cohort from the 50-entry
     #     window (multimodal_features — stub-decode plumbing, lowest
-    #     regeneration risk — plus the FOURTEEN that fall past slot 50
-    #     with the 18-entry head: value_percentiles, dedup_embedding_cosine,
+    #     regeneration risk — plus the FIFTEEN that fall past slot 50
+    #     with the 19-entry head: distinct_daily_users,
+    #     value_percentiles, dedup_embedding_cosine,
     #     scd2_user_history, merge_upsert_balances, similarity_ann_lsh,
     #     embedding_centroids, quality_repetition_signals,
     #     shipping_priority, source_overlap_matrix,

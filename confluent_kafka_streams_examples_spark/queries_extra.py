@@ -1464,6 +1464,55 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+               FROM events),
+    first AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS week_offset
+      FROM e JOIN first f ON e.user_id = f.user_id)
+    SELECT cohort_wk, week_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_wk, week_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users bucketed by their FIRST active week (epoch-week integer, no
+    calendar semantics so both engines agree bit-for-bit), counted as
+    active at each week offset since.  One row per (cohort_week,
+    week_offset).
+
+    Scale shape: everything keys on user_id — the first-week aggregate,
+    the self-enrichment join (same key, so AQE plans it off the shared
+    exchange), and the DISTINCT collapse all co-partition; the final
+    matrix aggregate is a partial-agg shuffle of (cohort, offset,
+    count) partials bounded by weeks^2, not events.  No window over the
+    raw stream, no quadratic stage.  Reference analog: groupByKey +
+    aggregate over a derived key (AggregationsExample.scala:36-41),
+    generalized to a two-level rollup."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    e = ev.select(
+        "user_id",
+        (epoch_us("ts") / F.lit(604800000000)).cast("long").alias("wk"),
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_wk", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@query(
     "events_concurrent_degree",
     oracle="""
     WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events)

@@ -494,3 +494,18 @@ def test_duplicate_spans_no_text_in_hash_exchanges(spark):
     ]
     assert exchanges, p
     assert not any("text#" in ln for ln in exchanges), exchanges
+
+
+def test_training_export_no_text_in_any_exchange(spark):
+    """The five-stage training-export capstone: NO exchange anywhere in
+    the composed plan may carry the document text column — the quality
+    gate reduces text to token stats in the scan, dedup stages ship
+    hashes, the span stage ships (id, pos, gram-hash), and packing ships
+    (id, token-count).  Text crossing an exchange anywhere would be a
+    100 TB shuffle of the raw corpus."""
+    p = plan(spark, "pipeline_training_export")
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert exchanges, p
+    assert not any("text#" in ln for ln in exchanges), [
+        ln for ln in exchanges if "text#" in ln
+    ]

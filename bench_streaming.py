@@ -154,6 +154,25 @@ def _p_tumbling(spark, left, right):
     )
 
 
+def _p_session(spark, left, right):
+    # session windows are the one stateful pillar with MERGING state:
+    # adjacent sessions coalesce when a row bridges their gap, so the
+    # store path differs from tumbling's fixed buckets
+    from confluent_kafka_streams_examples_spark.operators.windows import session_agg
+
+    return (
+        session_agg(
+            _read(spark, left).withWatermark("ts", "10 seconds"),
+            "ts",
+            "5 seconds",
+            ["key"],
+            F.sum("value").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "append",
+    )
+
+
 PIPELINES = [
     ("latest_per_key", _p_latest, N_ROWS),
     ("windowed_join", _p_join, N_ROWS + N_ROWS // 2),
@@ -161,6 +180,7 @@ PIPELINES = [
     ("running_total", _p_total, N_ROWS),
     ("dedup_within_watermark", _p_dedup, N_ROWS),
     ("tumbling_agg", _p_tumbling, N_ROWS),
+    ("session_agg", _p_session, N_ROWS),
 ]
 
 

@@ -386,3 +386,23 @@ def test_keyless_band_join_runs_as_streaming_query(spark, tmp_path):
     rows = run_stream(spark, joined, tmp_path, mode="append")
     got = sorted((r.a_key, r.b_key) for r in rows)
     assert got == [("a", "b"), ("b", "a")]
+
+
+def test_streaming_bench_pipelines_construct(spark, tmp_path):
+    """Every bench_streaming pipeline factory must still build a valid
+    streaming plan against a tiny fixture — catches bitrot in the
+    throughput-bench script (which otherwise only runs ad hoc) without
+    draining its 2M-row input."""
+    import importlib
+
+    bs = importlib.import_module("bench_streaming")
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    rows = [("k1", 1.0), ("k2", 2.0), ("k1", 3.0)]
+    for path in (left, right):
+        spark.createDataFrame(rows, "key string, value double").selectExpr(
+            "key", "value", "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,value) AS ts"
+        ).write.mode("overwrite").parquet(path)
+    for name, factory, _rows in bs.PIPELINES:
+        df, mode = factory(spark, left, right)
+        assert df.isStreaming, name
+        assert mode in ("append", "update"), (name, mode)

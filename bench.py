@@ -16,7 +16,7 @@ import sys
 import time
 
 from confluent_kafka_streams_examples_spark.queries import QUERIES
-from confluent_kafka_streams_examples_spark.session import get_spark
+from confluent_kafka_streams_examples_spark.session import get_spark, release_caches
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -58,7 +58,7 @@ def main() -> None:
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
                 break
             finally:
-                spark.catalog.clearCache()  # no cross-query contamination
+                release_caches(spark)  # no cross-query cache accumulation
         # nudge the JVM between queries: accumulated codegen/broadcast
         # garbage from earlier queries otherwise taxes later ones
         # (measured ~2x on sub-second map-only queries deep in a

@@ -1493,9 +1493,12 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over a derived key (AggregationsExample.scala:36-41),
     generalized to a two-level rollup."""
     ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    # floor(), not cast('long'): the cast truncates toward zero, which
+    # diverges from the oracle's integer floor division for pre-1970
+    # (negative-epoch) timestamps.  floor matches DuckDB `//` exactly.
     e = ev.select(
         "user_id",
-        (epoch_us("ts") / F.lit(604800000000)).cast("long").alias("wk"),
+        F.floor(epoch_us("ts") / F.lit(604800000000)).cast("long").alias("wk"),
     )
     first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     activity = (

@@ -107,6 +107,25 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Registry-level cache teardown.
+
+    Several queries ``persist()`` an intermediate (MinHash signatures,
+    IVF bucket assignments, shared-shingle counts, ...) because the plan
+    reuses it on two branches.  The persist is scoped to the QUERY, not
+    the session: a long-lived session running many registered queries
+    must release those blocks after each result is consumed, or the
+    executor storage pool accumulates one cache per persisting query.
+
+    ``Catalog.clearCache`` drains Spark's CacheManager, which owns every
+    ``DataFrame.persist``/``cache`` entry as well as cached tables, so a
+    single call releases everything a query pinned.  ``bench.py`` calls
+    this after every rep; external harnesses that collect query results
+    should do the same between queries.
+    """
+    spark.catalog.clearCache()
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so users can drive the engine
     through ``spark.sql(...)`` — Catalyst produces the same plans as the

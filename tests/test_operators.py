@@ -408,3 +408,21 @@ def test_chunk_documents_coverage_property(spark):
             assert ct > (chunk_size - stride) or idx == 0  # no redundant tail
             covered |= set(range(start, start + ct))
         assert covered == set(range(n)), (doc_id, n, chunks)
+
+
+def test_release_caches_drains_query_persists(spark, sf_dir):
+    """Persisting queries (LSH signatures, IVF assignments, ...) must not
+    leak storage blocks into a long-lived session: release_caches() after
+    consuming a result drains Spark's CacheManager entirely — the
+    registry-level teardown contract bench.py (and any external harness)
+    relies on."""
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+    from confluent_kafka_streams_examples_spark.session import release_caches
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    release_caches(spark)  # start clean regardless of earlier tests
+    assert cm.isEmpty()
+    QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert not cm.isEmpty()  # the query really does pin blocks
+    release_caches(spark)
+    assert cm.isEmpty()

@@ -439,37 +439,41 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
+def kept_shingle_lists(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    threshold: float = 0.4,
     max_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard via inverted-index join.
+    """(shingle, ids: sorted array<id>) — the hot-capped inverted index
+    in POSTING-LIST form, the shared (and persisted) subplan of the
+    whole exact-overlap family (Jaccard, containment, LSH recall eval).
 
-    shingle-join produces only pairs sharing >= 1 shingle (never an
-    all-pairs product); Jaccard = shared / (|A| + |B| - shared).
+    ``max_df`` is the hot-shingle guard: shingles appearing in more
+    than ``max_df`` distinct documents are dropped BEFORE posting lists
+    are built.  Without it one ubiquitous spam n-gram creates a
+    quadratic pair bucket — at 100 TB that single hot key is the whole
+    job's runtime.  The cap is also the AGGREGATION-BUFFER bound: every
+    posting list is <= ``max_df`` elements, so no collect ever sees a
+    hot key.  ``max_df=None`` keeps every shingle (exact overlap over
+    the full space) and is only safe on corpora known to have no hot
+    shingles — production always sets the cap.
 
-    ``max_df`` is the hot-shingle guard: shingles appearing in more than
-    ``max_df`` documents are dropped BEFORE the self-join (sizes and
-    shared counts are both computed over the kept shingle space, so the
-    Jaccard stays internally consistent).  Without it one ubiquitous
-    spam n-gram creates a quadratic join bucket — at 100 TB that single
-    hot key is the whole job's runtime.  The heavy-hitter set is
-    bounded above by total_shingles / max_df, so the anti-join side is
-    tiny and AQE turns it into a broadcast.  ``max_df=None`` disables
-    the cap (exact Jaccard over the full shingle space).
+    Shuffle ledger (the reason this exists): ONE pass over the raw
+    shingle explosion into a persisted distinct index, a hot-set
+    aggregate read from that cache (the heavy-hitter set is bounded by
+    total_shingles / max_df, so the cap applies as a broadcast
+    anti-join — map-side, never a shuffle, and no collect buffer ever
+    sees a hot key), then ONE collect_list shuffle into capped posting
+    lists.  The previous per-scorer pipeline instead shuffled the
+    capped index TWICE more through an inverted-index self-join; every
+    downstream quantity — document sizes, shared counts, candidate
+    pairs — now derives from this one persisted table map-side.
+    Lists are keyed on xxhash64(shingle), so the shuffles carry 8-byte
+    longs instead of n-gram text (collision odds over 2^64 are noise
+    next to the thresholds' own sensitivity).
     """
-    # Self-joins evaluate their input subplan once PER REFERENCE (Spark
-    # has no cross-reference CSE), so materialize the shingle table once.
-    # MEMORY_AND_DISK: at 100 TB this spills instead of OOMing — and the
-    # shingle set is the natural checkpoint candidate for repeated passes.
-    # The self-join keys on xxhash64(shingle), not the shingle string:
-    # the shuffle carries 8-byte longs instead of n-gram text and the
-    # join compares longs (collision odds over 2^64 are noise next to
-    # the 0.4 threshold's own sensitivity).
     sh = shingle_hashes(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -480,40 +484,102 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # rows are already distinct per (shingle, id), so collect_list (no
+    # per-key set dedup) suffices; array_sort makes the i<j pair
+    # expansion downstream emit ordered pairs by construction
+    return (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def shared_shingle_counts(lists: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, shared, n_a, n_b) — every document pair sharing at
+    least one kept shingle, with the shared-shingle count and both
+    kept-shingle set sizes.  Jaccard and containment are projections of
+    this one table: jaccard = shared/(n_a+n_b-shared), containment =
+    shared/min-side — so ONE pair shuffle serves every scorer built on
+    the same ``kept_shingle_lists`` index.
+
+    Pairs are expanded map-side from each posting list (i<j over the
+    sorted array — exactly len*(len-1)/2 structs, bounded by the
+    ``max_df`` cap), then partially aggregated into per-pair counts:
+    cost tracks sum(df_i^2) over kept shingles, the same candidate set
+    an inverted-index self-join produces, without shuffling the index
+    twice through a join.  Sizes come from the same persisted lists; at
+    test scale AQE broadcasts the (one-row-per-doc) size table into the
+    final enrichment joins."""
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    )
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    sizes = (
+        lists.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return shared.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = 1000,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard over the kept shingle space.
+
+    Posting-list expansion produces only pairs sharing >= 1 shingle
+    (never an all-pairs product); Jaccard = shared / (|A| + |B| -
+    shared), with sizes and shared counts both computed over the SAME
+    kept shingle space so the score stays internally consistent.
+
+    ``counts`` lets a caller score several overlap measures off one
+    ``shared_shingle_counts`` table (one index build + one pair shuffle
+    for Jaccard AND containment); by default the index is built here.
+    """
+    if counts is None:
+        counts = shared_shingle_counts(
+            kept_shingle_lists(df, id_col, text_col, n, max_df), id_col
+        )
     jac = round_det(
         F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
     )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        counts.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
 def containment_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 1000,
     min_shingles: int = 5,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTIONAL containment C(A⊆B) = |A∩B| / |A| (Broder's
     containment, the asymmetric twin of Jaccard): emits ordered
@@ -523,46 +589,24 @@ def containment_pairs(
     Jaccard ~ 0.01 but containment ~ 1.0 — the embedded-duplicate /
     quotation / wrapper-page case in corpus dedup.
 
-    Same single inverted-index self-join as ngram_jaccard_pairs (one
-    shared-count shuffle keyed on 8-byte shingle hashes; ``max_df``
-    hot-shingle cap applied first), scored in both directions from the
-    one unordered shared count — the direction pass is a projection,
-    not a second join.  ``min_shingles`` guards the trivial numerator:
-    a 1-shingle doc is "contained" in everything sharing that shingle.
+    Same shared ``kept_shingle_lists`` + ``shared_shingle_counts``
+    subplan as ngram_jaccard_pairs (one pair shuffle keyed on 8-byte
+    shingle hashes; ``max_df`` hot-shingle cap applied first), scored
+    in both directions from the one unordered shared count — the
+    direction pass is a projection, not a second join.
+    ``min_shingles`` guards the trivial numerator: a 1-shingle doc is
+    "contained" in everything sharing that shingle.  ``counts`` lets a
+    caller reuse one shared-count table across scorers.
     """
-    sh = shingle_hashes(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
+    if counts is None:
+        counts = shared_shingle_counts(
+            kept_shingle_lists(df, id_col, text_col, n, max_df), id_col
         )
-        sh = sh.join(hot, "shingle", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     # the direction pass references this subtree TWICE (fwd + rev), and
     # Spark has no cross-reference CSE — persist the (pair, shared,
     # sizes) table (one row per candidate pair, tiny next to the
-    # shingle join that builds it) so the shared-count shuffle runs once
-    both = (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # index build) so the shared-count shuffle runs once
+    both = counts.persist(StorageLevel.MEMORY_AND_DISK)
     fwd = both.select(
         "id_a", "id_b", F.col("shared"), F.col("n_a").alias("n_small")
     )

@@ -292,3 +292,65 @@ def bm25_rank(
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(topk)
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_tok",
+    budget: int = 512,
+    shards: int | None = None,
+) -> DataFrame:
+    """Greedy doc-preserving sequence packing: assign each document
+    (with a precomputed token count ``size_col``) to the fixed-budget
+    training sequence its cumulative starting offset falls in.  Output
+    is the input plus (bucket, seq_id); a sequence may overrun the
+    budget by at most one document's tail and never splits a document.
+
+    ``shards`` is the packing-parallelism knob: documents are split
+    into that many deterministic md5 buckets (independent packing
+    workers — the window partitioning follows it directly), ordered by
+    id within a shard.  Default is the session's default parallelism,
+    so the packing window scales with the cluster instead of being a
+    hardcoded constant; pin it explicitly (as the registered queries
+    pin 8) when the assignment must be reproducible across cluster
+    sizes.  ONE shuffle (the window partition); the running offset is
+    an integer cumulative sum inside each shard.
+    """
+    from pyspark.sql import Window
+
+    if shards is None:
+        shards = df.sparkSession.sparkContext.defaultParallelism
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % shards
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = (
+        F.floor(
+            F.coalesce(F.sum(size_col).over(w), F.lit(0))
+            / F.lit(float(budget))
+        )
+        .cast("bigint")
+        .alias("seq_id")
+    )
+    return df.withColumn("bucket", bucket).select("*", seq)
+
+
+def pack_summary(packed: DataFrame, id_col: str = "doc_id", size_col: str = "n_tok") -> DataFrame:
+    """Per-sequence rollup of a ``pack_greedy`` assignment: doc count,
+    token count and id range per (bucket, seq_id) — partial-agg groupBy
+    on the packing keys (no further shuffle beyond the packing window's
+    own partitioning at cluster scale)."""
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

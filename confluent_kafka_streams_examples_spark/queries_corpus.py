@@ -438,38 +438,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE shuffle (window partitioned by bucket); the
     running offset is an integer cumulative sum inside each shard;
     everything downstream is a partial-agg groupBy on the same keys.
-    More shards = more parallelism — the shard count is the only knob,
-    and the assignment is reproducible on any engine or cluster size
-    (no rand, no partition-order dependence).  Per-sequence output
-    (doc counts, token counts, id range) is all-integer — exact
-    cross-engine hash contract."""
+    More shards = more parallelism — the shard count is the
+    ``pack_greedy(shards=)`` knob (operator default: the session's
+    parallelism); it is PINNED to 8 here only because the oracle
+    contract requires a reproducible assignment, and the assignment is
+    then reproducible on any engine or cluster size (no rand, no
+    partition-order dependence).  Per-sequence output (doc counts,
+    token counts, id range) is all-integer — exact cross-engine hash
+    contract."""
+    from confluent_kafka_streams_examples_spark.operators import text as text_ops
+
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     sized = docs.select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 8
-        ).alias("bucket"),
-        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = sized.select(
-        "doc_id",
-        "bucket",
-        "n_tok",
-        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(float(_PACK_BUDGET)))
-        .cast("bigint")
-        .alias("seq_id"),
-    )
-    return packed.groupBy("bucket", "seq_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("n_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    packed = text_ops.pack_greedy(sized, budget=_PACK_BUDGET, shards=8)
+    return text_ops.pack_summary(packed)
 
 
 # mixture sampling: keep-threshold in [0, 10000) per-10k hash units

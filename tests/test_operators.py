@@ -426,3 +426,34 @@ def test_release_caches_drains_query_persists(spark, sf_dir):
     assert not cm.isEmpty()  # the query really does pin blocks
     release_caches(spark)
     assert cm.isEmpty()
+
+
+def test_pack_greedy_shards_knob(spark):
+    """The packing shard count is an operator argument: the window
+    partitioning (md5 bucket) follows shards= directly, and the default
+    scales with the session's parallelism instead of a hardcoded 8."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.operators.text import (
+        pack_greedy,
+        pack_summary,
+    )
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+
+    df = spark.createDataFrame(
+        [(i, 100 + i % 7) for i in range(500)], ["doc_id", "n_tok"]
+    )
+    packed = pack_greedy(df, shards=16)
+    p = explain_str(packed)
+    assert "% 16)" in p, f"window bucket must follow shards=16\n{p}"
+    buckets = [r.bucket for r in packed.select("bucket").distinct().collect()]
+    assert 1 < len(buckets) <= 16 and max(buckets) < 16
+    # default: session parallelism, not a constant
+    dflt = pack_greedy(df)
+    n = spark.sparkContext.defaultParallelism
+    assert f"% {n})" in explain_str(dflt)
+    # budget semantics survive the refactor: no sequence starts past its
+    # cumulative offset bucket, and every doc appears exactly once
+    summ = pack_summary(packed).collect()
+    assert sum(r.n_docs for r in summ) == 500
+    assert all(r.n_tokens >= 1 for r in summ)

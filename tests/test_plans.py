@@ -335,9 +335,8 @@ def test_no_rdd_and_bounded_driver_collect_in_engine():
 def test_containment_reuses_persisted_pair_table(spark):
     """dedup_containment: the direction pass reads the persisted
     (pair, shared, sizes) table twice — both union branches must plan
-    InMemoryTableScan over the SAME cache (shared-count shuffle runs
-    once), the documents parquet is scanned once inside the cached
-    subtree, and nothing plans a cartesian product."""
+    InMemoryTableScan over the SAME cache (the materialized shared-count
+    artifact is read once), and nothing plans a cartesian product."""
     p = plan(spark, "dedup_containment")
     assert "CartesianProduct" not in p, p
     assert p.count("InMemoryTableScan") >= 2, (
@@ -509,3 +508,31 @@ def test_training_export_no_text_in_any_exchange(spark):
     assert not any("text#" in ln for ln in exchanges), [
         ln for ln in exchanges if "text#" in ln
     ]
+
+
+def test_overlap_family_reads_shared_counts_artifact(spark):
+    """dedup_ngram_jaccard, dedup_containment, and the truth side of
+    dedup_lsh_recall_eval must all score off the SAME materialized
+    shared-count artifact: one shingle shuffle serves the whole overlap
+    family.  Jaccard and containment therefore plan ZERO documents
+    scans (pure projections of the artifact); the recall eval scans
+    documents exactly once — for its MinHash-LSH candidate side."""
+    from confluent_kafka_streams_examples_spark.queries_llm import (
+        _overlap_counts_path,
+    )
+
+    expected = _overlap_counts_path(SF_SMOKE, 3, 100)
+    for name, n_doc_scans in (
+        ("dedup_ngram_jaccard", 0),
+        ("dedup_containment", 0),
+        ("dedup_lsh_recall_eval", 1),
+    ):
+        p = plan(spark, name)
+        assert "ckse_overlap_counts_" in p, f"{name} must read the artifact\n{p}"
+        docs = [ln for ln in p.splitlines() if "documents.parquet" in ln]
+        assert len(docs) == n_doc_scans, (
+            f"{name}: expected {n_doc_scans} documents scans\n{p}"
+        )
+    import os
+
+    assert os.path.exists(os.path.join(expected, "_SUCCESS"))

@@ -140,20 +140,84 @@ def wav_sample_rate(payload):
     return F.when(is_wav, rate).alias("wav_sample_rate")
 
 
+def jpeg_dimensions(payload) -> tuple:
+    """(width, height) parsed from a JPEG SOF marker — the third
+    ubiquitous container, same zero-codec substring/hex/conv technique
+    as PNG/WAV but with one twist: JPEG headers are a CHAIN of
+    variable-length segments (APPn, EXIF, quantization tables, ...)
+    that must be walked to reach the frame header.  The walk is a
+    BOUNDED fold: ``F.aggregate`` over a 16-element sequence hops
+    marker-to-marker (offset += 2 + big-endian segment length) until it
+    lands on SOF0/SOF1/SOF2 (baseline/extended/progressive), then reads
+    height/width as the big-endian words at SOF+5/SOF+7.  Sixteen hops
+    covers real-world files (JFIF + EXIF + a few DQT/DHT segments
+    before SOF); deeper pathological headers yield NULL, never an
+    error.  Everything is JVM-side expression evaluation — no Python,
+    no codec, runs at scan speed; NULL for payloads without the FFD8
+    signature or with a corrupt segment chain (E4 drop-don't-fail on
+    binary)."""
+    payload = F.col(payload) if isinstance(payload, str) else payload
+
+    def byte_at(pos):
+        return F.coalesce(
+            F.conv(F.hex(F.substring(payload, pos, 1)), 16, 10).cast("long"),
+            F.lit(-1),
+        )
+
+    is_jpeg = F.hex(F.substring(payload, 1, 2)) == "FFD8"
+    dead = F.struct(
+        F.lit(-1).cast("long").alias("off"), F.lit(-1).cast("long").alias("sof")
+    )
+
+    def hop(acc, _):
+        off, sof = acc["off"], acc["sof"]
+        marker = byte_at(off + 1)
+        seglen = byte_at(off + 2) * 256 + byte_at(off + 3)
+        return (
+            F.when((sof >= 0) | (off < 0), acc)  # found / dead: hold state
+            .when(byte_at(off) != 255, dead)  # not at a marker: corrupt
+            .when(
+                marker.isin(0xC0, 0xC1, 0xC2),  # SOF0/1/2 frame header
+                F.struct(off.alias("off"), off.alias("sof")),
+            )
+            .when(seglen < 2, dead)  # corrupt length
+            .otherwise(
+                F.struct(
+                    (off + 2 + seglen).alias("off"),
+                    F.lit(-1).cast("long").alias("sof"),
+                )
+            )
+        )
+
+    # offset 3 (1-based) = first marker after the 2-byte SOI
+    init = F.struct(
+        F.lit(3).cast("long").alias("off"), F.lit(-1).cast("long").alias("sof")
+    )
+    sof = F.aggregate(F.sequence(F.lit(1), F.lit(16)), init, hop)["sof"]
+    h = byte_at(sof + 5) * 256 + byte_at(sof + 6)
+    w = byte_at(sof + 7) * 256 + byte_at(sof + 8)
+    # the last dim byte present implies all earlier ones are too
+    ok = is_jpeg & (sof >= 0) & (byte_at(sof + 8) >= 0)
+    return (F.when(ok, w).alias("jpeg_width"), F.when(ok, h).alias("jpeg_height"))
+
+
 def parse_media_headers(blobs: DataFrame) -> DataFrame:
     """Typed header metadata for every blob, entirely JVM-side: PNG
-    dimensions and WAV sample rate (NULL where the magic bytes don't
-    match).  This is the non-stubbed half of the multimodal story —
+    dimensions, JPEG SOF dimensions and WAV sample rate (NULL where
+    the magic bytes don't match).  This is the non-stubbed half of the multimodal story —
     container-format metadata needs byte arithmetic, not codec
     libraries, so it runs in whole-stage codegen at any scale; only
     pixel/sample DECODE stays behind the decode_media gate."""
     w, h = png_dimensions(F.col("payload"))
+    jw, jh = jpeg_dimensions(F.col("payload"))
     return blobs.select(
         "media_id",
         "media_type",
         F.length("payload").cast("long").alias("byte_len"),
         w,
         h,
+        jw,
+        jh,
         wav_sample_rate(F.col("payload")),
     )
 

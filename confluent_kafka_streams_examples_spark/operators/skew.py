@@ -187,24 +187,36 @@ def write_bucketed(
     location are dropped first (Hadoop FS API — works for any storage
     scheme, not just local disk).
 
-    ``table_name`` must be UNQUALIFIED and resolves in the default
-    database: the orphan-location cleanup derives the path as
-    ``{warehouse.dir}/{name.lower()}``, which is only correct there — a
-    ``db.table`` name (or a session whose current database was switched)
-    would drop the wrong directory, so qualified names are rejected."""
+    The orphan location is resolved through the SESSION CATALOG's own
+    placement function (``defaultTablePath`` — the very API the write
+    path uses to place a managed table), so the cleanup targets exactly
+    the directory the subsequent ``saveAsTable`` will claim, for any
+    current database and any metastore; string-building
+    ``{warehouse.dir}/{name.lower()}`` remains only as a fallback for
+    catalogs that do not expose the API.
+
+    ``table_name`` must be UNQUALIFIED: a ``db.table`` name would need
+    identifier parsing the cleanup does not do, so it is rejected."""
     if "." in table_name:
         raise ValueError(
-            f"write_bucketed requires an unqualified default-database "
-            f"table name, got {table_name!r}: the orphan-location "
-            "cleanup string-builds {warehouse.dir}/{name} and would "
-            "target the wrong directory for a qualified name"
+            f"write_bucketed requires an unqualified table name, got "
+            f"{table_name!r}: the orphan-location cleanup does not "
+            "parse qualified identifiers and would target the wrong "
+            "directory"
         )
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
     sc = spark.sparkContext
     jvm = sc._jvm  # type: ignore[attr-defined]
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
+    try:
+        jcat = spark._jsparkSession.sessionState().catalog()  # type: ignore[attr-defined]
+        ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier.apply(
+            table_name
+        )
+        loc = jvm.org.apache.hadoop.fs.Path(jcat.defaultTablePath(ident))
+    except Exception:  # catalog without the API: derive the default layout
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
     fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
     fs.delete(loc, True)
     (

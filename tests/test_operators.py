@@ -357,21 +357,46 @@ def test_media_header_parsing_jvm_side(spark):
             + b"fmt " + struct.pack("<I", 16) + fmt
         )
 
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def jpeg(w, h, sof=0xC0, extra_segs=0):
+        # SOI + JFIF APP0 + optional filler segments + SOF
+        out = b"\xff\xd8" + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        for i in range(extra_segs):
+            out += seg(0xDB, bytes(64))  # DQT-sized filler
+        out += seg(sof, b"\x08" + struct.pack(">HH", h, w) + b"\x03")
+        return out
+
     rows = [
         (1, png(640, 480)),
         (2, png(16384, 2)),
         (3, wav(44100)),
         (4, wav(16000)),
         (5, b"not a media file at all"),
+        (6, jpeg(1920, 1080)),                      # baseline, JFIF then SOF0
+        (7, jpeg(320, 200, sof=0xC2, extra_segs=5)),  # progressive, deep chain
+        (8, jpeg(10, 10, extra_segs=40)),           # > hop bound -> NULL
+        (9, b"\xff\xd8\xff\xe0\x00"),               # truncated chain -> NULL
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = parse_media_headers(to_blob_table(df, "media_id", "payload"))
-    got = {r.media_id: (r.png_width, r.png_height, r.wav_sample_rate) for r in out.collect()}
-    assert got[1] == (640, 480, None)
-    assert got[2] == (16384, 2, None)
-    assert got[3] == (None, None, 44100)
-    assert got[4] == (None, None, 16000)
-    assert got[5] == (None, None, None)
+    got = {
+        r.media_id: (
+            r.png_width, r.png_height, r.jpeg_width, r.jpeg_height,
+            r.wav_sample_rate,
+        )
+        for r in out.collect()
+    }
+    assert got[1] == (640, 480, None, None, None)
+    assert got[2] == (16384, 2, None, None, None)
+    assert got[3] == (None, None, None, None, 44100)
+    assert got[4] == (None, None, None, None, 16000)
+    assert got[5] == (None, None, None, None, None)
+    assert got[6] == (None, None, 1920, 1080, None)
+    assert got[7] == (None, None, 320, 200, None)
+    assert got[8] == (None, None, None, None, None)
+    assert got[9] == (None, None, None, None, None)
     p = explain_str(out)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 

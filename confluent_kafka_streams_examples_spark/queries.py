@@ -511,37 +511,49 @@ from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,
 # ---------------------------------------------------------------------
 
 _VERIFY_FIRST = [
-    # --- round 5 head: the only two queries with NO driver-verified row
-    #     in any round (they registered after the r4 prefix froze) ---
-    "dedup_containment", "events_concurrent_degree",
-    # --- new this round: first oracle run (pre-slotted; ignored until
-    #     registered) ---
-    "similarity_ivf_dynamic", "dedup_incremental_persisted",
-    "events_concurrent_degree_salted", "lm_unigram_score",
-    "dedup_cluster_representatives", "corpus_chunk_documents",
-    "bpe_pair_counts", "doc_winnow_fingerprints",
-    "dedup_lsh_recall_eval", "dedup_duplicate_spans", "semdedup_prune",
-    "dedup_span_removal", "similarity_pq_adc", "pq_recall_eval",
+    # GENERATED by scripts/gen_verify_order.py (round 6) — do not
+    # hand-edit; regenerate after any query/helper change and paste.
+    # Head: changed since the r5-verified snapshot or never green.
+    "dedup_containment", "dedup_lsh_recall_eval",
     "pipeline_training_export", "user_retention_cohorts",
-    # body changed this round (conditional _spread before the fold):
-    # must re-verify even though r4-green
-    "dedup_cdc_chunks",
-    # --- r3-green queries not re-checked in the r4 window: rotate them
-    #     through r5 so every green row is at most one testdata
-    #     generation old (the r2 failure mode was exactly a stale-green
-    #     query breaking on regenerated parquet).  The new-query head
-    #     above displaces the tail of this cohort from the 50-entry
-    #     window (multimodal_features — stub-decode plumbing, lowest
-    #     regeneration risk — plus the FIFTEEN that fall past slot 50
-    #     with the 19-entry head: distinct_daily_users,
-    #     value_percentiles, dedup_embedding_cosine,
-    #     scd2_user_history, merge_upsert_balances, similarity_ann_lsh,
-    #     embedding_centroids, quality_repetition_signals,
-    #     shipping_priority, source_overlap_matrix,
-    #     duplicate_rate_by_source, ann_recall_eval,
-    #     embedding_kmeans_fixed, top_terms_per_source,
-    #     boilerplate_chunks); the displaced names stay r3-green with
-    #     unchanged bodies and MUST lead the r6 rotation.
+    "dedup_ngram_jaccard", "bucketed_revenue_by_priority",
+    "pack_sequences",
+    # Tail: oldest green first (the 16 r3-green names displaced
+    # from the r5 window lead, then the r4-green cohort).
+    "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
+    "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
+    "embedding_centroids", "quality_repetition_signals",
+    "shipping_priority", "source_overlap_matrix",
+    "duplicate_rate_by_source", "ann_recall_eval",
+    "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",
+    "multimodal_features", "basic_pipeline", "regional_revenue",
+    "windowed_tumbling", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_minhash_verify", "dedup_incremental", "dedup_simhash",
+    "dedup_simhash64", "similarity_topk_batch", "bm25_search",
+    "vocab_coverage", "pivot_event_counts", "similarity_ivf_probe",
+    "similarity_ivf_pruned", "local_supplier_volume",
+    "forecast_revenue_change", "primary_supplier_per_part",
+    "late_ship_priority", "nation_pair_volume", "returned_item_customers",
+    "large_volume_orders", "sql_interface", "market_share",
+    "product_type_profit", "important_part_value",
+    "late_shipment_priority_counts",
+    # Past the 50-entry window from here: these names stay green on
+    # unchanged bodies and MUST lead the r7 rotation (oldest-first
+    # order below is already the r7 tail order).
+    "customer_order_distribution", "promo_revenue", "top_supplier",
+    "part_supplier_counts", "small_quantity_revenue",
+    "disjunctive_predicate_revenue", "excess_suppliers",
+    "sole_late_supplier", "dormant_customer_balance",
+    "corpus_split_assignment", "corpus_stratified_sample",
+    "decontaminate_train", "pii_scrub", "embedding_quantize",
+    "rolling_user_stats", "corpus_mixture_sample", "sample_n_per_group",
+    "dedup_exact_normalized", "skewed_event_rollup",
+    "events_concurrent_degree", "similarity_ivf_dynamic",
+    "dedup_incremental_persisted", "events_concurrent_degree_salted",
+    "lm_unigram_score", "dedup_cluster_representatives",
+    "corpus_chunk_documents", "bpe_pair_counts", "doc_winnow_fingerprints",
+    "dedup_duplicate_spans", "semdedup_prune", "dedup_span_removal",
+    "similarity_pq_adc", "pq_recall_eval", "dedup_cdc_chunks",
     "stream_stream_window_join", "ktable_latest", "stream_table_join",
     "agg_running_total", "user_sessions", "json_props_extract",
     "ktable_filter_extract", "agg_pricing_summary", "windowed_hopping",
@@ -552,13 +564,7 @@ _VERIFY_FIRST = [
     "pipeline_clean_corpus", "asof_join", "rollup_pricing",
     "cube_order_priority", "setops_users", "anti_join_users",
     "semi_join_parts", "user_running_value", "event_gaps",
-    "distinct_parts_per_supplier", "distinct_daily_users",
-    "value_percentiles", "dedup_embedding_cosine", "scd2_user_history",
-    "merge_upsert_balances", "similarity_ann_lsh", "embedding_centroids",
-    "quality_repetition_signals", "shipping_priority",
-    "source_overlap_matrix", "duplicate_rate_by_source",
-    "ann_recall_eval", "embedding_kmeans_fixed", "top_terms_per_source",
-    "boilerplate_chunks",
+    "distinct_parts_per_supplier",
 ]
 
 

@@ -1,0 +1,296 @@
+"""Generate the `_VERIFY_FIRST` rotation order by construction.
+
+The round driver verifies only the FIRST 50 entries of the query
+registry, so the ordering must put (1) every query whose implementation
+— decorator, body, or any transitively-called package helper — changed
+since the last driver-verified snapshot, and every query with no green
+row yet, at the head; then (2) everything else oldest-green-first, so
+stale greens rotate through the window before they can silently rot on
+regenerated testdata.  Round 5's list was exactly right by discipline;
+this script makes it right by construction.
+
+How "changed" is decided: for every registered query the script builds
+the transitive AST closure — the query's FunctionDef (decorator list
+included, which covers the oracle SQL and its f-string constant
+references), every module-level constant it references, and every
+package-local function it calls, followed recursively across modules
+via the import graph (`operators/`, `functions/`, `streaming/`,
+`pipeline`, `session`, the queries modules themselves).  The closure's
+`ast.dump` digest is compared between the working tree and the BASELINE
+git commit (the driver's latest `round N: verdict/...` bookkeeping
+commit, which snapshots the bodies the last correctness run actually
+checked).  Never-seen or changed => head.
+
+Staleness comes from `CORRECTNESS_r*.json`: a query's latest green
+round.  The protocol's soundness invariant — a changed query must be
+driver-verified in the SAME round it changed, or the next round's
+baseline diff can no longer see the change — is checked explicitly:
+the script fails loudly if the head outgrows the window.
+
+Usage (repo root):
+
+    python scripts/gen_verify_order.py            # prints the list block
+    python scripts/gen_verify_order.py --names    # one name per line
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG = "confluent_kafka_streams_examples_spark"
+WINDOW = 50
+
+
+def baseline_ref() -> str:
+    """The driver's latest `round N: verdict/...` commit: it snapshots
+    exactly the bodies the last correctness run checked (the driver
+    verifies after the round's final commit, then commits its own
+    bookkeeping on top without touching package code)."""
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout
+    for line in out.splitlines():
+        sha, _, subject = line.partition(" ")
+        if re.match(r"round \d+: verdict", subject):
+            return sha
+    raise SystemExit("no `round N: verdict` baseline commit found")
+
+
+def module_rel_path(dotted: str) -> str | None:
+    """`pkg.operators.text` -> `pkg/operators/text.py` if it exists."""
+    if not dotted.startswith(PKG):
+        return None
+    rel = dotted.replace(".", "/") + ".py"
+    return rel if os.path.exists(os.path.join(REPO, rel)) else None
+
+
+class ModuleIndex:
+    """Per-module symbol tables from one source snapshot."""
+
+    def __init__(self, source: str, rel_path: str):
+        self.rel_path = rel_path
+        self.functions: dict[str, ast.AST] = {}
+        self.constants: dict[str, ast.AST] = {}
+        #: local name -> dotted module it aliases (``import x`` forms)
+        self.mod_aliases: dict[str, str] = {}
+        #: local name -> (dotted module, original name) (``from m import x``)
+        self.from_imports: dict[str, tuple[str, str]] = {}
+        tree = ast.parse(source)
+        for node in tree.body:
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                # classes count as callables: a changed Stream/Table
+                # method must flag every query built on the class
+                self.functions[node.name] = node
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        self.constants[t.id] = node
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                self.constants[node.target.id] = node
+        # imports anywhere (module level AND inside function bodies)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module:
+                for a in node.names:
+                    local = a.asname or a.name
+                    sub = f"{node.module}.{a.name}"
+                    if module_rel_path(sub):
+                        self.mod_aliases[local] = sub  # from pkg.x import y(=module)
+                    else:
+                        self.from_imports[local] = (node.module, a.name)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    local = a.asname or a.name.split(".")[0]
+                    self.mod_aliases[local] = a.name
+
+
+class Snapshot:
+    """Lazy AST index over one code snapshot (worktree or a git ref)."""
+
+    def __init__(self, ref: str | None):
+        self.ref = ref
+        self._modules: dict[str, ModuleIndex | None] = {}
+
+    def module(self, rel_path: str) -> ModuleIndex | None:
+        if rel_path not in self._modules:
+            try:
+                if self.ref is None:
+                    with open(os.path.join(REPO, rel_path)) as fh:
+                        src = fh.read()
+                else:
+                    src = subprocess.run(
+                        ["git", "show", f"{self.ref}:{rel_path}"],
+                        cwd=REPO, capture_output=True, text=True, check=True,
+                    ).stdout
+                self._modules[rel_path] = ModuleIndex(src, rel_path)
+            except Exception:
+                self._modules[rel_path] = None
+        return self._modules[rel_path]
+
+    def closure_digest(self, rel_path: str, func_name: str) -> str | None:
+        """sha256 over the sorted ast.dump of the transitive closure of
+        (functions + referenced module constants) reachable from one
+        function.  None if the function does not exist in this
+        snapshot."""
+        mod = self.module(rel_path)
+        if mod is None or func_name not in mod.functions:
+            return None
+        pieces: dict[str, str] = {}
+        seen: set[tuple[str, str]] = set()
+        stack = [(rel_path, func_name)]
+        while stack:
+            mpath, fname = stack.pop()
+            if (mpath, fname) in seen:
+                continue
+            seen.add((mpath, fname))
+            m = self.module(mpath)
+            if m is None or fname not in m.functions:
+                continue
+            node = m.functions[fname]
+            pieces[f"{mpath}::{fname}"] = ast.dump(node)
+            # names referenced by this function (plain + attribute bases)
+            plain: set[str] = set()
+            attrs: set[tuple[str, str]] = set()
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Name):
+                    plain.add(sub.id)
+                elif isinstance(sub, ast.Attribute) and isinstance(
+                    sub.value, ast.Name
+                ):
+                    attrs.add((sub.value.id, sub.attr))
+            for name in plain:
+                if name in m.functions and name != fname:
+                    stack.append((mpath, name))
+                elif name in m.constants:
+                    pieces[f"{mpath}::{name}"] = ast.dump(m.constants[name])
+                elif name in m.from_imports:
+                    src_mod, orig = m.from_imports[name]
+                    rp = module_rel_path(src_mod)
+                    if rp:
+                        sm = self.module(rp)
+                        if sm and orig in sm.functions:
+                            stack.append((rp, orig))
+                        elif sm and orig in sm.constants:
+                            pieces[f"{rp}::{orig}"] = ast.dump(
+                                sm.constants[orig]
+                            )
+            for base, attr in attrs:
+                target = m.mod_aliases.get(base)
+                rp = module_rel_path(target) if target else None
+                if rp:
+                    tm = self.module(rp)
+                    if tm and attr in tm.functions:
+                        stack.append((rp, attr))
+                    elif tm and attr in tm.constants:
+                        pieces[f"{rp}::{attr}"] = ast.dump(tm.constants[attr])
+        blob = "\n".join(f"{k}\n{v}" for k, v in sorted(pieces.items()))
+        return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def query_locations() -> dict[str, tuple[str, str]]:
+    """name -> (module rel path, function name) from the live registry."""
+    import inspect
+
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        src = inspect.getsourcefile(fn)
+        rel = os.path.relpath(src, REPO)
+        out[name] = (rel, fn.__name__)
+    return out
+
+
+def latest_green_rounds() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as fh:
+            data = json.load(fh)
+        for qname, res in data.items():
+            ok = (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match", True)
+            )
+            if ok:
+                latest[qname] = max(latest.get(qname, 0), rnd)
+            else:
+                # a failed latest check invalidates older greens
+                latest[qname] = latest.get(qname, 0)
+    return latest
+
+
+def generate_order() -> tuple[list[str], list[str]]:
+    """Returns (ordered names, head names).  Head = changed since the
+    baseline snapshot or never green; tail = oldest green first,
+    registration order as tie-break."""
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    base = Snapshot(baseline_ref())
+    cur = Snapshot(None)
+    locs = query_locations()
+    greens = latest_green_rounds()
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+
+    head, tail = [], []
+    for name in QUERIES:
+        rel, fname = locs[name]
+        changed = cur.closure_digest(rel, fname) != base.closure_digest(
+            rel, fname
+        )
+        if changed or greens.get(name, 0) == 0:
+            head.append(name)
+        else:
+            tail.append(name)
+    head.sort(key=lambda n: reg_order[n])
+    tail.sort(key=lambda n: (greens[n], reg_order[n]))
+    return head + tail, head
+
+
+def main() -> None:
+    order, head = generate_order()
+    if len(head) > WINDOW:
+        raise SystemExit(
+            f"{len(head)} changed/never-green queries exceed the "
+            f"{WINDOW}-entry verification window — the rotation protocol "
+            "is unsound this round; split the changes across rounds"
+        )
+    if "--names" in sys.argv:
+        print("\n".join(order))
+        return
+    displaced = order[WINDOW:]
+    print(f"# generated by scripts/gen_verify_order.py — head={len(head)} "
+          f"changed/never-green, window={WINDOW}")
+    print("_VERIFY_FIRST = [")
+    for i, name in enumerate(order):
+        marker = ""
+        if i == len(head) and head:
+            marker = "    # --- tail: oldest green first ---\n"
+        if i == WINDOW:
+            marker += (
+                "    # --- names below fall past the window: verified "
+                "next round ---\n"
+            )
+        print(f"{marker}    \"{name}\",")
+    print("]")
+    print(f"# displaced ({len(displaced)}): {', '.join(displaced)}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

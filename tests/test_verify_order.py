@@ -1,0 +1,92 @@
+"""The rotation order is right by construction, not by discipline:
+`_VERIFY_FIRST` must equal what scripts/gen_verify_order.py generates
+from the AST diff vs the last driver-verified snapshot plus the
+CORRECTNESS history, and the change detector itself must see through
+transitive helper edits."""
+
+from __future__ import annotations
+
+import subprocess
+
+import pytest
+
+
+def _git_ok() -> bool:
+    try:
+        subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, check=True,
+            cwd=__file__.rsplit("/tests/", 1)[0],
+        )
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _git_ok(), reason="needs the git history")
+def test_registry_order_matches_generator():
+    """The committed _VERIFY_FIRST ordering (hence the driver's
+    50-entry verification window) is exactly the generated one —
+    changed/never-green first, then oldest green.  Regenerate with
+    `python scripts/gen_verify_order.py` after changing any query or
+    helper and paste the block into queries.py."""
+    import scripts.gen_verify_order as gvo
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    order, head = gvo.generate_order()
+    assert len(head) <= gvo.WINDOW, (
+        f"{len(head)} changed/never-green queries exceed the "
+        f"{gvo.WINDOW}-entry window — rotation protocol unsound"
+    )
+    assert order == list(QUERIES), (
+        "stale _VERIFY_FIRST: rerun scripts/gen_verify_order.py and "
+        "paste the generated block into queries.py\n"
+        f"first divergence: {next((a, b) for a, b in zip(order, QUERIES) if a != b)}"
+    )
+
+
+def test_closure_digest_sees_transitive_helper_edits(tmp_path):
+    """The change detector must flag a query when a helper it calls
+    ACROSS modules changes (decorator, body, constant, or class), and
+    must not flag it for unrelated edits."""
+    import scripts.gen_verify_order as gvo
+
+    helper_v1 = "THRESH = 3\ndef helper(x):\n    return x + THRESH\n"
+    helper_v2 = "THRESH = 3\ndef helper(x):\n    return x - THRESH\n"
+    helper_v3 = "THRESH = 4\ndef helper(x):\n    return x + THRESH\n"
+    helper_v4 = (  # unrelated addition only
+        "THRESH = 3\ndef helper(x):\n    return x + THRESH\n"
+        "def unrelated():\n    return 0\n"
+    )
+    # module_rel_path checks the filesystem, so shadow a real module
+    # path (operators/dedup.py) with the fake helper source
+    main_src = (
+        "from confluent_kafka_streams_examples_spark.operators.dedup "
+        "import helper\n"
+        "def q(spark, sf_dir):\n    return helper(1)\n"
+    )
+
+    class FakeSnapshot(gvo.Snapshot):
+        def __init__(self, sources):
+            super().__init__(None)
+            self.sources = sources
+
+        def module(self, rel_path):
+            if rel_path not in self._modules:
+                src = self.sources.get(rel_path)
+                self._modules[rel_path] = (
+                    gvo.ModuleIndex(src, rel_path) if src else None
+                )
+            return self._modules[rel_path]
+
+    helper_rel = "confluent_kafka_streams_examples_spark/operators/dedup.py"
+    main_rel = "confluent_kafka_streams_examples_spark/queries_fake.py"
+
+    def digest(helper_src):
+        snap = FakeSnapshot({helper_rel: helper_src, main_rel: main_src})
+        return snap.closure_digest(main_rel, "q")
+
+    base = digest(helper_v1)
+    assert base is not None
+    assert digest(helper_v2) != base  # helper body change flags
+    assert digest(helper_v3) != base  # referenced constant change flags
+    assert digest(helper_v4) == base  # unrelated addition does not

@@ -512,14 +512,14 @@ from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,
 
 _VERIFY_FIRST = [
     # GENERATED by scripts/gen_verify_order.py (round 6) — do not
-    # hand-edit; regenerate after any query/helper change and paste.
-    # Head: changed since the r5-verified snapshot or never green.
+    # hand-edit; regenerate after any query/helper change and paste
+    # via scripts/paste_verify_order.py.
+    # Head: changed since the last verified snapshot or never green.
     "dedup_containment", "dedup_lsh_recall_eval",
     "pipeline_training_export", "user_retention_cohorts",
     "dedup_ngram_jaccard", "bucketed_revenue_by_priority",
-    "pack_sequences",
-    # Tail: oldest green first (the 16 r3-green names displaced
-    # from the r5 window lead, then the r4-green cohort).
+    "pack_sequences", "dedup_overlap_scores",
+    # Tail: oldest green first.
     "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
     "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
     "embedding_centroids", "quality_repetition_signals",
@@ -536,14 +536,12 @@ _VERIFY_FIRST = [
     "late_ship_priority", "nation_pair_volume", "returned_item_customers",
     "large_volume_orders", "sql_interface", "market_share",
     "product_type_profit", "important_part_value",
-    "late_shipment_priority_counts",
-    # Past the 50-entry window from here: these names stay green on
-    # unchanged bodies and MUST lead the r7 rotation (oldest-first
-    # order below is already the r7 tail order).
-    "customer_order_distribution", "promo_revenue", "top_supplier",
-    "part_supplier_counts", "small_quantity_revenue",
-    "disjunctive_predicate_revenue", "excess_suppliers",
-    "sole_late_supplier", "dormant_customer_balance",
+    # Past the 50-entry window from here: these stay green on
+    # unchanged bodies and lead the next round's rotation.
+    "late_shipment_priority_counts", "customer_order_distribution",
+    "promo_revenue", "top_supplier", "part_supplier_counts",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
     "corpus_split_assignment", "corpus_stratified_sample",
     "decontaminate_train", "pii_scrub", "embedding_quantize",
     "rolling_user_stats", "corpus_mixture_sample", "sample_n_per_group",

@@ -184,6 +184,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_overlap_scores",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {_NGRAM_MAX_DF}),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+           floor((shared / (sa.n_sh + sb.n_sh - shared)) * 1e4 + 0.5) / 1e4
+             AS jaccard,
+           floor((shared / CAST(sa.n_sh AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS cont_a_in_b,
+           floor((shared / CAST(sb.n_sh AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS cont_b_in_a
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared >= 3
+    """,
+)
+def dedup_overlap_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every overlap measure of the Jaccard family — symmetric Jaccard
+    plus BOTH containment directions — for every candidate pair with
+    >= 3 shared kept shingles, in ONE map-only projection over the
+    materialized shared-count artifact: the registry-visible proof that
+    one shingle shuffle serves every scorer.  At 100 TB this is the
+    pair-scoring pass a dedup review queue runs off the stored pair
+    table; no text, no shingles, no shuffle — just arithmetic over
+    (shared, n_a, n_b)."""
+    counts = shared_counts_table(spark, sf_dir)
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    return counts.filter(F.col("shared") >= 3).select(
+        "id_a",
+        "id_b",
+        F.col("shared").cast("bigint").alias("shared"),
+        round_det(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+        ).alias("jaccard"),
+        round_det(F.col("shared") / F.col("n_a").cast("double"), 4).alias(
+            "cont_a_in_b"
+        ),
+        round_det(F.col("shared") / F.col("n_b").cast("double"), 4).alias(
+            "cont_b_in_a"
+        ),
+    )
+
+
 def _span_cte(rel: str, p: str = "") -> str:
     """Oracle CTE chain over relation ``rel(doc_id, text)``: maximal
     cross-document duplicated 5-gram spans (gaps-and-islands over

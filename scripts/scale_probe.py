@@ -1,0 +1,176 @@
+"""Empirical scale probe for the corpus pipelines.
+
+Builds documents corpora at 10x and 100x the sf0.1 row count by
+replicating the driver's own sf0.1 documents with an INJECTIVE
+per-replica token remap (token -> token_r for replica r > 0):
+
+- quality-gate decisions are invariant (the gate reads token counts
+  and the top-token fraction, both preserved under injective renaming);
+- every replica keeps sf0.1's internal exact-/near-duplicate structure
+  (same shingle collisions within a replica), while cross-replica
+  shingles differ — so duplicate RATE stays constant and cluster COUNT
+  scales linearly, which is how a larger crawl actually behaves;
+- three-stopword-style hot shingles do not exist cross-replica, so the
+  probe exercises the same max_df regime as the source corpus.
+
+Then runs `pipeline_clean_corpus` and `pipeline_training_export`
+against each corpus and reports wall time, output rows, and the
+executed plan's worst shuffle/spill SQL metrics (from Spark's
+SQLAppStatusStore).  Paste the table into SCALE.md.
+
+Usage (repo root):  python scripts/scale_probe.py [replicas ...]
+Default replicas: 1 10 100  (1 = the untouched sf0.1 baseline).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC_SF = "/root/testdata/sf0.1"
+SCRATCH = "/tmp/ckse_scale"
+
+
+def build_corpus(replicas: int) -> str:
+    """Materialize the replicated corpus (plus symlinks for the other
+    tables, which the two probed pipelines do not read but load_table
+    may resolve) under SCRATCH/x{replicas}."""
+    import duckdb
+
+    out_dir = os.path.join(SCRATCH, f"x{replicas}")
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(SRC_SF, "documents.parquet")
+    (max_id,) = con.execute(
+        f"SELECT max(doc_id) FROM read_parquet('{src}')"
+    ).fetchone()
+    offset = int(max_id) + 1
+    # replica 0 verbatim; replica r remaps every token injectively
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id, text, lang, source, n_chars
+          FROM read_parquet('{src}')
+          UNION ALL
+          SELECT d.doc_id + r.r * {offset} AS doc_id,
+                 list_aggregate(
+                   list_transform(string_split(d.text, ' '),
+                                  t -> t || '_' || CAST(r.r AS VARCHAR)),
+                   'string_agg', ' ') AS text,
+                 d.lang, d.source, d.n_chars
+          FROM read_parquet('{src}') d,
+               (SELECT unnest(range(1, {replicas})) AS r) r
+        ) TO '{dst}' (FORMAT PARQUET)
+        """
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        link = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), link)
+    return out_dir
+
+
+def _seq(jseq):
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def last_execution_metrics(spark, wanted=("shuffle bytes written",
+                                          "spill size",
+                                          "peak memory")) -> dict[str, str]:
+    """Worst (formatted) value per metric name across all plan nodes of
+    the most recent SQL execution — pulled from SQLAppStatusStore, the
+    same store the SQL UI renders."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = _seq(store.executionsList())
+    if not execs:
+        return {}
+    last = execs[-1]
+    names = {m.accumulatorId(): m.name() for m in _seq(last.metrics())}
+    vals = store.executionMetrics(last.executionId())
+    out: dict[str, str] = {}
+    it = vals.iterator()
+    while it.hasNext():
+        kv = it.next()
+        name = names.get(kv._1())
+        if name is None:
+            continue
+        for w in wanted:
+            if w in name:
+                total, mx = _total_and_max(kv._2())
+                prev = out.get(w)
+                if prev is None or _bytes(total) > _bytes(prev.split(" / ")[0]):
+                    out[w] = f"{total} / max-task {mx}"
+    return out
+
+
+def _total_and_max(formatted: str) -> tuple[str, str]:
+    """'total (min, med, max ...)\\nX (a, b, c (stage: task))' ->
+    ('X', 'c'); plain 'X' passes through."""
+    import re
+
+    lines = [ln for ln in str(formatted).splitlines() if ln.strip()]
+    val = lines[-1]
+    m = re.match(r"\s*([\d.]+\s*\S+)\s*\(([^,]+),([^,]+),\s*([\d.]+\s*\S+)", val)
+    if m:
+        return m.group(1).strip(), m.group(4).strip()
+    return val.strip(), "-"
+
+
+_UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+
+
+def _bytes(s: str) -> float:
+    parts = str(s).split()
+    try:
+        return float(parts[0]) * _UNITS.get(parts[1] if len(parts) > 1 else "B", 1)
+    except (ValueError, IndexError):
+        return -1.0
+
+
+def main() -> None:
+    replicas = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+    from confluent_kafka_streams_examples_spark.session import (
+        get_spark,
+        release_caches,
+    )
+
+    spark = get_spark("ckse-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for r in replicas:
+        sf_dir = SRC_SF if r == 1 else build_corpus(r)
+        for qname in ("pipeline_clean_corpus", "pipeline_training_export"):
+            # warm once so JIT/codegen is not charged to the probe
+            QUERIES[qname](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            release_caches(spark)
+            t0 = time.perf_counter()
+            df = QUERIES[qname](spark, sf_dir)
+            n = df.count()
+            wall = time.perf_counter() - t0
+            m = last_execution_metrics(spark)
+            release_caches(spark)
+            rows.append((qname, r, round(wall, 2), n,
+                         m.get("shuffle bytes written", "-"),
+                         m.get("spill size", "-")))
+            print(rows[-1], flush=True)
+    print("\n| pipeline | corpus | wall s | out rows | worst shuffle write | worst spill |")
+    print("|---|---|---|---|---|---|")
+    for qname, r, wall, n, shuf, spill in rows:
+        label = "sf0.1" if r == 1 else f"sf0.1 x{r}"
+        shuf = " ".join(str(shuf).split())
+        spill = " ".join(str(spill).split())
+        print(f"| {qname} | {label} | {wall} | {n} | {shuf} | {spill} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,14 +55,22 @@ def materialized(
     source_file: str,
     tag: str,
     build: Callable[[], DataFrame],
+    cleanup: Callable[[], None] | None = None,
 ) -> DataFrame:
     """Return the artifact for (source version, tag), building it first
     if this version does not exist yet.  ``build`` is only invoked on a
-    miss; its result is written to parquet and atomically published."""
+    miss; its result is written to parquet and atomically published.
+    ``cleanup`` (also miss-only) releases build-scoped resources — the
+    usual case is unpersisting an intermediate the build pinned for
+    multi-reference reuse, whose job is done once the parquet exists."""
     path = artifact_path(source_file, tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         staging = f"{path}.build.{os.getpid()}"
-        build().write.mode("overwrite").parquet(staging)
+        try:
+            build().write.mode("overwrite").parquet(staging)
+        finally:
+            if cleanup is not None:
+                cleanup()
         try:
             os.rename(staging, path)  # atomic publish (same filesystem)
         except OSError:

@@ -445,6 +445,7 @@ def kept_shingle_lists(
     text_col: str,
     n: int = 3,
     max_df: int | None = 1000,
+    pin_registry: list | None = None,
 ) -> DataFrame:
     """(shingle, ids: sorted array<id>) — the hot-capped inverted index
     in POSTING-LIST form, the shared (and persisted) subplan of the
@@ -473,10 +474,16 @@ def kept_shingle_lists(
     Lists are keyed on xxhash64(shingle), so the shuffles carry 8-byte
     longs instead of n-gram text (collision odds over 2^64 are noise
     next to the thresholds' own sensitivity).
+
+    ``pin_registry``: when provided, every frame this function persists
+    is appended to it, so an eager consumer (e.g. an artifact build)
+    can unpersist them the moment the result is materialized.
     """
     sh = shingle_hashes(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if pin_registry is not None:
+        pin_registry.append(sh)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -488,11 +495,14 @@ def kept_shingle_lists(
     # rows are already distinct per (shingle, id), so collect_list (no
     # per-key set dedup) suffices; array_sort makes the i<j pair
     # expansion downstream emit ordered pairs by construction
-    return (
+    lists = (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if pin_registry is not None:
+        pin_registry.append(lists)
+    return lists
 
 
 def shared_shingle_counts(lists: DataFrame, id_col: str) -> DataFrame:

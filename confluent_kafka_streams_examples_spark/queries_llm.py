@@ -85,17 +85,25 @@ def shared_counts_table(
     from text."""
     from confluent_kafka_streams_examples_spark.artifacts import materialized
 
+    pinned: list[DataFrame] = []
+
     def build() -> DataFrame:
         docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-        lists = dedup.kept_shingle_lists(docs, "doc_id", "text", n, max_df)
-        counts = dedup.shared_shingle_counts(lists, "doc_id")
-        return counts
+        lists = dedup.kept_shingle_lists(
+            docs, "doc_id", "text", n, max_df, pin_registry=pinned
+        )
+        return dedup.shared_shingle_counts(lists, "doc_id")
+
+    def cleanup() -> None:
+        for df in pinned:  # the artifact replaces the in-memory cache
+            df.unpersist()
 
     return materialized(
         spark,
         os.path.join(sf_dir, "documents.parquet"),
         f"overlap_counts|n={n}|df={max_df}",
         build,
+        cleanup,
     )
 
 

@@ -482,3 +482,26 @@ def test_pack_greedy_shards_knob(spark):
     summ = pack_summary(packed).collect()
     assert sum(r.n_docs for r in summ) == 500
     assert all(r.n_tokens >= 1 for r in summ)
+
+
+def test_artifact_build_unpersists_its_pins(spark, sf_dir):
+    """Building the shared-count artifact pins the posting-list frames
+    for multi-reference reuse during the write; once the parquet is
+    published the pins must be released (the artifact replaces the
+    in-memory cache)."""
+    import glob
+    import shutil
+
+    import confluent_kafka_streams_examples_spark.queries  # noqa: F401  (registry first: avoids circular import)
+    from confluent_kafka_streams_examples_spark.queries_llm import (
+        shared_counts_table,
+    )
+    from confluent_kafka_streams_examples_spark.session import release_caches
+
+    for p in glob.glob("/tmp/ckse_art_*"):
+        shutil.rmtree(p, ignore_errors=True)
+    release_caches(spark)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    shared_counts_table(spark, sf_dir).count()  # miss -> build -> read
+    assert cm.isEmpty(), "build-scoped persists must not outlive the build"

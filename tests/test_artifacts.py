@@ -1,0 +1,27 @@
+"""artifacts.py: freshness is part of the artifact name."""
+
+from __future__ import annotations
+
+import os
+
+
+def test_artifact_path_tracks_source_version_and_params(tmp_path):
+    from confluent_kafka_streams_examples_spark.artifacts import artifact_path
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+    p1 = artifact_path(str(src), "overlap|n=3")
+    assert p1 == artifact_path(str(src), "overlap|n=3")  # stable
+    assert p1 != artifact_path(str(src), "overlap|n=4")  # params in tag
+
+    os.utime(src, (1, 1))  # same bytes, new version stamp
+    p2 = artifact_path(str(src), "overlap|n=3")
+    assert p2 != p1  # mtime invalidates
+
+    src.write_bytes(b"v2-longer")
+    os.utime(src, (1, 1))
+    assert artifact_path(str(src), "overlap|n=3") != p2  # size invalidates
+
+    # a missing source must not raise — it yields a distinct bucket
+    missing = artifact_path(str(tmp_path / "nope.parquet"), "overlap|n=3")
+    assert missing not in (p1, p2)

@@ -536,3 +536,36 @@ def test_overlap_family_reads_shared_counts_artifact(spark):
     import os
 
     assert os.path.exists(os.path.join(expected, "_SUCCESS"))
+
+
+def test_kept_shingle_lists_build_plan_shape(spark):
+    """The overlap-artifact BUILD (posting lists + pair expansion) must
+    keep its shuffle ledger: the hot-shingle cap applies as a BROADCAST
+    anti-join (never a shuffled one), pair generation is a map-side
+    array expansion (a Generate over the lists, not a second join of
+    the index with itself), and the only joins anywhere are the two
+    size-enrichment joins on the pair table."""
+    from confluent_kafka_streams_examples_spark.operators import dedup
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    lists = dedup.kept_shingle_lists(docs, "doc_id", "text", 3, 100)
+    counts = dedup.shared_shingle_counts(lists, "doc_id")
+    p = explain_str(counts)
+    lists.unpersist()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, (
+        f"hot cap must be a broadcast anti-join\n{p}"
+    )
+    assert "CartesianProduct" not in p, p
+    # pair expansion: a Generate (explode of the i<j struct array)
+    assert "Generate" in p, p
+    # the index itself is never self-joined: at most the two size
+    # joins plus the broadcast anti-join appear (count unique node ids
+    # — the cached lists subtree is PRINTED once per reference, so raw
+    # string counts overstate the shared anti-join node)
+    import re
+
+    join_ids = set(
+        re.findall(r"(\w*Join)\s[^\n]*\((\d+)\)", p)
+    )
+    assert len(join_ids) <= 3, f"unexpected extra join\n{sorted(join_ids)}\n{p}"

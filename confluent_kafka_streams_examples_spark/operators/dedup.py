@@ -698,12 +698,13 @@ def band_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs.
 
@@ -713,8 +714,14 @@ def minhash_lsh_pairs(
     keyed on the signature, so cost tracks collision counts, not n^2.
     Downstream callers verify candidates with ngram_jaccard_pairs on the
     (tiny) candidate set.
+
+    ``sig`` lets a caller band a PRECOMPUTED (stored) signature table —
+    production keeps signatures as a first-class dataset (~1e-4 the
+    corpus bytes) and every consumer bands the store instead of
+    re-shingling text.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     # materialize before the self-join: the 16-agg signature pipeline
     # would otherwise run twice (once per join side)
     banded = band_signatures(sig, id_col, num_hashes, bands).persist(
@@ -773,13 +780,14 @@ def incremental_minhash_pairs(
 
 
 def minhash_estimate_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
     min_matching: int = 8,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by MinHash-estimated Jaccard — the cheap
     middle stage of a dedup cascade (LSH candidates -> signature
@@ -793,11 +801,14 @@ def minhash_estimate_pairs(
     signature table is ~1e-4 the corpus size and the whole cascade
     stage is joins on it alone.
 
-    Returns (id_a, id_b, matching, est_jaccard).
+    Returns (id_a, id_b, matching, est_jaccard).  ``sig``: band and
+    verify against a PRECOMPUTED signature table (see
+    minhash_lsh_pairs) instead of shingling text here.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     banded = band_signatures(sig, id_col, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")

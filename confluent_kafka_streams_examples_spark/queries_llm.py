@@ -107,6 +107,30 @@ def shared_counts_table(
     )
 
 
+def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED per-document MinHash signature table
+    (doc_id, mh0..mh{K-1}) — THE stored dataset of a production dedup
+    platform (~1e-4 the corpus bytes): text is shingled and hashed once
+    per corpus version, and every signature consumer — LSH candidate
+    banding, signature-estimate verification, cluster building — bands
+    or joins the store instead of re-touching text.  All columns are
+    BIGINT (Carter-Wegman h1 + j*h2 minima), so the parquet roundtrip
+    is exact.  `dedup_incremental_persisted` keeps its own partial
+    (corpus-minus-batch) table: its point is the daily write path."""
+    from confluent_kafka_streams_examples_spark.artifacts import materialized
+
+    def build() -> DataFrame:
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        return dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH)
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        f"minhash_sig|mh={_MH}|n=3",
+        build,
+    )
+
+
 def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED (doc_id, cluster_id, is_representative)
     near-duplicate cluster assignment — MinHash-LSH candidate pairs
@@ -123,11 +147,12 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        docs = load_table(spark, "documents", sf_dir).select("doc_id")
         pairs = dedup.minhash_lsh_pairs(
-            docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS
+            None, "doc_id", "text", num_hashes=_MH, bands=_BANDS,
+            sig=minhash_signature_table(spark, sf_dir),
         )
-        return dedup_components(pairs, docs.select("doc_id"), "doc_id")
+        return dedup_components(pairs, docs, "doc_id")
 
     return materialized(
         spark,
@@ -399,9 +424,13 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidate near-dup pairs — the sublinear
-    scale path: candidates come only from shared band buckets."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS)
+    scale path: candidates come only from shared band buckets.  Bands
+    the materialized signature store (minhash_signature_table), so the
+    candidate pass never touches text."""
+    return dedup.minhash_lsh_pairs(
+        None, "doc_id", "text", num_hashes=_MH, bands=_BANDS,
+        sig=minhash_signature_table(spark, sf_dir),
+    )
 
 
 _MH_MATCHING = " + ".join(
@@ -440,11 +469,13 @@ _MH_MIN_MATCHING = _MH // 2
 def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by MinHash-estimated Jaccard (fraction of
     agreeing signature components, >= 8/16) — the signature-only middle
-    stage of the dedup cascade; candidates never re-touch text."""
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    stage of the dedup cascade; candidates never re-touch text.  Both
+    the banding and the verification join read the materialized
+    signature store."""
     return dedup.minhash_estimate_pairs(
-        docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS,
+        None, "doc_id", "text", num_hashes=_MH, bands=_BANDS,
         min_matching=_MH_MIN_MATCHING,
+        sig=minhash_signature_table(spark, sf_dir),
     )
 
 
@@ -502,13 +533,13 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus_split_assignment's bucketing) and the recall estimate is
     unbiased; the LSH side's cost is the same sublinear band join as
     production.  One row out; both pair sets reduce to counts via
-    broadcast-joinable frames.  Both pair tables are persisted: each is
+    broadcast-joinable frames.  Both sides read materialized artifacts
+    (the shared-count table for ground truth, the signature store for
+    the LSH side), and both pair tables are persisted: each is
     referenced twice (the hit join and its own count) and Spark has no
-    cross-reference CSE — without the persist the expensive shingle
-    self-join and band join would each run twice."""
+    cross-reference CSE."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     truth = (
         dedup.ngram_jaccard_pairs(
             None, "doc_id", "text", n=3, threshold=0.4,
@@ -519,7 +550,8 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=_MH, bands=_BANDS
+        None, "doc_id", "text", num_hashes=_MH, bands=_BANDS,
+        sig=minhash_signature_table(spark, sf_dir),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     hit = truth.join(cand, ["id_a", "id_b"])
     counts = (

@@ -56,6 +56,7 @@ def materialized(
     tag: str,
     build: Callable[[], DataFrame],
     cleanup: Callable[[], None] | None = None,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Return the artifact for (source version, tag), building it first
     if this version does not exist yet.  ``build`` is only invoked on a
@@ -67,7 +68,12 @@ def materialized(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         staging = f"{path}.build.{os.getpid()}"
         try:
-            build().write.mode("overwrite").parquet(staging)
+            writer = build().write.mode("overwrite")
+            if partition_by is not None:
+                # partitioned layout (e.g. IVF inverted lists): consumers
+                # get partition pruning on the artifact's key column
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(staging)
         finally:
             if cleanup is not None:
                 cleanup()

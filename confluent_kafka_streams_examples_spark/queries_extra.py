@@ -765,22 +765,67 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_index_path(sf_dir: str) -> str:
-    """Deterministic scratch location for the materialized IVF index of
-    one sf directory (overwritten per run; /tmp — never the repo or the
-    read-only testdata)."""
+def _ivf_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized k-row IVF codebook (label, cv) — built once per
+    embeddings version; every router broadcast reads the store.  The
+    centroids are 6-dp-rounded doubles, so the parquet roundtrip is
+    bit-exact and routing off the store matches routing off a
+    recomputation."""
     import os
-    import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"ckse_ivf_index_{tag}")
+    from confluent_kafka_streams_examples_spark.artifacts import materialized
+
+    def build() -> DataFrame:
+        return _ivf_codebook(load_table(spark, "embeddings", sf_dir))
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "ivf_codebook|6dp",
+        build,
+    )
+
+
+def _ivf_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF inverted lists: (vec_id, v, nrm) partitioned by
+    list_id — built once per embeddings version from the stored
+    codebook, so probes at any later time touch nprobe directories of
+    a STABLE index, exactly a vector DB's layout.  Assignment is the
+    6-dp-rounded argmin, reproducible across engines and build
+    times."""
+    import os
+
+    from confluent_kafka_streams_examples_spark.artifacts import materialized
+
+    def build() -> DataFrame:
+        emb = load_table(spark, "embeddings", sf_dir)
+        base = _norm_bucket_base(emb)
+        dist = _ivf_dist(base, _ivf_codebook_table(spark, sf_dir))
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "label")).alias("m"))
+            .select("vec_id", F.col("m.label").alias("label"))
+        )
+        return (
+            assign.join(base.select("vec_id", "v", "nrm"), "vec_id")
+            .withColumnRenamed("label", "list_id")
+        )
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "ivf_index|6dp",
+        build,
+        partition_by="list_id",
+    )
 
 
 @query("similarity_ivf_pruned", oracle=_IVF_PROBE_SQL)
 def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized IVF index with REAL partition pruning: the inverted
-    lists are written as a parquet table ``partitionBy(list_id)`` and
-    the probe reads back only the probed lists — the scan carries a
+    lists live as a VERSION-KEYED parquet artifact ``partitionBy(
+    list_id)`` (built once per embeddings version — artifacts.py) and
+    the probe reads only the probed lists — the scan carries a
     static ``PartitionFilters: [list_id IN (...)]`` (plan-asserted in
     tests/test_plans.py), so at 100 TB a probe touches nprobe
     directories of the index, never the corpus.  The router step (which
@@ -795,28 +840,15 @@ def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: reading a materialized state store instead of
     recomputing the stream (ProcessorApiExample.scala:74-78)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    base = _norm_bucket_base(emb)
-    cent = _ivf_codebook(emb)
-    dist = _ivf_dist(base, cent)
-    assign = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "label")).alias("m"))
-        .select("vec_id", F.col("m.label").alias("label"))
-    )
-    index_path = _ivf_index_path(sf_dir)
-    (
-        assign.join(base.select("vec_id", "v", "nrm"), "vec_id")
-        .withColumnRenamed("label", "list_id")
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(index_path)
-    )
+    qbase = _norm_bucket_base(emb).filter(F.col("vec_id") < 5)
+    # router distances: Q query vectors x k stored centroids (the full
+    # corpus-side assignment lives in the materialized index)
+    dist = _ivf_dist(qbase, _ivf_codebook_table(spark, sf_dir))
 
     # router: nprobe=2 nearest lists per query vector (Q x 2 scalars)
     wq = Window.partitionBy("query_id").orderBy("d2", "label")
     probe_rows = (
-        dist.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), "label", "d2")
+        dist.select(F.col("vec_id").alias("query_id"), "label", "d2")
         .withColumn("crn", F.row_number().over(wq))
         .filter(F.col("crn") <= 2)
         .select("query_id", "label")
@@ -827,12 +859,14 @@ def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["query_id"], r["label"]) for r in probe_rows],
         "query_id bigint, list_id int",
     )
-    q = base.filter(F.col("vec_id") < 5).select(
+    q = qbase.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    idx = spark.read.parquet(index_path).filter(F.col("list_id").isin(probed_lists))
+    idx = _ivf_index_table(spark, sf_dir).filter(
+        F.col("list_id").isin(probed_lists)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         idx.join(F.broadcast(probe), "list_id")
@@ -867,38 +901,23 @@ def similarity_ivf_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store instead of recomputing the stream
     (ProcessorApiExample.scala:74-78)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    base = _norm_bucket_base(emb)
-    cent = _ivf_codebook(emb)
-    dist = _ivf_dist(base, cent)
-    assign = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "label")).alias("m"))
-        .select("vec_id", F.col("m.label").alias("label"))
-    )
-    index_path = _ivf_index_path(sf_dir) + "_dyn"
-    (
-        assign.join(base.select("vec_id", "v", "nrm"), "vec_id")
-        .withColumnRenamed("label", "list_id")
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(index_path)
-    )
+    qbase = _norm_bucket_base(emb).filter(F.col("vec_id") < 5)
+    dist = _ivf_dist(qbase, _ivf_codebook_table(spark, sf_dir))
 
     # router: nprobe=2 nearest lists per query vector — kept distributed
     wq = Window.partitionBy("query_id").orderBy("d2", "label")
     probe = (
-        dist.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), "label", "d2")
+        dist.select(F.col("vec_id").alias("query_id"), "label", "d2")
         .withColumn("crn", F.row_number().over(wq))
         .filter(F.col("crn") <= 2)
         .select("query_id", F.col("label").alias("list_id"))
     )
-    q = base.filter(F.col("vec_id") < 5).select(
+    q = qbase.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    idx = spark.read.parquet(index_path)
+    idx = _ivf_index_table(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         idx.join(F.broadcast(probe), "list_id")

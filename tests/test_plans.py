@@ -263,11 +263,12 @@ def test_ivf_pruned_scan_carries_partition_filters(spark):
     Also: fewer list_id dirs must be probed than exist on disk, or the
     pruning would be vacuous."""
     import glob
+    import os
     import re
 
-    from confluent_kafka_streams_examples_spark.queries_extra import _ivf_index_path
+    from confluent_kafka_streams_examples_spark.artifacts import artifact_path
 
-    p = plan(spark, "similarity_ivf_pruned")  # also (re)writes the index
+    p = plan(spark, "similarity_ivf_pruned")  # builds the index on miss
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert any("list_id" in ln and " IN " in ln for ln in pf), p
     probed = set()
@@ -275,7 +276,10 @@ def test_ivf_pruned_scan_carries_partition_filters(spark):
         m = re.search(r"list_id#\d+ IN \(([^)]*)\)", ln)
         if m:
             probed |= {int(x) for x in m.group(1).split(",")}
-    on_disk = glob.glob(_ivf_index_path(SF_SMOKE) + "/list_id=*")
+    index_dir = artifact_path(
+        os.path.join(SF_SMOKE, "embeddings.parquet"), "ivf_index|6dp"
+    )
+    on_disk = glob.glob(index_dir + "/list_id=*")
     assert probed and len(probed) < len(on_disk), (probed, on_disk)
 
 

@@ -120,16 +120,32 @@ def neardup_dedup(
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> Stage:
     """Keep one representative (minimum id) per near-duplicate cluster:
     MinHash-LSH candidate pairs -> connected components -> drop
     non-representatives.  Sublinear candidate generation (bucket join,
-    not n^2) + ~diameter rounds of keyed equi-joins for clustering."""
+    not n^2) + ~diameter rounds of keyed equi-joins for clustering.
+
+    ``sig``: a precomputed signature table covering (at least) the
+    input ids.  A document's MinHash signature depends only on its own
+    text, so the store is SUBSET-STABLE: restricting it to this stage's
+    survivors (one semi-join on 8-byte ids) yields exactly the
+    signatures a recomputation over the survivors would produce — the
+    cleaning pipeline never re-shingles text the platform already
+    signed."""
 
     def stage(df: DataFrame) -> DataFrame:
-        pairs = dedup.minhash_lsh_pairs(
-            df, id_col, text_col, num_hashes=num_hashes, bands=bands
-        )
+        if sig is not None:
+            stage_sig = sig.join(df.select(id_col), id_col, "left_semi")
+            pairs = dedup.minhash_lsh_pairs(
+                None, id_col, text_col,
+                num_hashes=num_hashes, bands=bands, sig=stage_sig,
+            )
+        else:
+            pairs = dedup.minhash_lsh_pairs(
+                df, id_col, text_col, num_hashes=num_hashes, bands=bands
+            )
         comp = dedup_components(pairs, df.select(id_col), id_col)
         keep = comp.filter(F.col("is_representative")).select(id_col)
         return df.join(keep, id_col, "left_semi")
@@ -144,10 +160,13 @@ def clean_corpus(
     min_tokens: int = 20,
     max_tokens: int = 5000,
     max_top_token_frac: float = 0.15,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
-    """The canonical cleaning pipeline: cheap gates first, LSH last."""
+    """The canonical cleaning pipeline: cheap gates first, LSH last.
+    ``sig`` (optional): a stored signature table for the corpus — the
+    near-dup stage then signs nothing itself (see neardup_dedup)."""
     return compose(
         quality_filter(id_col, text_col, min_tokens, max_tokens, max_top_token_frac),
         exact_dedup(id_col, text_col),
-        neardup_dedup(id_col, text_col),
+        neardup_dedup(id_col, text_col, sig=sig),
     )(docs)

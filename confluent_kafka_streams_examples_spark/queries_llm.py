@@ -1240,7 +1240,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from confluent_kafka_streams_examples_spark.pipeline import clean_corpus
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    return clean_corpus(docs)
+    return clean_corpus(docs, sig=minhash_signature_table(spark, sf_dir))
 
 
 @query(
@@ -1302,7 +1302,7 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from confluent_kafka_streams_examples_spark.pipeline import clean_corpus
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    cleaned = clean_corpus(docs)
+    cleaned = clean_corpus(docs, sig=minhash_signature_table(spark, sf_dir))
     # spread stays ON even though clean_corpus ends in a shuffle join:
     # AQE coalesces the survivors' small shuffle partitions down to a
     # handful, which would single-thread the gram explode (measured

@@ -35,18 +35,42 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+_ENGINE_DIGEST: str | None = None
+
+
+def _engine_digest() -> str:
+    """md5 over every .py source in this package — folded into every
+    artifact tag so a CODE change (not just a data or parameter change)
+    invalidates stored artifacts.  Deliberately coarse: any engine edit
+    rebuilds everything, which is the conservative direction — an
+    artifact built by old code is never read by new code.  Computed
+    once per process (~ms)."""
+    global _ENGINE_DIGEST
+    if _ENGINE_DIGEST is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.md5()
+        for root, _dirs, files in sorted(os.walk(pkg_dir)):
+            for fname in sorted(files):
+                if fname.endswith(".py"):
+                    with open(os.path.join(root, fname), "rb") as fh:
+                        h.update(fh.read())
+        _ENGINE_DIGEST = h.hexdigest()[:8]
+    return _ENGINE_DIGEST
+
+
 def artifact_path(source_file: str, tag: str) -> str:
-    """Deterministic scratch location for one (source version, params)
-    artifact.  The digest covers the source's mtime+size so freshness
-    is part of the name, not a check."""
+    """Deterministic scratch location for one (source version, params,
+    engine version) artifact.  The digest covers the source's
+    mtime+size and the package-source digest, so freshness is part of
+    the name, not a check."""
     try:
         st = os.stat(source_file)
         stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         stamp = "missing"
-    digest = hashlib.md5(f"{source_file}|{stamp}|{tag}".encode()).hexdigest()[
-        :12
-    ]
+    digest = hashlib.md5(
+        f"{source_file}|{stamp}|{tag}|{_engine_digest()}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"ckse_art_{digest}")
 
 

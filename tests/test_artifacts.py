@@ -25,3 +25,16 @@ def test_artifact_path_tracks_source_version_and_params(tmp_path):
     # a missing source must not raise — it yields a distinct bucket
     missing = artifact_path(str(tmp_path / "nope.parquet"), "overlap|n=3")
     assert missing not in (p1, p2)
+
+
+def test_artifact_path_tracks_engine_version(tmp_path, monkeypatch):
+    """A CODE change must invalidate stored artifacts: the tag folds in
+    the package-source digest, so an artifact built by old code is
+    never read by new code (the cross-round staleness hazard)."""
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+    p1 = art.artifact_path(str(src), "t")
+    monkeypatch.setattr(art, "_ENGINE_DIGEST", "deadbeef")
+    assert art.artifact_path(str(src), "t") != p1

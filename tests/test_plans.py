@@ -515,30 +515,30 @@ def test_training_export_no_text_in_any_exchange(spark):
 
 
 def test_overlap_family_reads_shared_counts_artifact(spark):
-    """dedup_ngram_jaccard, dedup_containment, and the truth side of
-    dedup_lsh_recall_eval must all score off the SAME materialized
-    shared-count artifact: one shingle shuffle serves the whole overlap
-    family.  Jaccard and containment therefore plan ZERO documents
-    scans (pure projections of the artifact); the recall eval scans
-    documents exactly once — for its MinHash-LSH candidate side."""
+    """dedup_ngram_jaccard, dedup_containment, dedup_overlap_scores,
+    and the truth side of dedup_lsh_recall_eval must all score off the
+    SAME materialized shared-count artifact: one shingle shuffle serves
+    the whole overlap family, and every scorer plans ZERO documents
+    scans (the recall eval's candidate side reads the signature store
+    instead of re-shingling, so it too never touches text)."""
+    import os
+
     from confluent_kafka_streams_examples_spark.queries_llm import (
         _overlap_counts_path,
     )
 
     expected = _overlap_counts_path(SF_SMOKE, 3, 100)
-    for name, n_doc_scans in (
-        ("dedup_ngram_jaccard", 0),
-        ("dedup_containment", 0),
-        ("dedup_lsh_recall_eval", 1),
+    marker = os.path.basename(expected)
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "dedup_overlap_scores",
+        "dedup_lsh_recall_eval",
     ):
         p = plan(spark, name)
-        assert "ckse_overlap_counts_" in p, f"{name} must read the artifact\n{p}"
+        assert marker in p, f"{name} must read the shared-count artifact\n{p}"
         docs = [ln for ln in p.splitlines() if "documents.parquet" in ln]
-        assert len(docs) == n_doc_scans, (
-            f"{name}: expected {n_doc_scans} documents scans\n{p}"
-        )
-    import os
-
+        assert not docs, f"{name}: no documents scan expected\n{p}"
     assert os.path.exists(os.path.join(expected, "_SUCCESS"))
 
 

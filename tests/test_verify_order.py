@@ -24,23 +24,58 @@ def _git_ok() -> bool:
 
 @pytest.mark.skipif(not _git_ok(), reason="needs the git history")
 def test_registry_order_matches_generator():
-    """The committed _VERIFY_FIRST ordering (hence the driver's
-    50-entry verification window) is exactly the generated one —
-    changed/never-green first, then oldest green.  Regenerate with
-    `python scripts/gen_verify_order.py` after changing any query or
-    helper and paste the block into queries.py."""
+    """The rotation protocol's invariants, checked against a fresh
+    generator run.
+
+    ALWAYS: every changed/never-green query must sit inside the
+    driver's 50-entry window of the COMMITTED registry order (the
+    soundness invariant — a changed query gets verified the round it
+    changed), and the changed set must fit the window at all.
+
+    PRE-VERIFICATION ONLY (while the round recorded in the committed
+    block has no CORRECTNESS file yet): the committed order must equal
+    the generated one exactly.  After the driver verifies (its
+    bookkeeping commit advances the baseline and lands the new
+    CORRECTNESS file), staleness ranks legitimately shift, so exact
+    equality is only required again after the next regeneration —
+    which the next round's first query/helper change forces via the
+    ALWAYS clause."""
+    import glob
+    import os
+    import re
+
     import scripts.gen_verify_order as gvo
     from confluent_kafka_streams_examples_spark.queries import QUERIES
 
     order, head = gvo.generate_order()
+    reg = list(QUERIES)
     assert len(head) <= gvo.WINDOW, (
         f"{len(head)} changed/never-green queries exceed the "
         f"{gvo.WINDOW}-entry window — rotation protocol unsound"
     )
-    assert order == list(QUERIES), (
+    committed_window = set(reg[: gvo.WINDOW])
+    stragglers = [h for h in head if h not in committed_window]
+    assert not stragglers, (
+        f"changed/never-green queries outside the verification window "
+        f"(regenerate + paste the order): {stragglers}"
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(gvo.__file__)))
+    qsrc = open(
+        os.path.join(repo, "confluent_kafka_streams_examples_spark/queries.py")
+    ).read()
+    m = re.search(r"gen_verify_order\.py \(round (\d+)\)", qsrc)
+    committed_round = int(m.group(1)) if m else 0
+    verified = {
+        int(re.search(r"r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    }
+    if committed_round in verified:
+        return  # post-verification: staleness ranks have moved on
+    assert order == reg, (
         "stale _VERIFY_FIRST: rerun scripts/gen_verify_order.py and "
         "paste the generated block into queries.py\n"
-        f"first divergence: {next((a, b) for a, b in zip(order, QUERIES) if a != b)}"
+        f"first divergence: {next((a, b) for a, b in zip(order, reg) if a != b)}"
     )
 
 

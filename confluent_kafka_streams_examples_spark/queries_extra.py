@@ -1348,25 +1348,44 @@ def _pq_adc_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             ).cast("long"),
         )
 
-    paired = vecs.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "code", subdists(F.col("v"), F.col("c")).alias("darr")
-    )
-    aggs = [
-        F.min(
-            F.struct(
-                F.element_at("darr", s + 1).alias("dm"),
-                F.col("code").alias("code"),
-            )
-        ).alias(f"m{s}")
-        for s in range(8)
-    ]
-    codes = (
-        paired.groupBy("vec_id")
-        .agg(*aggs)
-        .select(
-            "vec_id",
-            F.array(*[F.col(f"m{s}.code") for s in range(8)]).alias("codes"),
+    def build_codes() -> DataFrame:
+        paired = vecs.crossJoin(F.broadcast(cb)).select(
+            "vec_id", "code", subdists(F.col("v"), F.col("c")).alias("darr")
         )
+        aggs = [
+            F.min(
+                F.struct(
+                    F.element_at("darr", s + 1).alias("dm"),
+                    F.col("code").alias("code"),
+                )
+            ).alias(f"m{s}")
+            for s in range(8)
+        ]
+        return (
+            paired.groupBy("vec_id")
+            .agg(*aggs)
+            .select(
+                "vec_id",
+                F.array(*[F.col(f"m{s}.code") for s in range(8)]).alias(
+                    "codes"
+                ),
+            )
+        )
+
+    # the corpus-wide code assignment is THE stored dataset of a PQ
+    # index (8 small ints per vector): built once per embeddings
+    # version, read by the search query and its recall eval alike.
+    # Codes are exact integers (argmin over integer-micro distances),
+    # so the parquet roundtrip is exact.
+    import os as _os
+
+    from confluent_kafka_streams_examples_spark.artifacts import materialized
+
+    codes = materialized(
+        spark,
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        "pq_codes|8x16|micro",
+        build_codes,
     )
     lut = (
         vecs.filter(F.col("vec_id") < 5)

@@ -198,6 +198,12 @@ def main() -> None:
         _gen(spark, warm_r, WARM_ROWS // 2, offset_s=1.0)
         spark.stop()
 
+        # best-of-N drains per pillar: host contention is one-sided and
+        # pillar-scale (a neighbor burst can halve ONE pillar's single
+        # sample while leaving others intact — observed round 6), so the
+        # min wall per pillar is the faithful engine estimate, exactly
+        # as in bench.py
+        reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "2"))
         results: dict[str, float] = {}
         for name, factory, rows in PIPELINES:
             spark = get_spark(f"ckse-bench-streaming-{name}")
@@ -207,9 +213,14 @@ def main() -> None:
                 # the timed run isn't charged for first-use JIT
                 warm_df, mode = factory(spark, warm_l, warm_r)
                 _drain(spark, warm_df, f"{root}/ckpt_warm_{name}", mode)
-                df, mode = factory(spark, left_p, right_p)
-                took = _drain(spark, df, f"{root}/ckpt_{name}", mode)
-                results[name] = round(rows / took)
+                best = None
+                for rep in range(reps):
+                    df, mode = factory(spark, left_p, right_p)
+                    took = _drain(
+                        spark, df, f"{root}/ckpt_{name}_{rep}", mode
+                    )
+                    best = took if best is None else min(best, took)
+                results[name] = round(rows / best)
             finally:
                 spark.stop()
 

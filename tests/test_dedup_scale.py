@@ -329,3 +329,78 @@ def test_duplicate_spans_hot_boilerplate_gram(spark):
         for r in dedup.duplicate_spans(df, "doc_id", "text", n=5).collect()
     }
     assert got == {i: (3, 8) for i in range(200)}
+
+
+def test_overlap_scorers_match_bruteforce_on_random_corpora(spark):
+    """Property pin for the posting-list rewrite: on seeded random
+    corpora — including hot shingles that trip the max_df cap and docs
+    shorter than the shingle width — ngram_jaccard_pairs and
+    containment_pairs must reproduce a brute-force Python computation
+    of the same set semantics (distinct shingles, cap on distinct doc
+    frequency, sizes over the KEPT space) exactly."""
+    import itertools
+    import random
+
+    def brute(corpus, n, max_df, jac_t, cont_t, min_sh):
+        sets = {
+            i: {
+                " ".join(toks[j:j + n])
+                for j in range(len(toks) - n + 1)
+            }
+            for i, toks in corpus.items()
+        }
+        df_count = {}
+        for s in itertools.chain.from_iterable(sets.values()):
+            df_count[s] = df_count.get(s, 0) + 1
+        kept = {
+            i: {s for s in ss if df_count[s] <= max_df}
+            for i, ss in sets.items()
+        }
+        jac, cont = set(), set()
+        for a, b in itertools.combinations(sorted(kept), 2):
+            shared = len(kept[a] & kept[b])
+            if not shared:
+                continue
+            na, nb = len(kept[a]), len(kept[b])
+            import math
+
+            j = math.floor(shared / (na + nb - shared) * 1e4 + 0.5) / 1e4
+            if j >= jac_t:
+                jac.add((a, b, j))
+            for x, y, nx in ((a, b, na), (b, a, nb)):
+                if nx >= min_sh:
+                    c = math.floor(shared / nx * 1e4 + 0.5) / 1e4
+                    if c >= cont_t:
+                        cont.add((x, y, c))
+        return jac, cont
+
+    rng = random.Random(20260814)
+    for trial, (n_docs, vocab, max_df) in enumerate(
+        [(40, 12, 3), (60, 25, 5), (30, 8, 2), (50, 15, 1000)]
+    ):
+        corpus = {}
+        for i in range(n_docs):
+            length = rng.choice([1, 2, 3, 5, 8, 13, 21, 34])
+            corpus[i] = [f"w{rng.randrange(vocab)}" for _ in range(length)]
+        # inject exact + near duplicates
+        corpus[n_docs] = list(corpus[0])
+        corpus[n_docs + 1] = list(corpus[1][:-1]) if len(corpus[1]) > 1 else ["w0"]
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in corpus.items()], ["doc_id", "text"]
+        )
+        got_jac = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.3, max_df=max_df
+            ).collect()
+        }
+        got_cont = {
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.containment_pairs(
+                df, "doc_id", "text", n=3, threshold=0.5,
+                max_df=max_df, min_shingles=2,
+            ).collect()
+        }
+        want_jac, want_cont = brute(corpus, 3, max_df, 0.3, 0.5, 2)
+        assert got_jac == want_jac, (trial, got_jac ^ want_jac)
+        assert got_cont == want_cont, (trial, got_cont ^ want_cont)

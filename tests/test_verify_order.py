@@ -67,7 +67,7 @@ def test_registry_order_matches_generator():
     m = re.search(r"gen_verify_order\.py \(round (\d+)\)", qsrc)
     committed_round = int(m.group(1)) if m else 0
     verified = {
-        int(re.search(r"r(\d+)", p).group(1))
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
         for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     }
     if committed_round in verified:

@@ -98,6 +98,9 @@ def materialized(
                 # get partition pruning on the artifact's key column
                 writer = writer.partitionBy(partition_by)
             writer.parquet(staging)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)  # no orphan staging
+            raise
         finally:
             if cleanup is not None:
                 cleanup()

@@ -38,3 +38,31 @@ def test_artifact_path_tracks_engine_version(tmp_path, monkeypatch):
     p1 = art.artifact_path(str(src), "t")
     monkeypatch.setattr(art, "_ENGINE_DIGEST", "deadbeef")
     assert art.artifact_path(str(src), "t") != p1
+
+
+def test_materialized_cleans_staging_on_build_failure(tmp_path, spark):
+    """A failed build must leave neither a published artifact nor an
+    orphaned staging directory, and the cleanup hook still runs."""
+    import glob
+
+    from confluent_kafka_streams_examples_spark.artifacts import (
+        artifact_path,
+        materialized,
+    )
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+    ran = []
+
+    def bad_build():
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        materialized(
+            spark, str(src), "failing", bad_build, cleanup=lambda: ran.append(1)
+        )
+    assert ran == [1]
+    path = artifact_path(str(src), "failing")
+    assert not glob.glob(path + "*"), glob.glob(path + "*")

@@ -920,11 +920,22 @@ def simhash64_candidates(
     ).select(id_col, "band.band_idx", "band.band_bits")
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_bits")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_bits")
+    # NO distinct here: a pair colliding in k bands appears k (<= 4)
+    # times, and deduplicating the raw candidate stream is the single
+    # most expensive node at scale (measured at 100x sf0.1: the
+    # pre-verify pair distinct was the only spilling aggregate in the
+    # registry — 3.3 GiB of sort-fallback spill hashing tens of
+    # millions of 16-byte pairs, scripts/scale_probe.py).  The
+    # popcount verify is a map-side join against the 24 B/doc
+    # fingerprint table (broadcastable far past any bench scale; AQE
+    # falls back to a shuffle join on the skinny pair stream beyond
+    # that), so verifying the <= 4x-amplified stream first and
+    # deduplicating only the Hamming-survivors is strictly cheaper
+    # than one wide exchange of every raw candidate.
     pairs = (
         a.join(b, ["band_idx", "band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     fa = fp.select(
         F.col(id_col).alias("id_a"),
@@ -945,6 +956,7 @@ def simhash64_candidates(
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -523,6 +523,7 @@ _VERIFY_FIRST = [
     "dedup_minhash_verify", "neardup_verify_levenshtein",
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
+    "dedup_simhash64",
     # Tail: oldest green first.
     "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
     "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
@@ -532,11 +533,10 @@ _VERIFY_FIRST = [
     "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",
     "multimodal_features", "basic_pipeline", "regional_revenue",
     "windowed_tumbling", "dedup_exact", "dedup_incremental",
-    "dedup_simhash", "dedup_simhash64", "similarity_topk_batch",
-    "bm25_search", "vocab_coverage", "pivot_event_counts",
-    "similarity_ivf_probe", "local_supplier_volume",
-    "forecast_revenue_change", "primary_supplier_per_part",
-    "late_ship_priority",
+    "dedup_simhash", "similarity_topk_batch", "bm25_search",
+    "vocab_coverage", "pivot_event_counts", "similarity_ivf_probe",
+    "local_supplier_volume", "forecast_revenue_change",
+    "primary_supplier_per_part", "late_ship_priority",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
     "nation_pair_volume", "returned_item_customers", "large_volume_orders",

@@ -18,8 +18,12 @@ against each corpus and reports wall time, output rows, and the
 executed plan's worst shuffle/spill SQL metrics (from Spark's
 SQLAppStatusStore).  Paste the table into SCALE.md.
 
-Usage (repo root):  python scripts/scale_probe.py [replicas ...]
-Default replicas: 1 10 100  (1 = the untouched sf0.1 baseline).
+Usage (repo root):
+    python scripts/scale_probe.py [--queries=a,b,...] [replicas ...]
+Default queries: the two corpus pipelines; default replicas: 1 10 100
+(1 = the untouched sf0.1 baseline).  Any registry query that reads the
+documents table can be probed, e.g.
+    python scripts/scale_probe.py --queries=dedup_duplicate_spans 1 10
 """
 
 from __future__ import annotations
@@ -134,8 +138,15 @@ def _bytes(s: str) -> float:
         return -1.0
 
 
+DEFAULT_QUERIES = ("pipeline_clean_corpus", "pipeline_training_export")
+
+
 def main() -> None:
-    replicas = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    args = sys.argv[1:]
+    probe_queries = list(DEFAULT_QUERIES)
+    if args and args[0].startswith("--queries="):
+        probe_queries = args.pop(0).split("=", 1)[1].split(",")
+    replicas = [int(a) for a in args] or [1, 10, 100]
     from confluent_kafka_streams_examples_spark.queries import QUERIES
     from confluent_kafka_streams_examples_spark.session import (
         get_spark,
@@ -153,7 +164,7 @@ def main() -> None:
     # run that reads the stored artifacts, which is the steady-state
     # daily cost.  Both matter: cold is the once-per-corpus-version
     # price, warm is what every subsequent consumer pays.
-    for qname in ("pipeline_clean_corpus", "pipeline_training_export"):
+    for qname in probe_queries:
         QUERIES[qname](spark, SRC_SF).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -165,7 +176,7 @@ def main() -> None:
         for p in glob.glob("/tmp/ckse_art_*"):
             shutil.rmtree(p, ignore_errors=True)
         for pass_name in ("cold", "warm"):
-            for qname in ("pipeline_clean_corpus", "pipeline_training_export"):
+            for qname in probe_queries:
                 t0 = time.perf_counter()
                 df = QUERIES[qname](spark, sf_dir)
                 n = df.count()

@@ -491,7 +491,17 @@ def kept_shingle_lists(
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # NO F.broadcast hint: the heavy-hitter set is bounded by
+        # total_postings / max_df — small at test scale but LINEAR in
+        # the corpus, so a forced broadcast is exactly the node that
+        # dies first on a big corpus (the 100x probe hit the
+        # driver-side broadcast-build OOM here under cache pressure;
+        # scripts/scale_probe.py).  Left to AQE, the anti-join
+        # broadcasts whenever the runtime hot set is actually small
+        # and falls back to a shuffle of 8-byte shingle keys when it
+        # is not — the only join strategy that survives every corpus
+        # size.
+        sh = sh.join(hot, "shingle", "left_anti")
     # rows are already distinct per (shingle, id), so collect_list (no
     # per-key set dedup) suffices; array_sort makes the i<j pair
     # expansion downstream emit ordered pairs by construction
@@ -518,9 +528,17 @@ def shared_shingle_counts(lists: DataFrame, id_col: str) -> DataFrame:
     ``max_df`` cap), then partially aggregated into per-pair counts:
     cost tracks sum(df_i^2) over kept shingles, the same candidate set
     an inverted-index self-join produces, without shuffling the index
-    twice through a join.  Sizes come from the same persisted lists; at
-    test scale AQE broadcasts the (one-row-per-doc) size table into the
-    final enrichment joins."""
+    twice through a join.  Sizes come from the same persisted lists.
+
+    The two size-enrichment joins are pinned to SHUFFLE-HASH: the size
+    table is one row per DOCUMENT — linear in the corpus — so at
+    production scale it is never broadcastable, and a broadcast is not
+    even desirable locally (the 100x probe OOM'd the driver-side
+    broadcast build of exactly this table while the posting-list cache
+    held the heap; scripts/scale_probe.py).  Shuffle-hash keys both
+    sides on the pair ids, builds only the per-partition slice of the
+    size table (small at every corpus size), and never sorts the pair
+    stream the way merge would."""
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
@@ -544,7 +562,9 @@ def shared_shingle_counts(lists: DataFrame, id_col: str) -> DataFrame:
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return shared.join(sa, "id_a").join(sb, "id_b")
+    return shared.join(sa.hint("shuffle_hash"), "id_a").join(
+        sb.hint("shuffle_hash"), "id_b"
+    )
 
 
 def ngram_jaccard_pairs(

@@ -544,11 +544,15 @@ def test_overlap_family_reads_shared_counts_artifact(spark):
 
 def test_kept_shingle_lists_build_plan_shape(spark):
     """The overlap-artifact BUILD (posting lists + pair expansion) must
-    keep its shuffle ledger: the hot-shingle cap applies as a BROADCAST
-    anti-join (never a shuffled one), pair generation is a map-side
-    array expansion (a Generate over the lists, not a second join of
-    the index with itself), and the only joins anywhere are the two
-    size-enrichment joins on the pair table."""
+    keep its shuffle ledger: the hot-shingle cap applies as an
+    anti-join with NO forced broadcast (the hot set is linear in the
+    corpus, so strategy choice belongs to AQE — it broadcasts the
+    runtime-small set, and degrades to a shuffle of 8-byte keys on a
+    corpus where a broadcast would OOM, which the 100x probe hit),
+    pair generation is a map-side array expansion (a Generate over the
+    lists, not a second join of the index with itself), and the only
+    joins anywhere are the two size-enrichment joins on the pair
+    table."""
     from confluent_kafka_streams_examples_spark.operators import dedup
     from confluent_kafka_streams_examples_spark.session import load_table
 
@@ -557,9 +561,7 @@ def test_kept_shingle_lists_build_plan_shape(spark):
     counts = dedup.shared_shingle_counts(lists, "doc_id")
     p = explain_str(counts)
     lists.unpersist()
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p, (
-        f"hot cap must be a broadcast anti-join\n{p}"
-    )
+    assert "LeftAnti" in p, f"hot cap must be an anti-join\n{p}"
     assert "CartesianProduct" not in p, p
     # pair expansion: a Generate (explode of the i<j struct array)
     assert "Generate" in p, p
@@ -573,3 +575,9 @@ def test_kept_shingle_lists_build_plan_shape(spark):
         re.findall(r"(\w*Join)\s[^\n]*\((\d+)\)", p)
     )
     assert len(join_ids) <= 3, f"unexpected extra join\n{sorted(join_ids)}\n{p}"
+    # at THIS scale the runtime hot set is tiny, so AQE must still
+    # pick a broadcast for the anti-join (the un-hinted plan loses
+    # nothing locally — it only gains the shuffle fallback at scale)
+    counts.write.format("noop").mode("overwrite").save()
+    executed = counts._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed and "LeftAnti" in executed, executed

@@ -179,7 +179,21 @@ def main() -> None:
             for qname in probe_queries:
                 t0 = time.perf_counter()
                 df = QUERIES[qname](spark, sf_dir)
-                n = df.count()
+                # NOT df.count(): a bare count lets Catalyst eliminate
+                # cardinality-preserving joins (e.g. span removal's
+                # one-row-per-doc left join against unique aggregated
+                # keys) and the probe would time a plan that skips the
+                # work.  Hashing every output column forces the full
+                # computation the query's consumers actually pay for.
+                from pyspark.sql import functions as F
+
+                row = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(
+                        F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+                    ).alias("h"),
+                ).collect()[0]
+                n = row["n"]
                 wall = time.perf_counter() - t0
                 m = last_execution_metrics(spark)
                 release_caches(spark)

@@ -46,8 +46,6 @@ def build_corpus(replicas: int) -> str:
 
     out_dir = os.path.join(SCRATCH, f"x{replicas}")
     dst = os.path.join(out_dir, "documents.parquet")
-    if os.path.exists(dst):
-        return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     src = os.path.join(SRC_SF, "documents.parquet")
@@ -56,25 +54,53 @@ def build_corpus(replicas: int) -> str:
     ).fetchone()
     offset = int(max_id) + 1
     # replica 0 verbatim; replica r remaps every token injectively
-    con.execute(
-        f"""
-        COPY (
-          SELECT doc_id, text, lang, source, n_chars
-          FROM read_parquet('{src}')
-          UNION ALL
-          SELECT d.doc_id + r.r * {offset} AS doc_id,
-                 list_aggregate(
-                   list_transform(string_split(d.text, ' '),
-                                  t -> t || '_' || CAST(r.r AS VARCHAR)),
-                   'string_agg', ' ') AS text,
-                 d.lang, d.source, d.n_chars
-          FROM read_parquet('{src}') d,
-               (SELECT unnest(range(1, {replicas})) AS r) r
-        ) TO '{dst}' (FORMAT PARQUET)
-        """
-    )
+    if not os.path.exists(dst):
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id, text, lang, source, n_chars
+              FROM read_parquet('{src}')
+              UNION ALL
+              SELECT d.doc_id + r.r * {offset} AS doc_id,
+                     list_aggregate(
+                       list_transform(string_split(d.text, ' '),
+                                      t -> t || '_' || CAST(r.r AS VARCHAR)),
+                       'string_agg', ' ') AS text,
+                     d.lang, d.source, d.n_chars
+              FROM read_parquet('{src}') d,
+                   (SELECT unnest(range(1, {replicas})) AS r) r
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        )
+    # embeddings replicate too (vec_id offset; the first component gets
+    # a tiny deterministic per-replica perturbation so replicas are not
+    # exact twins — top-k/threshold topology stays non-degenerate while
+    # magnitudes are untouched for all practical purposes)
+    edst = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.islink(edst):
+        os.unlink(edst)  # pre-extension corpora symlinked embeddings
+    if not os.path.exists(edst):
+        esrc = os.path.join(SRC_SF, "embeddings.parquet")
+        (emax,) = con.execute(
+            f"SELECT max(vec_id) FROM read_parquet('{esrc}')"
+        ).fetchone()
+        eoff = int(emax) + 1
+        con.execute(
+            f"""
+            COPY (
+              SELECT vec_id, embedding, label FROM read_parquet('{esrc}')
+              UNION ALL
+              SELECT e.vec_id + r.r * {eoff} AS vec_id,
+                     [CAST(e.embedding[1] + r.r * 0.0001 AS FLOAT)]
+                       || e.embedding[2:] AS embedding,
+                     e.label
+              FROM read_parquet('{esrc}') e,
+                   (SELECT unnest(range(1, {replicas})) AS r) r
+            ) TO '{edst}' (FORMAT PARQUET)
+            """
+        )
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"):
+              "lineitem", "events"):
         link = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), link)

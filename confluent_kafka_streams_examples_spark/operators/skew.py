@@ -155,8 +155,17 @@ def keyless_band_pairs(
             F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)])),
         )
         join_keys.append("_salt")
+    # the build side is pinned SHUFFLE-HASH: both sides of a keyless
+    # band join are the full event stream — corpus-linear by
+    # construction, never a broadcast candidate.  Left unpinned, AQE
+    # converts the build side to broadcast when its COMPRESSED shuffle
+    # bytes dip under the threshold, and the in-memory hashed relation
+    # (~10x the compressed size) OOMs the driver — measured at the
+    # 100x-density probe (10M events: compressed ~60 MB, relation
+    # ~1 GB; scripts/scale_probe.py).  Shuffle-hash builds only the
+    # per-partition cell slice, which the cell decomposition bounds.
     return (
-        probe.join(build, join_keys)
+        probe.join(build.hint("shuffle_hash"), join_keys)
         .filter(
             (F.abs(F.col("a_t") - F.col("b_t")) <= window)
             & (F.col("a_id") != F.col("b_id"))

@@ -99,8 +99,36 @@ def build_corpus(replicas: int) -> str:
             ) TO '{edst}' (FORMAT PARQUET)
             """
         )
+    # events replicate with UNCHANGED timestamps: replica r offsets
+    # event_id/user_id but keeps ts — the realistic growth model for a
+    # traffic stream (more events in the same wall-clock period), which
+    # is exactly the quadratic stress for the keyless time-band join
+    # (cell density x R => candidate pairs x R^2).
+    vdst = os.path.join(out_dir, "events.parquet")
+    if os.path.islink(vdst):
+        os.unlink(vdst)
+    if not os.path.exists(vdst):
+        vsrc = os.path.join(SRC_SF, "events.parquet")
+        (vmax, umax) = con.execute(
+            f"SELECT max(event_id), max(user_id) FROM read_parquet('{vsrc}')"
+        ).fetchone()
+        voff, uoff = int(vmax) + 1, int(umax) + 1
+        con.execute(
+            f"""
+            COPY (
+              SELECT event_id, ts, user_id, event_type, value, props
+              FROM read_parquet('{vsrc}')
+              UNION ALL
+              SELECT e.event_id + r.r * {voff} AS event_id, e.ts,
+                     e.user_id + r.r * {uoff} AS user_id,
+                     e.event_type, e.value, e.props
+              FROM read_parquet('{vsrc}') e,
+                   (SELECT unnest(range(1, {replicas})) AS r) r
+            ) TO '{vdst}' (FORMAT PARQUET)
+            """
+        )
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
+              "lineitem"):
         link = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), link)

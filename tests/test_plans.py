@@ -581,3 +581,7 @@ def test_kept_shingle_lists_build_plan_shape(spark):
     counts.write.format("noop").mode("overwrite").save()
     executed = counts._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed and "LeftAnti" in executed, executed
+    # ... while the two size-enrichment joins stay pinned shuffle-hash
+    # (the size table is corpus-linear; its broadcast build is what
+    # OOM'd the 100x artifact build)
+    assert "ShuffledHashJoin" in executed, executed

@@ -135,6 +135,21 @@ def test_keyless_band_join_salt_bounds_hot_bucket(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_keyless_band_join_build_side_never_broadcasts(spark):
+    """The band join's build side is the full event stream —
+    corpus-linear, never a broadcast candidate — and must stay pinned
+    shuffle-hash even at test scale where a size estimate would allow
+    broadcast.  (Un-pinned, AQE converted the build side to broadcast
+    off its COMPRESSED shuffle bytes at the 100x-density probe and
+    OOM'd the driver building the ~10x-larger in-memory relation.)"""
+    e = _herd(spark)
+    pairs = keyless_band_pairs(e, "id", "t", window=1_000_000)
+    pairs.write.format("noop").mode("overwrite").save()
+    executed = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in executed, executed
+    assert "BroadcastHashJoin" not in executed, executed
+
+
 def test_salted_join_rejects_small_side_preserving_how(spark):
     big = spark.range(10).select((F.col("id") % 2).alias("k"), F.col("id").alias("v"))
     small = spark.createDataFrame([(0, "a"), (99, "zz")], ["k", "name"])

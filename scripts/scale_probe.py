@@ -127,8 +127,33 @@ def build_corpus(replicas: int) -> str:
             ) TO '{vdst}' (FORMAT PARQUET)
             """
         )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"):
+    # orders + lineitem replicate with a CONSISTENT orderkey offset
+    # (the join must line up) while customer/part/supplier keys stay —
+    # the fixed-dims growth model: same customer base and catalog,
+    # 100x the order flow.  Dates unchanged.
+    osrc = os.path.join(SRC_SF, "orders.parquet")
+    (omax,) = con.execute(
+        f"SELECT max(o_orderkey) FROM read_parquet('{osrc}')"
+    ).fetchone()
+    ooff = int(omax) + 1
+    for tbl, keycol in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tdst = os.path.join(out_dir, f"{tbl}.parquet")
+        if os.path.islink(tdst):
+            os.unlink(tdst)
+        if not os.path.exists(tdst):
+            tsrc = os.path.join(SRC_SF, f"{tbl}.parquet")
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{tsrc}')
+                  UNION ALL
+                  SELECT t.* REPLACE (t.{keycol} + r.r * {ooff} AS {keycol})
+                  FROM read_parquet('{tsrc}') t,
+                       (SELECT unnest(range(1, {replicas})) AS r) r
+                ) TO '{tdst}' (FORMAT PARQUET)
+                """
+            )
+    for t in ("region", "nation", "customer", "supplier", "part"):
         link = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), link)

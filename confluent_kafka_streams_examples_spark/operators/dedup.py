@@ -464,10 +464,12 @@ def kept_shingle_lists(
     Shuffle ledger (the reason this exists): ONE pass over the raw
     shingle explosion into a persisted distinct index, a hot-set
     aggregate read from that cache (the heavy-hitter set is bounded by
-    total_shingles / max_df, so the cap applies as a broadcast
-    anti-join — map-side, never a shuffle, and no collect buffer ever
-    sees a hot key), then ONE collect_list shuffle into capped posting
-    lists.  The previous per-scorer pipeline instead shuffled the
+    total_postings / max_df — small at test scale, where AQE applies
+    the cap as a map-side broadcast anti-join, but LINEAR in the
+    corpus, so the join carries no broadcast hint and degrades to a
+    shuffle of 8-byte keys when the hot set outgrows broadcast; no
+    collect buffer ever sees a hot key), then ONE collect_list shuffle
+    into capped posting lists.  The previous per-scorer pipeline instead shuffled the
     capped index TWICE more through an inverted-index self-join; every
     downstream quantity — document sizes, shared counts, candidate
     pairs — now derives from this one persisted table map-side.

@@ -1579,29 +1579,24 @@ def events_concurrent_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the residual risk is a hot SECOND (thundering herd), which is
     an AQE-skew-join / finer-cell problem, not a cross-join problem.
     The oracle states the same join declaratively (DuckDB plans it as
-    an IEJoin)."""
+    an IEJoin).
+
+    Delegates to operators.skew.keyless_band_pairs (unsalted), which
+    owns the decomposition AND the shuffle-hash pin on the build side
+    — an earlier inlined copy of the join lacked the pin and sat in
+    the AQE compressed-size broadcast danger zone at 100x density
+    (OOM'd on one probe run, passed on another; the operator's pin
+    removes the nondeterminism)."""
+    from confluent_kafka_streams_examples_spark.operators.skew import (
+        keyless_band_pairs,
+    )
+
     e = load_table(spark, "events", sf_dir).select(
         "event_id", epoch_us(F.col("ts")).alias("t")
     )
-    cell = F.floor(F.col("t") / F.lit(1_000_000)).cast("long")
-    probe = e.select(
-        F.col("event_id").alias("a_id"),
-        F.col("t").alias("a_t"),
-        F.explode(F.array(cell - 1, cell, cell + 1)).alias("bucket"),
-    )
-    build = e.select(
-        F.col("event_id").alias("b_id"),
-        F.col("t").alias("b_t"),
-        cell.alias("bucket"),
-    )
-    return (
-        probe.join(build, "bucket")
-        .filter(
-            (F.abs(F.col("a_t") - F.col("b_t")) <= 1_000_000)
-            & (F.col("a_id") != F.col("b_id"))
-        )
-        .groupBy(F.col("a_id").alias("event_id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_concurrent"))
+    pairs = keyless_band_pairs(e, "event_id", "t", window=1_000_000)
+    return pairs.groupBy(F.col("a_id").alias("event_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_concurrent")
     )
 
 

@@ -49,12 +49,12 @@ def build_corpus(replicas: int) -> str:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     src = os.path.join(SRC_SF, "documents.parquet")
-    (max_id,) = con.execute(
-        f"SELECT max(doc_id) FROM read_parquet('{src}')"
-    ).fetchone()
-    offset = int(max_id) + 1
     # replica 0 verbatim; replica r remaps every token injectively
     if not os.path.exists(dst):
+        (max_id,) = con.execute(
+            f"SELECT max(doc_id) FROM read_parquet('{src}')"
+        ).fetchone()
+        offset = int(max_id) + 1
         con.execute(
             f"""
             COPY (
@@ -132,15 +132,17 @@ def build_corpus(replicas: int) -> str:
     # the fixed-dims growth model: same customer base and catalog,
     # 100x the order flow.  Dates unchanged.
     osrc = os.path.join(SRC_SF, "orders.parquet")
-    (omax,) = con.execute(
-        f"SELECT max(o_orderkey) FROM read_parquet('{osrc}')"
-    ).fetchone()
-    ooff = int(omax) + 1
+    ooff = None
     for tbl, keycol in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         tdst = os.path.join(out_dir, f"{tbl}.parquet")
         if os.path.islink(tdst):
             os.unlink(tdst)
         if not os.path.exists(tdst):
+            if ooff is None:
+                (omax,) = con.execute(
+                    f"SELECT max(o_orderkey) FROM read_parquet('{osrc}')"
+                ).fetchone()
+                ooff = int(omax) + 1
             tsrc = os.path.join(SRC_SF, f"{tbl}.parquet")
             con.execute(
                 f"""

@@ -577,9 +577,13 @@ def test_kept_shingle_lists_build_plan_shape(spark):
     assert len(join_ids) <= 3, f"unexpected extra join\n{sorted(join_ids)}\n{p}"
     # at THIS scale the runtime hot set is tiny, so AQE must still
     # pick a broadcast for the anti-join (the un-hinted plan loses
-    # nothing locally — it only gains the shuffle fallback at scale)
-    counts.write.format("noop").mode("overwrite").save()
+    # nothing locally — it only gains the shuffle fallback at scale).
+    # collect() drives THIS DataFrame's own QueryExecution so the
+    # inspected adaptive plan is the FINAL one (a separate noop write
+    # would leave it unexecuted, isFinalPlan=false)
+    assert len(counts.collect()) > 0
     executed = counts._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, executed
     assert "BroadcastHashJoin" in executed and "LeftAnti" in executed, executed
     # ... while the two size-enrichment joins stay pinned shuffle-hash
     # (the size table is corpus-linear; its broadcast build is what

@@ -143,9 +143,16 @@ def test_keyless_band_join_build_side_never_broadcasts(spark):
     off its COMPRESSED shuffle bytes at the 100x-density probe and
     OOM'd the driver building the ~10x-larger in-memory relation.)"""
     e = _herd(spark)
-    pairs = keyless_band_pairs(e, "id", "t", window=1_000_000)
-    pairs.write.format("noop").mode("overwrite").save()
+    pairs = keyless_band_pairs(e, "id", "t", window=1_000_000).select(
+        "a_id", "b_id"
+    )
+    # collect() drives THIS DataFrame's own QueryExecution, so the
+    # inspected adaptive plan is the FINAL one (a noop write would
+    # execute a separate QueryExecution and leave this plan unexecuted
+    # with isFinalPlan=false — asserting nothing about AQE's choice)
+    assert len(pairs.collect()) > 0
     executed = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, executed
     assert "ShuffledHashJoin" in executed, executed
     assert "BroadcastHashJoin" not in executed, executed
 

@@ -128,6 +128,37 @@ def test_simhash64_candidates_find_identical_docs(spark):
         assert h <= 3
 
 
+def test_simhash64_verifies_before_deduplicating(spark):
+    """The candidate stream must reach the popcount verify RAW and be
+    deduplicated only afterwards: the pre-verify pair distinct — an
+    aggregate keyed on (id_a, id_b) alone — was the registry's only
+    spilling node at the 100x probe (3.3 GiB of sort-fallback hashing
+    tens of millions of 16-byte pairs).  The only pair-keyed aggregate
+    allowed in the plan is the post-verify one, which also carries the
+    hamming column."""
+    import re
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(1, base), (2, base), (3, "unrelated spark text")])
+    plan = (
+        dedup.simhash64_candidates(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    pair_aggs = [
+        m
+        for m in re.findall(r"Aggregate \[([^\]]*)\]", plan)
+        if "id_a" in m and "id_b" in m
+    ]
+    assert pair_aggs, plan
+    for keys in pair_aggs:
+        assert "hamming" in keys, (
+            f"pre-verify pair distinct is back (aggregate keyed on "
+            f"[{keys}] without hamming)\n{plan}"
+        )
+
+
 def test_minhash_estimate_identical_docs(spark):
     text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [(1, text), (2, text), (3, "totally different words here about unrelated topic matter")]

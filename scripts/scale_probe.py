@@ -38,19 +38,25 @@ SRC_SF = "/root/testdata/sf0.1"
 SCRATCH = "/tmp/ckse_scale"
 
 
-def build_corpus(replicas: int) -> str:
+def build_corpus(replicas: int, tables: set[str] | None = None) -> str:
     """Materialize the replicated corpus (plus symlinks for the other
     tables, which the two probed pipelines do not read but load_table
-    may resolve) under SCRATCH/x{replicas}."""
+    may resolve) under SCRATCH/x{replicas}.
+
+    ``tables`` restricts which fact tables are REPLICATED (the rest
+    symlink to sf0.1) — at x1000 a lineitem replica is 600M rows, so
+    a documents-only probe should not pay for it."""
     import duckdb
 
+    if tables is None:
+        tables = {"documents", "embeddings", "events", "orders", "lineitem"}
     out_dir = os.path.join(SCRATCH, f"x{replicas}")
     dst = os.path.join(out_dir, "documents.parquet")
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     src = os.path.join(SRC_SF, "documents.parquet")
     # replica 0 verbatim; replica r remaps every token injectively
-    if not os.path.exists(dst):
+    if "documents" in tables and not os.path.exists(dst):
         (max_id,) = con.execute(
             f"SELECT max(doc_id) FROM read_parquet('{src}')"
         ).fetchone()
@@ -77,9 +83,9 @@ def build_corpus(replicas: int) -> str:
     # exact twins — top-k/threshold topology stays non-degenerate while
     # magnitudes are untouched for all practical purposes)
     edst = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.islink(edst):
+    if "embeddings" in tables and os.path.islink(edst):
         os.unlink(edst)  # pre-extension corpora symlinked embeddings
-    if not os.path.exists(edst):
+    if "embeddings" in tables and not os.path.exists(edst):
         esrc = os.path.join(SRC_SF, "embeddings.parquet")
         (emax,) = con.execute(
             f"SELECT max(vec_id) FROM read_parquet('{esrc}')"
@@ -105,9 +111,9 @@ def build_corpus(replicas: int) -> str:
     # is exactly the quadratic stress for the keyless time-band join
     # (cell density x R => candidate pairs x R^2).
     vdst = os.path.join(out_dir, "events.parquet")
-    if os.path.islink(vdst):
+    if "events" in tables and os.path.islink(vdst):
         os.unlink(vdst)
-    if not os.path.exists(vdst):
+    if "events" in tables and not os.path.exists(vdst):
         vsrc = os.path.join(SRC_SF, "events.parquet")
         (vmax, umax) = con.execute(
             f"SELECT max(event_id), max(user_id) FROM read_parquet('{vsrc}')"
@@ -134,6 +140,8 @@ def build_corpus(replicas: int) -> str:
     osrc = os.path.join(SRC_SF, "orders.parquet")
     ooff = None
     for tbl, keycol in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        if tbl not in tables:
+            continue
         tdst = os.path.join(out_dir, f"{tbl}.parquet")
         if os.path.islink(tdst):
             os.unlink(tdst)
@@ -155,7 +163,8 @@ def build_corpus(replicas: int) -> str:
                 ) TO '{tdst}' (FORMAT PARQUET)
                 """
             )
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings", "events", "orders", "lineitem"):
         link = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC_SF, f"{t}.parquet"), link)
@@ -225,8 +234,15 @@ DEFAULT_QUERIES = ("pipeline_clean_corpus", "pipeline_training_export")
 def main() -> None:
     args = sys.argv[1:]
     probe_queries = list(DEFAULT_QUERIES)
-    if args and args[0].startswith("--queries="):
-        probe_queries = args.pop(0).split("=", 1)[1].split(",")
+    build_tables = None
+    while args and args[0].startswith("--"):
+        flag = args.pop(0)
+        if flag.startswith("--queries="):
+            probe_queries = flag.split("=", 1)[1].split(",")
+        elif flag.startswith("--tables="):
+            build_tables = set(flag.split("=", 1)[1].split(","))
+        else:
+            raise SystemExit(f"unknown flag {flag}")
     replicas = [int(a) for a in args] or [1, 10, 100]
     from confluent_kafka_streams_examples_spark.queries import QUERIES
     from confluent_kafka_streams_examples_spark.session import (
@@ -253,7 +269,7 @@ def main() -> None:
 
     rows = []
     for r in replicas:
-        sf_dir = SRC_SF if r == 1 else build_corpus(r)
+        sf_dir = SRC_SF if r == 1 else build_corpus(r, build_tables)
         for p in glob.glob("/tmp/ckse_art_*"):
             shutil.rmtree(p, ignore_errors=True)
         for pass_name in ("cold", "warm"):

@@ -524,7 +524,7 @@ _VERIFY_FIRST = [
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     "dedup_simhash64", "events_concurrent_degree_salted",
-    "events_concurrent_degree",
+    "events_concurrent_degree", "corpus_mixture_sample",
     # Tail: oldest green first.
     "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
     "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
@@ -536,31 +536,30 @@ _VERIFY_FIRST = [
     "windowed_tumbling", "dedup_exact", "dedup_incremental",
     "dedup_simhash", "similarity_topk_batch", "bm25_search",
     "vocab_coverage", "pivot_event_counts", "similarity_ivf_probe",
-    "local_supplier_volume", "forecast_revenue_change",
+    "local_supplier_volume",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "primary_supplier_per_part", "late_ship_priority",
-    "nation_pair_volume", "returned_item_customers", "large_volume_orders",
-    "sql_interface", "market_share", "product_type_profit",
-    "important_part_value", "late_shipment_priority_counts",
-    "customer_order_distribution", "promo_revenue", "top_supplier",
-    "part_supplier_counts", "small_quantity_revenue",
-    "disjunctive_predicate_revenue", "excess_suppliers",
-    "sole_late_supplier", "dormant_customer_balance",
+    "forecast_revenue_change", "primary_supplier_per_part",
+    "late_ship_priority", "nation_pair_volume", "returned_item_customers",
+    "large_volume_orders", "sql_interface", "market_share",
+    "product_type_profit", "important_part_value",
+    "late_shipment_priority_counts", "customer_order_distribution",
+    "promo_revenue", "top_supplier", "part_supplier_counts",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
     "corpus_split_assignment", "corpus_stratified_sample",
     "decontaminate_train", "pii_scrub", "embedding_quantize",
-    "rolling_user_stats", "corpus_mixture_sample", "sample_n_per_group",
-    "dedup_exact_normalized", "skewed_event_rollup",
-    "dedup_incremental_persisted", "lm_unigram_score",
-    "corpus_chunk_documents", "bpe_pair_counts", "doc_winnow_fingerprints",
-    "dedup_duplicate_spans", "semdedup_prune", "dedup_span_removal",
-    "dedup_cdc_chunks", "stream_stream_window_join", "ktable_latest",
-    "stream_table_join", "agg_running_total", "user_sessions",
-    "json_props_extract", "ktable_filter_extract", "agg_pricing_summary",
-    "windowed_hopping", "windowed_session", "topk_per_key",
-    "events_json_analytics", "similarity_topk", "similarity_pairs_label",
-    "text_stats", "doc_fingerprint_dups", "lang_profile",
-    "lang_id_heuristic", "token_frequencies", "asof_join",
+    "rolling_user_stats", "sample_n_per_group", "dedup_exact_normalized",
+    "skewed_event_rollup", "dedup_incremental_persisted",
+    "lm_unigram_score", "corpus_chunk_documents", "bpe_pair_counts",
+    "doc_winnow_fingerprints", "dedup_duplicate_spans", "semdedup_prune",
+    "dedup_span_removal", "dedup_cdc_chunks", "stream_stream_window_join",
+    "ktable_latest", "stream_table_join", "agg_running_total",
+    "user_sessions", "json_props_extract", "ktable_filter_extract",
+    "agg_pricing_summary", "windowed_hopping", "windowed_session",
+    "topk_per_key", "events_json_analytics", "similarity_topk",
+    "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
+    "lang_profile", "lang_id_heuristic", "token_frequencies", "asof_join",
     "rollup_pricing", "cube_order_priority", "setops_users",
     "anti_join_users", "semi_join_parts", "user_running_value",
     "event_gaps", "distinct_parts_per_supplier",

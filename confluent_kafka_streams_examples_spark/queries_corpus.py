@@ -528,14 +528,24 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_int", F.floor(F.sqrt(F.col("n_tokens")) * F.lit(1000000.0)).cast("bigint")
     )
     tot = w.agg(F.sum("w_int").alias("w_sum"), F.sum("n_tokens").alias("tok_sum"))
-    # integer threshold: (token_budget * w_int * 10000) div (w_sum * n_tokens)
+    # integer threshold: (token_budget * w_int * 10000) div (w_sum * n_tokens).
+    # DECIMAL(38,0) intermediates, exact like the oracle's HUGEINT (DuckDB
+    # sum() promotes, so ITS product never overflows): in pure BIGINT the
+    # numerator is ~tok_sum/2 * sqrt(n_tokens)*1e6 * 1e4, which blows past
+    # int64 at a ~10^8-token corpus — the 100x scale probe caught ANSI
+    # Spark throwing ARITHMETIC_OVERFLOW here while sf0.1 passed.  Values
+    # peak ~1e29 even at 100 TB (< 1e38); div on decimals keeps the same
+    # floored integer semantics and returns BIGINT.
     thr = w.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
         F.least(
             F.lit(10000).cast("bigint"),
-            F.expr("(tok_sum div 2) * w_int * 10000 div (w_sum * n_tokens)"),
+            F.expr(
+                "CAST(tok_sum div 2 AS DECIMAL(38,0)) * w_int * 10000"
+                " div (CAST(w_sum AS DECIMAL(38,0)) * n_tokens)"
+            ),
         ).alias("keep_per_10k"),
     )
     kept = (

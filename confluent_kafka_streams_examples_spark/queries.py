@@ -511,34 +511,12 @@ from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,
 # ---------------------------------------------------------------------
 
 _VERIFY_FIRST = [
-    # GENERATED by scripts/gen_verify_order.py (round 6) — do not
+    # GENERATED by scripts/gen_verify_order.py (round 7) — do not
     # hand-edit; regenerate after any query/helper change and paste
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
-    "dedup_containment", "dedup_lsh_recall_eval",
-    "pipeline_training_export", "user_retention_cohorts",
-    "dedup_ngram_jaccard", "bucketed_revenue_by_priority",
-    "pack_sequences", "dedup_overlap_scores",
-    "dedup_cluster_representatives", "dedup_clusters", "dedup_minhash_lsh",
-    "dedup_minhash_verify", "neardup_verify_levenshtein",
-    "pipeline_clean_corpus", "similarity_ivf_pruned",
-    "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
-    "dedup_simhash64", "events_concurrent_degree_salted",
-    "events_concurrent_degree", "corpus_mixture_sample",
+
     # Tail: oldest green first.
-    "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
-    "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
-    "embedding_centroids", "quality_repetition_signals",
-    "shipping_priority", "source_overlap_matrix",
-    "duplicate_rate_by_source", "ann_recall_eval",
-    "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",
-    "multimodal_features", "basic_pipeline", "regional_revenue",
-    "windowed_tumbling", "dedup_exact", "dedup_incremental",
-    "dedup_simhash", "similarity_topk_batch", "bm25_search",
-    "vocab_coverage", "pivot_event_counts", "similarity_ivf_probe",
-    "local_supplier_volume",
-    # Past the 50-entry window from here: these stay green on
-    # unchanged bodies and lead the next round's rotation.
     "forecast_revenue_change", "primary_supplier_per_part",
     "late_ship_priority", "nation_pair_volume", "returned_item_customers",
     "large_volume_orders", "sql_interface", "market_share",
@@ -557,12 +535,35 @@ _VERIFY_FIRST = [
     "ktable_latest", "stream_table_join", "agg_running_total",
     "user_sessions", "json_props_extract", "ktable_filter_extract",
     "agg_pricing_summary", "windowed_hopping", "windowed_session",
-    "topk_per_key", "events_json_analytics", "similarity_topk",
-    "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
-    "lang_profile", "lang_id_heuristic", "token_frequencies", "asof_join",
-    "rollup_pricing", "cube_order_priority", "setops_users",
-    "anti_join_users", "semi_join_parts", "user_running_value",
-    "event_gaps", "distinct_parts_per_supplier",
+    "topk_per_key", "events_json_analytics",
+    # Past the 50-entry window from here: these stay green on
+    # unchanged bodies and lead the next round's rotation.
+    "similarity_topk", "similarity_pairs_label", "text_stats",
+    "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
+    "token_frequencies", "asof_join", "rollup_pricing",
+    "cube_order_priority", "setops_users", "anti_join_users",
+    "semi_join_parts", "user_running_value", "event_gaps",
+    "distinct_parts_per_supplier", "dedup_containment",
+    "dedup_lsh_recall_eval", "pipeline_training_export",
+    "user_retention_cohorts", "dedup_ngram_jaccard",
+    "bucketed_revenue_by_priority", "pack_sequences",
+    "dedup_overlap_scores", "dedup_cluster_representatives",
+    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
+    "neardup_verify_levenshtein", "pipeline_clean_corpus",
+    "similarity_ivf_pruned", "similarity_ivf_dynamic", "similarity_pq_adc",
+    "pq_recall_eval", "dedup_simhash64", "events_concurrent_degree_salted",
+    "events_concurrent_degree", "corpus_mixture_sample",
+    "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
+    "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
+    "embedding_centroids", "quality_repetition_signals",
+    "shipping_priority", "source_overlap_matrix",
+    "duplicate_rate_by_source", "ann_recall_eval",
+    "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",
+    "multimodal_features", "basic_pipeline", "regional_revenue",
+    "windowed_tumbling", "dedup_exact", "dedup_incremental",
+    "dedup_simhash", "similarity_topk_batch", "bm25_search",
+    "vocab_coverage", "pivot_event_counts", "similarity_ivf_probe",
+    "local_supplier_volume",
 ]
 
 

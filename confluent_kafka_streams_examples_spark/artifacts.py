@@ -18,7 +18,17 @@ MinHash signature table `dedup_incremental_persisted` established:
 - columns must roundtrip parquet exactly (BIGINT/BOOLEAN/DOUBLE-free
   integer contracts), so scorers reading the artifact agree
   row-for-row with scorers recomputing from source — every consumer
-  keeps its own independent DuckDB oracle.
+  keeps its own independent DuckDB oracle;
+- superseded versions are RETIRED: each artifact carries a `_CKSE_META`
+  manifest (source path + version stamp + engine digest), and every
+  successful publish sweeps sibling artifacts whose manifest no longer
+  matches live state — a stale version can only accumulate for as long
+  as the grace window, never across corpus regenerations or code
+  edits.  This is the retention half of the stored-dataset contract:
+  a compacted changelog keeps the LATEST value per key and lets the
+  broker delete superseded segments (KTableExample.scala:76-85); here
+  the "key" is (source, params) and the superseded segment is the
+  previous version directory.
 
 Reference analog: a compacted changelog topic restoring a state store
 instead of replaying the source (KTableExample.scala:52-56).
@@ -26,16 +36,27 @@ instead of replaying the source (KTableExample.scala:52-56).
 
 from __future__ import annotations
 
+import errno
 import hashlib
+import json
 import os
 import shutil
 import tempfile
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-
 _ENGINE_DIGEST: str | None = None
+
+# A stale sibling younger than this many seconds is left alone: a
+# concurrently-running OLD-code process may still be reading it (its
+# own digest points there).  Old enough that any such process has
+# finished or republished; short enough that probe-scale (multi-GB)
+# versions don't outlive one working session.
+GC_GRACE_SECONDS = 300.0
+
+_META_NAME = "_CKSE_META"
 
 
 def _engine_digest() -> str:
@@ -58,20 +79,105 @@ def _engine_digest() -> str:
     return _ENGINE_DIGEST
 
 
+def artifact_root() -> str:
+    """Per-user artifact directory (mode 0700).  A shared world-
+    writable /tmp prefix would let another user squat a predictable
+    artifact path; scoping by uid removes the collision surface and
+    gives the GC sweep a closed universe to reason about."""
+    root = os.path.join(
+        tempfile.gettempdir(), f"ckse_artifacts_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
+
+
+def _source_stamp(source_file: str) -> str:
+    try:
+        st = os.stat(source_file)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "missing"
+
+
 def artifact_path(source_file: str, tag: str) -> str:
     """Deterministic scratch location for one (source version, params,
     engine version) artifact.  The digest covers the source's
     mtime+size and the package-source digest, so freshness is part of
     the name, not a check."""
-    try:
-        st = os.stat(source_file)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "missing"
     digest = hashlib.md5(
-        f"{source_file}|{stamp}|{tag}|{_engine_digest()}".encode()
+        f"{source_file}|{_source_stamp(source_file)}|{tag}"
+        f"|{_engine_digest()}".encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"ckse_art_{digest}")
+    return os.path.join(artifact_root(), f"ckse_art_{digest}")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        pass  # EPERM etc.: exists but not ours — treat as alive
+    return True
+
+
+def _is_stale(dirpath: str) -> bool:
+    """A published artifact is stale when its manifest no longer
+    derives from live state: built by a different package digest, or
+    from a source version that has since been replaced (or deleted).
+    Manifest-less directories (pre-manifest format, or a foreign
+    squatter) are stale by definition — current code always writes
+    one, so nothing live reads them."""
+    meta_file = os.path.join(dirpath, _META_NAME)
+    try:
+        with open(meta_file, encoding="utf-8") as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return True
+    if meta.get("engine") != _engine_digest():
+        return True
+    return _source_stamp(meta.get("source_file", "")) != meta.get("stamp")
+
+
+def sweep_stale_artifacts(grace_seconds: float | None = None) -> list[str]:
+    """Delete superseded artifact versions under the per-user root.
+
+    Removes (a) published artifacts whose manifest fails `_is_stale`
+    and whose mtime is older than the grace window, and (b) staging
+    directories whose builder pid is dead (a builder that crashed
+    between the parquet write and the rename).  Fresh artifacts —
+    current engine digest AND current source stamp — are never
+    touched, so concurrent CURRENT-code builders/readers are safe:
+    their paths only ever point at fresh directories.  Returns the
+    removed paths (for tests/logging)."""
+    grace = GC_GRACE_SECONDS if grace_seconds is None else grace_seconds
+    root = artifact_root()
+    removed = []
+    now = time.time()
+    for name in os.listdir(root):
+        if not name.startswith("ckse_art_"):
+            continue
+        p = os.path.join(root, name)
+        if not os.path.isdir(p):
+            continue
+        if ".build." in name:
+            try:
+                pid = int(name.rsplit(".", 1)[1])
+            except ValueError:
+                pid = -1
+            if pid >= 0 and _pid_alive(pid):
+                continue  # an in-flight build owns this staging dir
+        elif not _is_stale(p):
+            continue
+        try:
+            age = now - os.stat(p).st_mtime
+        except OSError:
+            continue  # raced with another sweeper
+        if age < grace:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed
 
 
 def materialized(
@@ -87,9 +193,12 @@ def materialized(
     miss; its result is written to parquet and atomically published.
     ``cleanup`` (also miss-only) releases build-scoped resources — the
     usual case is unpersisting an intermediate the build pinned for
-    multi-reference reuse, whose job is done once the parquet exists."""
+    multi-reference reuse, whose job is done once the parquet exists.
+    Every successful publish also retires superseded sibling versions
+    (see `sweep_stale_artifacts`)."""
     path = artifact_path(source_file, tag)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    success_marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(success_marker):
         staging = f"{path}.build.{os.getpid()}"
         try:
             writer = build().write.mode("overwrite")
@@ -104,8 +213,31 @@ def materialized(
         finally:
             if cleanup is not None:
                 cleanup()
+        with open(
+            os.path.join(staging, _META_NAME), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(
+                {
+                    "source_file": source_file,
+                    "stamp": _source_stamp(source_file),
+                    "tag": tag,
+                    "engine": _engine_digest(),
+                },
+                fh,
+            )
         try:
             os.rename(staging, path)  # atomic publish (same filesystem)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)  # other builder won
+        except OSError as exc:
+            shutil.rmtree(staging, ignore_errors=True)
+            # "Another builder won" is only one of the ways a rename
+            # fails; verify the winner actually published before
+            # reading, instead of failing opaquely (or reading a
+            # squatter's directory) downstream.
+            if not os.path.exists(success_marker):
+                raise RuntimeError(
+                    f"artifact publish failed for {path!r} "
+                    f"({errno.errorcode.get(exc.errno, exc.errno)}) and no "
+                    "concurrent builder published a valid artifact there"
+                ) from exc
+        sweep_stale_artifacts()
     return spark.read.parquet(path)

@@ -241,6 +241,21 @@ def main() -> None:
             probe_queries = flag.split("=", 1)[1].split(",")
         elif flag.startswith("--tables="):
             build_tables = set(flag.split("=", 1)[1].split(","))
+        elif flag == "--clean":
+            # drop the replicated corpora AND every stored artifact —
+            # both grow multi-GB at x100/x1000 and outlive the probe
+            import shutil
+
+            from confluent_kafka_streams_examples_spark.artifacts import (
+                artifact_root,
+                sweep_stale_artifacts,
+            )
+
+            shutil.rmtree(SCRATCH, ignore_errors=True)
+            sweep_stale_artifacts(grace_seconds=0.0)
+            print(f"cleaned {SCRATCH} and stale artifacts under "
+                  f"{artifact_root()}")
+            return
         else:
             raise SystemExit(f"unknown flag {flag}")
     replicas = [int(a) for a in args] or [1, 10, 100]

@@ -511,33 +511,12 @@ from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,
 # ---------------------------------------------------------------------
 
 _VERIFY_FIRST = [
-    # GENERATED by scripts/gen_verify_order.py (round 7) — do not
+    # GENERATED by scripts/gen_verify_order.py (round 8) — do not
     # hand-edit; regenerate after any query/helper change and paste
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
 
     # Tail: oldest green first.
-    "forecast_revenue_change", "primary_supplier_per_part",
-    "late_ship_priority", "nation_pair_volume", "returned_item_customers",
-    "large_volume_orders", "sql_interface", "market_share",
-    "product_type_profit", "important_part_value",
-    "late_shipment_priority_counts", "customer_order_distribution",
-    "promo_revenue", "top_supplier", "part_supplier_counts",
-    "small_quantity_revenue", "disjunctive_predicate_revenue",
-    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
-    "corpus_split_assignment", "corpus_stratified_sample",
-    "decontaminate_train", "pii_scrub", "embedding_quantize",
-    "rolling_user_stats", "sample_n_per_group", "dedup_exact_normalized",
-    "skewed_event_rollup", "dedup_incremental_persisted",
-    "lm_unigram_score", "corpus_chunk_documents", "bpe_pair_counts",
-    "doc_winnow_fingerprints", "dedup_duplicate_spans", "semdedup_prune",
-    "dedup_span_removal", "dedup_cdc_chunks", "stream_stream_window_join",
-    "ktable_latest", "stream_table_join", "agg_running_total",
-    "user_sessions", "json_props_extract", "ktable_filter_extract",
-    "agg_pricing_summary", "windowed_hopping", "windowed_session",
-    "topk_per_key", "events_json_analytics",
-    # Past the 50-entry window from here: these stay green on
-    # unchanged bodies and lead the next round's rotation.
     "similarity_topk", "similarity_pairs_label", "text_stats",
     "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
     "token_frequencies", "asof_join", "rollup_pricing",
@@ -558,12 +537,33 @@ _VERIFY_FIRST = [
     "embedding_centroids", "quality_repetition_signals",
     "shipping_priority", "source_overlap_matrix",
     "duplicate_rate_by_source", "ann_recall_eval",
+    # Past the 50-entry window from here: these stay green on
+    # unchanged bodies and lead the next round's rotation.
     "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",
     "multimodal_features", "basic_pipeline", "regional_revenue",
     "windowed_tumbling", "dedup_exact", "dedup_incremental",
     "dedup_simhash", "similarity_topk_batch", "bm25_search",
     "vocab_coverage", "pivot_event_counts", "similarity_ivf_probe",
-    "local_supplier_volume",
+    "local_supplier_volume", "forecast_revenue_change",
+    "primary_supplier_per_part", "late_ship_priority",
+    "nation_pair_volume", "returned_item_customers", "large_volume_orders",
+    "sql_interface", "market_share", "product_type_profit",
+    "important_part_value", "late_shipment_priority_counts",
+    "customer_order_distribution", "promo_revenue", "top_supplier",
+    "part_supplier_counts", "small_quantity_revenue",
+    "disjunctive_predicate_revenue", "excess_suppliers",
+    "sole_late_supplier", "dormant_customer_balance",
+    "corpus_split_assignment", "corpus_stratified_sample",
+    "decontaminate_train", "pii_scrub", "embedding_quantize",
+    "rolling_user_stats", "sample_n_per_group", "dedup_exact_normalized",
+    "skewed_event_rollup", "dedup_incremental_persisted",
+    "lm_unigram_score", "corpus_chunk_documents", "bpe_pair_counts",
+    "doc_winnow_fingerprints", "dedup_duplicate_spans", "semdedup_prune",
+    "dedup_span_removal", "dedup_cdc_chunks", "stream_stream_window_join",
+    "ktable_latest", "stream_table_join", "agg_running_total",
+    "user_sessions", "json_props_extract", "ktable_filter_extract",
+    "agg_pricing_summary", "windowed_hopping", "windowed_session",
+    "topk_per_key", "events_json_analytics",
 ]
 
 

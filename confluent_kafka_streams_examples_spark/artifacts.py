@@ -41,6 +41,7 @@ import hashlib
 import json
 import os
 import shutil
+import stat as _stat
 import tempfile
 import time
 from typing import Callable
@@ -53,8 +54,19 @@ _ENGINE_DIGEST: str | None = None
 # concurrently-running OLD-code process may still be reading it (its
 # own digest points there).  Old enough that any such process has
 # finished or republished; short enough that probe-scale (multi-GB)
-# versions don't outlive one working session.
+# versions don't outlive one working session.  The grace only shields
+# RECENTLY-PUBLISHED artifacts: directory mtime does not advance on
+# reads, so an old-engine process still reading an artifact published
+# more than the grace ago is not protected — acceptable for
+# single-session tooling, where "old engine" means "this repo before
+# the edit I just made".
 GC_GRACE_SECONDS = 300.0
+
+# A staging directory older than this is removed even if a live pid
+# matches its suffix: pid reuse can make a dead builder's multi-GB
+# staging dir look alive indefinitely.  No real build at any probed
+# scale approaches this (x1000 cold build: ~245 s).
+STAGING_TTL_SECONDS = 6 * 3600.0
 
 _META_NAME = "_CKSE_META"
 
@@ -88,6 +100,23 @@ def artifact_root() -> str:
         tempfile.gettempdir(), f"ckse_artifacts_{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
+    # makedirs(exist_ok=True) accepts a pre-existing path with ANY
+    # owner/mode — another user could pre-create (or symlink) the
+    # predictable name and plant artifact dirs with valid-looking
+    # manifests.  Verify what we got is ours, a real directory, and
+    # private (same pattern tempfile's mkdtemp relies on).
+    st = os.lstat(root)
+    if not _stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"artifact root {root!r} is not a directory (symlink squat?)"
+        )
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"artifact root {root!r} is owned by uid {st.st_uid}, "
+            f"not {os.getuid()} — refusing to use it"
+        )
+    if _stat.S_IMODE(st.st_mode) != 0o700:
+        os.chmod(root, 0o700)
     return root
 
 
@@ -160,19 +189,26 @@ def sweep_stale_artifacts(grace_seconds: float | None = None) -> list[str]:
         p = os.path.join(root, name)
         if not os.path.isdir(p):
             continue
+        try:
+            age = now - os.stat(p).st_mtime
+        except OSError:
+            continue  # raced with another sweeper
         if ".build." in name:
             try:
                 pid = int(name.rsplit(".", 1)[1])
             except ValueError:
                 pid = -1
-            if pid >= 0 and _pid_alive(pid):
-                continue  # an in-flight build owns this staging dir
+            if (
+                pid >= 0
+                and _pid_alive(pid)
+                and age < STAGING_TTL_SECONDS
+            ):
+                # an in-flight build owns this staging dir — but pid
+                # reuse can resurrect a dead builder's pid, so a
+                # generous TTL bounds how long "alive" is believed
+                continue
         elif not _is_stale(p):
             continue
-        try:
-            age = now - os.stat(p).st_mtime
-        except OSError:
-            continue  # raced with another sweeper
         if age < grace:
             continue
         shutil.rmtree(p, ignore_errors=True)
@@ -207,24 +243,27 @@ def materialized(
                 # get partition pruning on the artifact's key column
                 writer = writer.partitionBy(partition_by)
             writer.parquet(staging)
+            # manifest inside the same guarded region: a failure here
+            # (e.g. ENOSPC) must clean the staging dir too, or it
+            # orphans for the life of the builder pid
+            with open(
+                os.path.join(staging, _META_NAME), "w", encoding="utf-8"
+            ) as fh:
+                json.dump(
+                    {
+                        "source_file": source_file,
+                        "stamp": _source_stamp(source_file),
+                        "tag": tag,
+                        "engine": _engine_digest(),
+                    },
+                    fh,
+                )
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)  # no orphan staging
             raise
         finally:
             if cleanup is not None:
                 cleanup()
-        with open(
-            os.path.join(staging, _META_NAME), "w", encoding="utf-8"
-        ) as fh:
-            json.dump(
-                {
-                    "source_file": source_file,
-                    "stamp": _source_stamp(source_file),
-                    "tag": tag,
-                    "engine": _engine_digest(),
-                },
-                fh,
-            )
         try:
             os.rename(staging, path)  # atomic publish (same filesystem)
         except OSError as exc:

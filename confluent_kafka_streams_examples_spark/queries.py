@@ -515,28 +515,27 @@ _VERIFY_FIRST = [
     # hand-edit; regenerate after any query/helper change and paste
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
-
+    "dedup_containment", "dedup_lsh_recall_eval",
+    "pipeline_training_export", "dedup_ngram_jaccard",
+    "dedup_overlap_scores", "dedup_cluster_representatives",
+    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
+    "pipeline_clean_corpus", "similarity_ivf_pruned",
+    "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     # Tail: oldest green first.
     "similarity_topk", "similarity_pairs_label", "text_stats",
     "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
     "token_frequencies", "asof_join", "rollup_pricing",
     "cube_order_priority", "setops_users", "anti_join_users",
     "semi_join_parts", "user_running_value", "event_gaps",
-    "distinct_parts_per_supplier", "dedup_containment",
-    "dedup_lsh_recall_eval", "pipeline_training_export",
-    "user_retention_cohorts", "dedup_ngram_jaccard",
+    "distinct_parts_per_supplier", "user_retention_cohorts",
     "bucketed_revenue_by_priority", "pack_sequences",
-    "dedup_overlap_scores", "dedup_cluster_representatives",
-    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
-    "neardup_verify_levenshtein", "pipeline_clean_corpus",
-    "similarity_ivf_pruned", "similarity_ivf_dynamic", "similarity_pq_adc",
-    "pq_recall_eval", "dedup_simhash64", "events_concurrent_degree_salted",
-    "events_concurrent_degree", "corpus_mixture_sample",
-    "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
-    "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
-    "embedding_centroids", "quality_repetition_signals",
-    "shipping_priority", "source_overlap_matrix",
-    "duplicate_rate_by_source", "ann_recall_eval",
+    "neardup_verify_levenshtein", "dedup_simhash64",
+    "events_concurrent_degree_salted", "events_concurrent_degree",
+    "corpus_mixture_sample", "distinct_daily_users", "value_percentiles",
+    "dedup_embedding_cosine", "scd2_user_history", "merge_upsert_balances",
+    "similarity_ann_lsh", "embedding_centroids",
+    "quality_repetition_signals", "shipping_priority",
+    "source_overlap_matrix", "duplicate_rate_by_source", "ann_recall_eval",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
     "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",

@@ -230,8 +230,10 @@ def latest_green_rounds() -> dict[str, int]:
             if ok:
                 latest[qname] = max(latest.get(qname, 0), rnd)
             else:
-                # a failed latest check invalidates older greens
-                latest[qname] = latest.get(qname, 0)
+                # a failed check invalidates older greens: rank 0 =
+                # never-green, which forces the query into the head
+                # even when its body is unchanged
+                latest[qname] = 0
     return latest
 
 

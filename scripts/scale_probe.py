@@ -285,7 +285,14 @@ def main() -> None:
     rows = []
     for r in replicas:
         sf_dir = SRC_SF if r == 1 else build_corpus(r, build_tables)
-        for p in glob.glob("/tmp/ckse_art_*"):
+        from confluent_kafka_streams_examples_spark.artifacts import (
+            artifact_root,
+        )
+
+        # artifacts live under the per-uid root, not bare /tmp — a
+        # stale glob here made every "cold" pass after the first
+        # silently warm
+        for p in glob.glob(os.path.join(artifact_root(), "ckse_art_*")):
             shutil.rmtree(p, ignore_errors=True)
         for pass_name in ("cold", "warm"):
             for qname in probe_queries:

@@ -66,3 +66,248 @@ def test_materialized_cleans_staging_on_build_failure(tmp_path, spark):
     assert ran == [1]
     path = artifact_path(str(src), "failing")
     assert not glob.glob(path + "*"), glob.glob(path + "*")
+
+
+# ---------------------------------------------------------------------------
+# GC / retention (sweep_stale_artifacts + the hardened publish path).
+# Every test below redirects the artifact root into tmp_path so the
+# sweep's universe is closed and the user's real stored artifacts are
+# never touched.
+# ---------------------------------------------------------------------------
+
+import json
+import subprocess
+import time
+
+import pytest
+
+
+@pytest.fixture()
+def art_root(tmp_path, monkeypatch):
+    """Isolated artifact root: point tempfile.gettempdir (as artifacts.py
+    sees it) at tmp_path and reset the memoized engine digest."""
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    monkeypatch.setattr(
+        art.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    return art.artifact_root()
+
+
+def _plant(dirpath, meta=None, age_seconds=0.0):
+    """Create a fake published artifact directory, optionally with a
+    manifest, and back-date its mtime."""
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, "_SUCCESS"), "w"):
+        pass
+    if meta is not None:
+        with open(
+            os.path.join(dirpath, "_CKSE_META"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(meta, fh)
+    old = time.time() - age_seconds
+    os.utime(dirpath, (old, old))
+
+
+def test_sweep_removes_superseded_version_on_publish(
+    art_root, tmp_path, spark
+):
+    """The r6 'done' criterion: an artifact built under an OLD engine
+    digest is retired by the next materialized() publish once past the
+    grace window."""
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+    stale = os.path.join(art_root, "ckse_art_000000000000")
+    _plant(
+        stale,
+        meta={
+            "source_file": str(src),
+            "stamp": art._source_stamp(str(src)),
+            "tag": "t",
+            "engine": "0ld_d1g3",  # superseded engine version
+        },
+        age_seconds=art.GC_GRACE_SECONDS + 60,
+    )
+    df = art.materialized(
+        spark,
+        str(src),
+        "t",
+        lambda: spark.range(3).toDF("id"),
+    )
+    assert df.count() == 3
+    assert not os.path.exists(stale), "superseded version must be swept"
+    # the artifact just published is fresh and must survive its own sweep
+    assert os.path.exists(
+        os.path.join(art.artifact_path(str(src), "t"), "_SUCCESS")
+    )
+
+
+def test_sweep_never_touches_fresh_or_alive_staging(art_root, tmp_path):
+    """(b) fresh artifacts (current engine + current source stamp) and
+    a live builder's recent staging dir are never swept — even with a
+    zero grace window."""
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+    fresh = os.path.join(art_root, "ckse_art_fresh000")
+    _plant(
+        fresh,
+        meta={
+            "source_file": str(src),
+            "stamp": art._source_stamp(str(src)),
+            "tag": "t",
+            "engine": art._engine_digest(),
+        },
+        age_seconds=art.GC_GRACE_SECONDS + 60,  # age alone is not staleness
+    )
+    staging = os.path.join(art_root, f"ckse_art_x.build.{os.getpid()}")
+    os.makedirs(staging)
+    removed = art.sweep_stale_artifacts(grace_seconds=0.0)
+    assert removed == []
+    assert os.path.exists(fresh)
+    assert os.path.exists(staging)
+
+
+def test_sweep_removes_manifestless_and_dead_pid_dirs(art_root):
+    """(d) a manifest-less directory (pre-manifest format or squatter)
+    is stale by definition; a staging dir whose builder pid is dead is
+    a crashed build."""
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    orphan = os.path.join(art_root, "ckse_art_orphan00")
+    _plant(orphan, meta=None, age_seconds=art.GC_GRACE_SECONDS + 60)
+
+    child = subprocess.Popen(["true"])
+    child.wait()  # reaped: the pid no longer exists
+    dead_staging = os.path.join(
+        art_root, f"ckse_art_y.build.{child.pid}"
+    )
+    os.makedirs(dead_staging)
+    old = time.time() - art.GC_GRACE_SECONDS - 60
+    os.utime(dead_staging, (old, old))
+
+    removed = art.sweep_stale_artifacts()
+    assert orphan in removed and not os.path.exists(orphan)
+    assert dead_staging in removed and not os.path.exists(dead_staging)
+
+
+def test_sweep_ages_out_alive_pid_staging_past_ttl(art_root):
+    """Pid reuse can make a dead builder's staging dir look alive
+    forever; past STAGING_TTL_SECONDS liveness is no longer believed."""
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    staging = os.path.join(art_root, f"ckse_art_z.build.{os.getpid()}")
+    os.makedirs(staging)
+    old = time.time() - art.STAGING_TTL_SECONDS - 60
+    os.utime(staging, (old, old))
+    removed = art.sweep_stale_artifacts()
+    assert staging in removed and not os.path.exists(staging)
+
+
+def test_publish_failure_with_no_winner_raises(
+    art_root, tmp_path, spark, monkeypatch
+):
+    """(c) a rename failure where NO concurrent builder published must
+    raise the explicit RuntimeError (not fail opaquely downstream or
+    read a squatter's directory), and must not orphan the staging dir."""
+    import glob
+
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+
+    def bad_rename(a, b):
+        raise OSError(13, "Permission denied")
+
+    monkeypatch.setattr(art.os, "rename", bad_rename)
+    with pytest.raises(RuntimeError, match="publish failed"):
+        art.materialized(
+            spark, str(src), "t", lambda: spark.range(1).toDF("id")
+        )
+    assert not glob.glob(
+        art.artifact_path(str(src), "t") + "*"
+    ), "neither artifact nor staging may remain"
+
+
+def test_publish_failure_with_winner_reads_winner(
+    art_root, tmp_path, spark, monkeypatch
+):
+    """The race the atomic rename exists for: when the rename loses but
+    a concurrent builder HAS published, the loser discards its staging
+    dir and reads the winner's artifact."""
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+    path = art.artifact_path(str(src), "t")
+    real_rename = os.rename
+
+    def losing_rename(a, b):
+        # simulate the concurrent winner: publish THEIR build first,
+        # then fail ours the way a lost rename race does
+        spark.range(7).toDF("id").write.parquet(path)
+        raise OSError(39, "Directory not empty")
+
+    monkeypatch.setattr(art.os, "rename", losing_rename)
+    try:
+        df = art.materialized(
+            spark, str(src), "t", lambda: spark.range(7).toDF("id")
+        )
+        assert df.count() == 7
+    finally:
+        monkeypatch.setattr(art.os, "rename", real_rename)
+    assert not os.path.exists(f"{path}.build.{os.getpid()}")
+
+
+def test_manifest_write_failure_cleans_staging(
+    art_root, tmp_path, spark, monkeypatch
+):
+    """A manifest write failure (ENOSPC analog) is inside the guarded
+    region: the staging dir must be cleaned, not orphaned for the life
+    of the builder pid."""
+    import glob
+
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+
+    def bad_dump(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(art.json, "dump", bad_dump)
+    with pytest.raises(OSError):
+        art.materialized(
+            spark, str(src), "t", lambda: spark.range(1).toDF("id")
+        )
+    assert not glob.glob(art.artifact_path(str(src), "t") + "*")
+
+
+def test_artifact_root_rejects_symlink_and_fixes_mode(
+    tmp_path, monkeypatch
+):
+    """The per-uid root must be OURS, a real directory, and private —
+    makedirs(exist_ok=True) alone accepts a squatter's symlink or a
+    world-writable pre-created dir."""
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    monkeypatch.setattr(art.tempfile, "gettempdir", lambda: str(tmp_path))
+    name = f"ckse_artifacts_{os.getuid()}"
+
+    # symlink squat -> refuse
+    target = tmp_path / "elsewhere"
+    target.mkdir()
+    os.symlink(target, tmp_path / name)
+    with pytest.raises(RuntimeError, match="not a directory"):
+        art.artifact_root()
+    os.unlink(tmp_path / name)
+
+    # pre-created with permissive mode -> tightened to 0700
+    (tmp_path / name).mkdir(mode=0o777)
+    os.chmod(tmp_path / name, 0o777)
+    root = art.artifact_root()
+    assert oct(os.lstat(root).st_mode & 0o777) == "0o700"

@@ -490,6 +490,7 @@ def test_artifact_build_unpersists_its_pins(spark, sf_dir):
     published the pins must be released (the artifact replaces the
     in-memory cache)."""
     import glob
+    import os
     import shutil
 
     import confluent_kafka_streams_examples_spark.queries  # noqa: F401  (registry first: avoids circular import)
@@ -498,7 +499,11 @@ def test_artifact_build_unpersists_its_pins(spark, sf_dir):
     )
     from confluent_kafka_streams_examples_spark.session import release_caches
 
-    for p in glob.glob("/tmp/ckse_art_*"):
+    from confluent_kafka_streams_examples_spark.artifacts import artifact_root
+
+    # remove under the per-uid root (not bare /tmp) so the build is
+    # actually forced — a pre-existing artifact made this vacuous
+    for p in glob.glob(os.path.join(artifact_root(), "ckse_art_*")):
         shutil.rmtree(p, ignore_errors=True)
     release_caches(spark)
     cm = spark._jsparkSession.sharedState().cacheManager()

@@ -125,3 +125,27 @@ def test_closure_digest_sees_transitive_helper_edits(tmp_path):
     assert digest(helper_v2) != base  # helper body change flags
     assert digest(helper_v3) != base  # referenced constant change flags
     assert digest(helper_v4) == base  # unrelated addition does not
+
+
+def test_red_row_invalidates_older_greens(tmp_path, monkeypatch):
+    """A query green in round N but RED in round N+1 must rank as
+    never-green (0) so the rotation forces it into the head even when
+    its body is unchanged — the pre-fix code kept rank N."""
+    import json
+
+    import scripts.gen_verify_order as gvo
+
+    def write(rnd, rows):
+        with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as fh:
+            json.dump(rows, fh)
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
+    write(1, {"regressed": green, "steady": green, "latecomer": red})
+    write(2, {"regressed": red, "steady": green, "latecomer": green})
+    monkeypatch.setattr(gvo, "REPO", str(tmp_path))
+
+    latest = gvo.latest_green_rounds()
+    assert latest["regressed"] == 0, "red check must invalidate older greens"
+    assert latest["steady"] == 2
+    assert latest["latecomer"] == 2, "later green must supersede an old red"

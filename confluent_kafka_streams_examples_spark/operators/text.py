@@ -319,6 +319,14 @@ def pack_greedy(
     """
     from pyspark.sql import Window
 
+    clash = {"bucket", "seq_id"} & set(df.columns)
+    if clash:
+        # silently overwriting a caller's column corrupts their data;
+        # the output columns are part of this operator's contract
+        raise ValueError(
+            f"pack_greedy writes columns {sorted(clash)} which already "
+            "exist on the input — rename or drop them first"
+        )
     if shards is None:
         shards = df.sparkSession.sparkContext.defaultParallelism
     bucket = (

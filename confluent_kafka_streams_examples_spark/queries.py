@@ -521,6 +521,7 @@ _VERIFY_FIRST = [
     "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
+    "pack_sequences",
     # Tail: oldest green first.
     "similarity_topk", "similarity_pairs_label", "text_stats",
     "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
@@ -528,14 +529,14 @@ _VERIFY_FIRST = [
     "cube_order_priority", "setops_users", "anti_join_users",
     "semi_join_parts", "user_running_value", "event_gaps",
     "distinct_parts_per_supplier", "user_retention_cohorts",
-    "bucketed_revenue_by_priority", "pack_sequences",
-    "neardup_verify_levenshtein", "dedup_simhash64",
-    "events_concurrent_degree_salted", "events_concurrent_degree",
-    "corpus_mixture_sample", "distinct_daily_users", "value_percentiles",
-    "dedup_embedding_cosine", "scd2_user_history", "merge_upsert_balances",
-    "similarity_ann_lsh", "embedding_centroids",
-    "quality_repetition_signals", "shipping_priority",
-    "source_overlap_matrix", "duplicate_rate_by_source", "ann_recall_eval",
+    "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
+    "dedup_simhash64", "events_concurrent_degree_salted",
+    "events_concurrent_degree", "corpus_mixture_sample",
+    "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
+    "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
+    "embedding_centroids", "quality_repetition_signals",
+    "shipping_priority", "source_overlap_matrix",
+    "duplicate_rate_by_source", "ann_recall_eval",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
     "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",

@@ -510,3 +510,22 @@ def test_artifact_build_unpersists_its_pins(spark, sf_dir):
     assert cm.isEmpty()
     shared_counts_table(spark, sf_dir).count()  # miss -> build -> read
     assert cm.isEmpty(), "build-scoped persists must not outlive the build"
+
+
+def test_pack_greedy_rejects_output_column_collision(spark):
+    """pack_greedy writes (bucket, seq_id); an input that already has
+    either column must raise rather than be silently overwritten."""
+    from confluent_kafka_streams_examples_spark.operators.text import (
+        pack_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 7)], ["doc_id", "n_tok", "bucket"]
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        pack_greedy(df)
+    df2 = spark.createDataFrame(
+        [(1, 100, 7)], ["doc_id", "n_tok", "seq_id"]
+    )
+    with pytest.raises(ValueError, match="seq_id"):
+        pack_greedy(df2)

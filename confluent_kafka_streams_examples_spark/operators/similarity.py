@@ -152,3 +152,82 @@ def cosine_pairs_partitioned(
     return df.select(part_col, id_col, vec_col).groupBy(part_col).applyInPandas(
         pairs, schema=out_schema
     )
+
+
+def semdedup(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as one operator:
+    cluster-then-prune semantic dedup with per-cluster summary output
+    (cid, n_members, n_pruned, n_kept).
+
+    Determinism contract (shared with every k-means-family oracle):
+    init centroids are the rows with ``id_col < n_clusters`` (dense-id
+    corpora), distances are 6-dp-rounded squared L2 with ties to the
+    smaller cid, and a vector is pruned iff ANY smaller-id cluster-mate
+    sits within the rounded-cosine threshold ball — order-deterministic,
+    no iterative dependency chain.
+
+    ``n_clusters`` is the production knob: the paper sizes k so mean
+    cluster size stays roughly constant (k ~ n / const), keeping the
+    within-cluster pair cost sum(n_i^2) ~ n * const LINEAR in corpus
+    size — a pinned small k over a growing corpus degrades to n^2/k,
+    which is the scale defect the parameterization removes.  Scale
+    shape: assignment BROADCASTS the k-row centroid table into the
+    vector scan (vectors never shuffle for assignment); that broadcast
+    is k * dim * 8 bytes, fine through k ~ 2e5 at dim 64 (~100 MB) —
+    past that, route through a two-level coarse quantizer instead
+    (centroids themselves IVF-assigned), same plan shape one level up.
+    Pair generation shuffles each vector ONCE to its cluster bucket
+    (cosine_pairs_partitioned), one BLAS matmul per bucket.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    cents = vecs.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("c"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))  # k-row broadcast (see above)
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    # referenced twice (pair generation + the summary) and Spark has no
+    # cross-reference CSE — persist so assignment runs one scan, not two
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = cosine_pairs_partitioned(
+        assigned,
+        part_col="cid",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+    )
+    pruned = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return (
+        assigned.join(pruned.withColumn("_p", F.lit(1)), id_col, "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count("_p").cast("bigint").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("_p"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

@@ -521,7 +521,7 @@ _VERIFY_FIRST = [
     "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
-    "pack_sequences",
+    "pack_sequences", "semdedup_prune", "semdedup_prune_scaled",
     # Tail: oldest green first.
     "similarity_topk", "similarity_pairs_label", "text_stats",
     "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
@@ -536,9 +536,9 @@ _VERIFY_FIRST = [
     "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
     "embedding_centroids", "quality_repetition_signals",
     "shipping_priority", "source_overlap_matrix",
-    "duplicate_rate_by_source", "ann_recall_eval",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
+    "duplicate_rate_by_source", "ann_recall_eval",
     "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",
     "multimodal_features", "basic_pipeline", "regional_revenue",
     "windowed_tumbling", "dedup_exact", "dedup_incremental",
@@ -558,7 +558,7 @@ _VERIFY_FIRST = [
     "rolling_user_stats", "sample_n_per_group", "dedup_exact_normalized",
     "skewed_event_rollup", "dedup_incremental_persisted",
     "lm_unigram_score", "corpus_chunk_documents", "bpe_pair_counts",
-    "doc_winnow_fingerprints", "dedup_duplicate_spans", "semdedup_prune",
+    "doc_winnow_fingerprints", "dedup_duplicate_spans",
     "dedup_span_removal", "dedup_cdc_chunks", "stream_stream_window_join",
     "ktable_latest", "stream_table_join", "agg_running_total",
     "user_sessions", "json_props_extract", "ktable_filter_extract",

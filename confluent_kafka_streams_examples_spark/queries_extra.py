@@ -1207,52 +1207,66 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan does not.  The greedy rule is the paper's "keep one per
     eps-ball" approximation: pruning is decided against ALL smaller-id
     mates, not only kept ones, which is order-deterministic and needs
-    no iterative dependency chain."""
+    no iterative dependency chain.
+
+    The k=8 pin here exists FOR THE ORACLE (identical init on both
+    engines at every sf); the production-shape knob is exercised by
+    ``semdedup_prune_scaled``, which sizes k with the corpus."""
+    from confluent_kafka_streams_examples_spark.operators import similarity
+
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").cast("array<double>").alias("c"),
+    return similarity.semdedup(
+        vecs, id_col="vec_id", vec_col="v", n_clusters=8, threshold=0.4
     )
-    dist = F.round(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))  # 8-row broadcast
-        .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
-    )
-    # referenced twice (pair generation + the summary) and Spark has no
-    # cross-reference CSE — persist so assignment runs one scan, not two
-    from pyspark.storagelevel import StorageLevel
 
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+
+@query(
+    "semdedup_prune_scaled",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kk AS (SELECT greatest(8, count(*) // 1000) AS k FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+           FROM embeddings WHERE vec_id < (SELECT k FROM kk)),
+    {_km_assign_sql('v', 'c0', 'a1')},
+    n AS (SELECT vec_id, cid, v, sqrt(list_inner_product(v, v)) AS nrm
+          FROM a1),
+    pr AS (SELECT DISTINCT b.vec_id
+           FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                 >= 0.4)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(pr.vec_id) AS BIGINT) AS n_pruned,
+           CAST(count(*) - count(pr.vec_id) AS BIGINT) AS n_kept
+    FROM n LEFT JOIN pr ON n.vec_id = pr.vec_id
+    GROUP BY cid
+    """,
+)
+def semdedup_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at production shape: k grows with the corpus
+    (k = max(8, n // 1000)) so mean cluster size holds ~1000 and the
+    within-cluster pair cost sum(n_i^2) ~ n * 1000 stays LINEAR — a
+    pinned k over a growing corpus degrades to n^2/k, which is how the
+    k=8 oracle query would die at 100 TB (VERDICT r6 #4).
+
+    The single ``count()`` job that sizes k is a documented scalar
+    driver action (one long, not a data collect) — the same class as
+    the bounded static-IVF router; everything downstream is the
+    parameterized `similarity.semdedup` operator plan.  The DuckDB
+    oracle computes the SAME k from the same count, so both engines
+    pick identical init centroids at every sf and every probe
+    replication."""
     from confluent_kafka_streams_examples_spark.operators import similarity
 
-    pairs = similarity.cosine_pairs_partitioned(
-        assigned, part_col="cid", id_col="vec_id", vec_col="v", threshold=0.4
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    pruned = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
-    return (
-        assigned.join(
-            pruned.withColumn("_p", F.lit(1)), "vec_id", "left"
-        )
-        .groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.count("_p").cast("bigint").alias("n_pruned"),
-            (F.count(F.lit(1)) - F.count("_p")).cast("bigint").alias("n_kept"),
-        )
+    k = max(8, vecs.count() // 1000)
+    return similarity.semdedup(
+        vecs, id_col="vec_id", vec_col="v", n_clusters=k, threshold=0.4
     )
 
 

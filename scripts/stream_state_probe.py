@@ -1,0 +1,224 @@
+"""Streaming STATE-scale probe: key-cardinality decades on the
+stateful pillars, RocksDB provider on.
+
+bench_streaming.py tracks throughput at a fixed 10k-key shape; this
+probe answers the 100 TB question for the STATE STORE instead: what
+happens to rows/s, state-store size, and per-batch duration when the
+key universe grows 10x and 100x (10k -> 100k -> 1M distinct keys) at a
+fixed input volume?  The three pillars exercised are the ones whose
+state scales differently by construction:
+
+- latest_per_key   : state rows == distinct keys (grows with K)
+- running_total    : state rows == distinct keys (grows with K)
+- dedup_watermark  : state rows bounded by the watermark horizon
+                     (rate x delay), NOT by K — the bounded-state claim
+                     SCALE.md makes is falsifiable here
+
+Each drain runs 16 single-file micro-batches so state fills
+incrementally; per-batch trigger durations come from recentProgress.
+The super-linearity signal is the ratio of the mean duration of the
+last 4 batches to the first 4 (state fully grown vs near-empty): a
+pillar whose per-batch cost grows super-linearly with resident state
+would show this ratio inflating with K, which is exactly the failure
+mode that kills a 1000-executor job at 100 TB after hours of uptime.
+
+Usage:
+    python scripts/stream_state_probe.py [xK ...]      # default: 1 10 100
+    SPARK_GRAFT_STREAM_ROWS=2000000                    # rows per pillar
+
+Prints one JSON line per (pillar, xK) and a final markdown table for
+SCALE.md.  Reference analog: the persistent store + changelog restore
+of ProcessorApiExample.scala:74-78 — Kafka Streams sizes RocksDB per
+task by key cardinality, which is this exact axis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from confluent_kafka_streams_examples_spark.session import get_spark  # noqa: E402
+
+N_ROWS = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "2000000"))
+N_FILES = 16
+BASE_KEYS = 10_000
+SCHEMA = "key string, value double, ts timestamp"
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _gen(spark, path: str, n: int, n_keys: int) -> None:
+    """n events over n_keys distinct keys; event time advances 10k
+    rows/s regardless of cardinality, so watermark-bounded state stays
+    at rate x delay while keyed state scales with n_keys."""
+    (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("k"), F.col("id") % n_keys).alias("key"),
+            (F.col("id") % 997).cast("double").alias("value"),
+            F.timestamp_seconds(
+                F.lit(1704067200.0) + F.col("id") / 10000.0
+            ).alias("ts"),
+        )
+        .repartition(N_FILES)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _read(spark, path: str):
+    # ONE file per trigger -> 16 micro-batches: state grows across
+    # batches, which is what the duration-growth signal needs
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _p_latest(spark, path):
+    from confluent_kafka_streams_examples_spark.streaming.ktable import (
+        latest_per_key_stream,
+    )
+
+    return latest_per_key_stream(_read(spark, path), "key", "ts", ["value"]), "update"
+
+
+def _p_total(spark, path):
+    from confluent_kafka_streams_examples_spark.streaming.processor import (
+        running_total_with_emission,
+    )
+
+    return running_total_with_emission(_read(spark, path), "key", "value"), "update"
+
+
+def _p_dedup(spark, path):
+    from confluent_kafka_streams_examples_spark.streaming.dedup import (
+        dedup_within_watermark,
+    )
+
+    return (
+        dedup_within_watermark(
+            _read(spark, path), ["key", "value"], "ts", delay="30 seconds"
+        ),
+        "append",
+    )
+
+
+PILLARS = [
+    ("latest_per_key", _p_latest),
+    ("running_total", _p_total),
+    ("dedup_watermark", _p_dedup),
+]
+
+
+def _drain_with_progress(out, ckpt: str, mode: str):
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.perf_counter() - t0
+        progresses = []
+        for p in q.recentProgress:
+            progresses.append(json.loads(p) if isinstance(p, str) else p)
+    finally:
+        q.stop()
+    return wall, progresses
+
+
+def _state_metrics(progresses):
+    """(state rows, state bytes, per-batch trigger ms) from the drained
+    query's progress history; bytes prefer the RocksDB SST size (the
+    on-disk footprint that matters at scale) over in-memory usage."""
+    batch_ms = []
+    rows = size = 0
+    for p in progresses:
+        if p.get("numInputRows", 0) > 0:
+            batch_ms.append(p["durationMs"]["triggerExecution"])
+        for op in p.get("stateOperators", []):
+            rows = max(rows, op.get("numRowsTotal", 0))
+            custom = op.get("customMetrics", {})
+            size = max(
+                size,
+                custom.get("rocksdbSstFileSize", 0)
+                or op.get("stateMemory", 0)
+                or custom.get("stateOnCurrentVersionSizeBytes", 0),
+            )
+    return rows, size, batch_ms
+
+
+def main() -> None:
+    multipliers = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    root = tempfile.mkdtemp(prefix="ckse_state_probe_")
+    results = []
+    try:
+        for xk in multipliers:
+            n_keys = BASE_KEYS * xk
+            gen = get_spark("ckse-state-probe-gen")
+            gen.sparkContext.setLogLevel("ERROR")
+            path = f"{root}/in_x{xk}"
+            _gen(gen, path, N_ROWS, n_keys)
+            gen.stop()
+            for name, factory in PILLARS:
+                spark = get_spark(f"ckse-state-probe-{name}-x{xk}")
+                spark.sparkContext.setLogLevel("ERROR")
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    ROCKSDB_PROVIDER,
+                )
+                try:
+                    df, mode = factory(spark, path)
+                    wall, progresses = _drain_with_progress(
+                        df, f"{root}/ckpt_{name}_x{xk}", mode
+                    )
+                finally:
+                    spark.stop()
+                rows, size, batch_ms = _state_metrics(progresses)
+                head = batch_ms[:4]
+                tail = batch_ms[-4:]
+                growth = (
+                    round(sum(tail) / len(tail) / (sum(head) / len(head)), 2)
+                    if head and tail
+                    else None
+                )
+                rec = {
+                    "pillar": name,
+                    "x_keys": xk,
+                    "n_keys": n_keys,
+                    "rows_per_sec": round(N_ROWS / wall),
+                    "state_rows": rows,
+                    "state_bytes": size,
+                    "batches": len(batch_ms),
+                    "batch_ms": batch_ms,
+                    "tail_over_head": growth,
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+        print("\n| pillar | keys | rows/s | state rows | state MB | tail/head batch ms |")
+        print("|---|---|---|---|---|---|")
+        for r in results:
+            print(
+                f"| {r['pillar']} | {r['n_keys']:,} | {r['rows_per_sec']:,} "
+                f"| {r['state_rows']:,} | {r['state_bytes'] / 1e6:.1f} "
+                f"| {r['tail_over_head']} |"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -589,3 +589,73 @@ def test_kept_shingle_lists_build_plan_shape(spark):
     # (the size table is corpus-linear; its broadcast build is what
     # OOM'd the 100x artifact build)
     assert "ShuffledHashJoin" in executed, executed
+
+
+def test_no_unbounded_bigint_multiply_over_corpus_aggregates(spark):
+    """Overflow-class pin (the corpus_mixture_sample lesson, r6): a
+    BIGINT multiply sitting above corpus-table aggregates overflows at
+    some corpus size unless its operands are bounded by construction —
+    sf0.1 passes, the x100 probe throws ARITHMETIC_OVERFLOW.  Guarded
+    arithmetic must go through DECIMAL(38,0) (exact through ~1e38, the
+    HUGEINT analog DuckDB's sum() promotion gives the oracle for free).
+
+    This test walks the OPTIMIZED logical plan of every corpus-table
+    query containing an aggregate and fails on any LongType Multiply
+    unless the query is in the audited allowlist below, where each
+    entry records why its product cannot reach 2^63 at ANY corpus
+    size.  A DECIMAL-guarded query passes structurally (its multiplies
+    are DecimalType) — reverting corpus_mixture_sample's guard puts a
+    bigint Multiply back above sum()s and this test catches it."""
+    # query -> why the bigint product is bounded by CONSTRUCTION
+    # (bounds independent of corpus size, so 100 TB changes nothing)
+    audited = {
+        # Carter-Wegman h1 + j*h2: h2 < 2^48 (12 hex chars), j <= 15,
+        # so |j*h2| < 2^52 and the sum < 2^53 — dedup.py hash_pair
+        "dedup_incremental": "minhash permutation: 48-bit half x j<=15",
+        # c is a per-(doc, token) count bounded by DOCUMENT length;
+        # |lp_micro| = |ln p|*1e6 <= ~75e6 even at p = 1e-33, so the
+        # product stays < 1e17 for documents up to 1e9 tokens
+        "lm_unigram_score": "per-doc term count x log-prob micros",
+    }
+    corpus_markers = ("documents", "embeddings", "events")
+
+    def jseq(seq):
+        return [seq.apply(i) for i in range(seq.size())]
+
+    def walk_exprs(e):
+        yield e
+        for c in jseq(e.children()):
+            yield from walk_exprs(c)
+
+    def walk_plan(p):
+        yield p
+        for c in jseq(p.children()):
+            yield from walk_plan(c)
+
+    offenders = {}
+    for name in QUERIES:
+        df = QUERIES[name](spark, SF_SMOKE)
+        opt = df._jdf.queryExecution().optimizedPlan()
+        txt = opt.toString()
+        if not any(t in txt for t in corpus_markers):
+            continue
+        nodes = list(walk_plan(opt))
+        if not any(
+            n.getClass().getSimpleName() == "Aggregate" for n in nodes
+        ):
+            continue
+        hits = []
+        for node in nodes:
+            for root in jseq(node.expressions()):
+                for e in walk_exprs(root):
+                    if (
+                        e.getClass().getSimpleName() == "Multiply"
+                        and e.dataType().simpleString() == "bigint"
+                    ):
+                        hits.append(e.sql())
+        if hits and name not in audited:
+            offenders[name] = sorted(set(hits))[:4]
+    assert not offenders, (
+        "unaudited BIGINT multiply above corpus aggregates (overflow "
+        f"hazard at scale — guard with DECIMAL(38,0) or audit): {offenders}"
+    )

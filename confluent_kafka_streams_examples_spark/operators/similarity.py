@@ -177,37 +177,76 @@ def semdedup(
     within-cluster pair cost sum(n_i^2) ~ n * const LINEAR in corpus
     size — a pinned small k over a growing corpus degrades to n^2/k,
     which is the scale defect the parameterization removes.  Scale
-    shape: assignment BROADCASTS the k-row centroid table into the
-    vector scan (vectors never shuffle for assignment); that broadcast
-    is k * dim * 8 bytes, fine through k ~ 2e5 at dim 64 (~100 MB) —
+    shape: assignment broadcasts the k-row centroid MATRIX into a
+    mapInPandas scan (vectors never shuffle for assignment); that
+    broadcast (and the k-row driver collect feeding it) is
+    k * dim * 8 bytes, fine through k ~ 2e5 at dim 64 (~100 MB) —
     past that, route through a two-level coarse quantizer instead
     (centroids themselves IVF-assigned), same plan shape one level up.
     Pair generation shuffles each vector ONCE to its cluster bucket
     (cosine_pairs_partitioned), one BLAS matmul per bucket.
-    """
-    from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
-    cents = vecs.filter(F.col(id_col) < n_clusters).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("c")
+    Assignment is Arrow-vectorized numpy, not a JVM higher-order
+    expression: the zip_with/aggregate distance fold allocates and
+    boxes a fresh array per (vector, centroid) pair — measured
+    ~170 us per distance, 212 s for the n x k = 40M distances at
+    x100/k=200, vs ~2 s vectorized.  Parity is preserved exactly:
+    the accumulation loops dimensions in ORDER (matching both the
+    fold order of the HOF form and DuckDB's list_sum), rounds via
+    floor(d2 * 1e6 + 0.5) / 1e6 — identical to round-half-away on
+    positive doubles, i.e. F.round and DuckDB round(_, 6) — and
+    np.argmin ties resolve to the first (= smallest) cid.  The
+    vector column rejoins by id afterwards — a pinned shuffle-hash
+    equi-join of two corpus-LINEAR relations (never broadcast, per
+    the SCALE.md house rule; AQE's compressed-bytes estimate would
+    happily broadcast the (id, cid) side at probe scale and OOM the
+    driver at the next decade).
+    """
+    import numpy as np
+
+    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql.types import LongType
+
+    # bounded driver collect: k centroid rows, k capped by the same
+    # ~2e5 bound as the broadcast it feeds (documented above)
+    cent_rows = (
+        vecs.filter(F.col(id_col) < n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
+        .orderBy("cid")
+        .collect()
     )
-    dist = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col), F.col("c"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    cent_mat = np.array([r["c"] for r in cent_rows], dtype=np.float64)
+    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    bc = vecs.sparkSession.sparkContext.broadcast((cent_mat, cent_ids))
+
+    def assign_batches(batches):
+        cmat, cids = bc.value
+        n_dim = cmat.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(x), cmat.shape[0]), dtype=np.float64)
+            # dimension-ORDER accumulation: identical double sequence
+            # to the zip_with fold and DuckDB's list_sum, so rounded
+            # distances agree bit-for-bit across engines
+            for d in range(n_dim):
+                diff = x[:, d, None] - cmat[None, :, d]
+                acc += diff * diff
+            acc = np.floor(acc * 1e6 + 0.5) / 1e6  # round_det(d2, 6)
+            j = np.argmin(acc, axis=1)  # first min = smallest cid
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cid": cids[j]}
+            )
+
+    best = vecs.select(id_col, vec_col).mapInPandas(
+        assign_batches,
+        schema=StructType(
+            [StructField(id_col, LongType()), StructField("cid", LongType())]
         ),
-        6,
     )
-    w = Window.partitionBy(id_col).orderBy("dist", "cid")
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))  # k-row broadcast (see above)
-        .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cid")
+    assigned = vecs.select(id_col, vec_col).join(
+        best.hint("shuffle_hash"), id_col
     )
     # referenced twice (pair generation + the summary) and Spark has no
     # cross-reference CSE — persist so assignment runs one scan, not two

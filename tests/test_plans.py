@@ -313,13 +313,19 @@ def test_bucketed_query_join_is_exchange_free(spark):
 def test_no_rdd_and_bounded_driver_collect_in_engine():
     """Source hygiene, greppable guarantees: no `.rdd` anywhere in the
     engine package (it forces a full physical-planning pass of the
-    subtree), and driver-side `.collect(` only at the two documented
-    spots — Stream.peek (debug tap, reference parity) and the IVF
-    router (Q x nprobe scalars by design)."""
+    subtree), and driver-side `.collect(` only at the three documented
+    spots — Stream.peek (debug tap, reference parity), the IVF router
+    (Q x nprobe scalars by design), and the semdedup centroid matrix
+    (k rows, capped by the same ~2e5 bound as the broadcast it
+    feeds)."""
     import pathlib
 
     pkg = pathlib.Path(__file__).parent.parent / "confluent_kafka_streams_examples_spark"
-    allowed_collect = {"operators/stream.py", "queries_extra.py"}
+    allowed_collect = {
+        "operators/stream.py",
+        "queries_extra.py",
+        "operators/similarity.py",
+    }
     for py in sorted(pkg.rglob("*.py")):
         rel = str(py.relative_to(pkg))
         code_lines = [

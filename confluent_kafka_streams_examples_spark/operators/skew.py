@@ -92,6 +92,60 @@ def salted_join(
     return big_salted.join(small_exploded, [key, "_salt"], how).drop("_salt")
 
 
+#: Per-task budget of PLAN-STATS bytes for an un-spillable
+#: shuffle-hash build.  Parquet encoding is ~5-10x denser than the
+#: UnsafeRow hashed relation, so 1 MB of stats bytes per task caps
+#: each task's build map at ~5-10 MB regardless of corpus size.
+STATS_BYTES_PER_TASK = 1 << 20
+
+#: Any plan-stats estimate at or past this (1 PiB) is Catalyst's
+#: defaultSizeInBytes PLACEHOLDER, not a measurement — sources with
+#: no real stats (in-memory LogicalRDD, i.e. every createDataFrame
+#: input) report ~Long.MaxValue.
+_STATS_UNKNOWN_FLOOR = 1 << 50
+
+
+def stats_sized_partitions(
+    build: DataFrame,
+    budget: int = STATS_BYTES_PER_TASK,
+    ceiling: int = 65536,
+) -> int:
+    """Shuffle-partition count that keeps a shuffle-hash BUILD side's
+    per-task hashed relation bounded as the corpus grows.
+
+    A shuffle-hash build cannot spill, so inheriting the session's
+    fixed shuffle-partition count makes per-task build memory
+    corpus-LINEAR — a latent executor OOM at every scale jump.  The
+    x1000-density band-join probe (100M events, 32 inherited
+    partitions = 3.1M build rows/task) hit exactly that: ``Can't
+    acquire 134217728 bytes memory to build hash relation``.
+    Partition count, not per-task state, must carry the scale.
+
+    The count derives from the build side's Catalyst plan-stats bytes
+    (parquet-derived, free — no extra scan) at ``budget`` stats bytes
+    per task.  Estimates >= 1 PiB are the no-stats placeholder
+    (defaultSizeInBytes ~= Long.MaxValue for in-memory inputs) and are
+    treated as unknown — otherwise a 4-row createDataFrame input slams
+    the ceiling and schedules 65k no-op tasks.  Lower clamp
+    (defaultParallelism) keeps every core busy at small scale; upper
+    clamp bounds scheduler overhead — a corpus past it should band-join
+    a time slice, not the whole stream."""
+    stats_bytes = int(
+        str(
+            build._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    )
+    if stats_bytes >= _STATS_UNKNOWN_FLOOR:
+        stats_bytes = 0
+    return min(
+        max(
+            build.sparkSession.sparkContext.defaultParallelism,
+            -(-stats_bytes // budget),
+        ),
+        ceiling,
+    )
+
+
 def keyless_band_pairs(
     df: DataFrame,
     id_col: str,
@@ -99,6 +153,7 @@ def keyless_band_pairs(
     window: int,
     cell: int | None = None,
     salt_buckets: int | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(a_id, a_t, b_id, b_t) pairs with ``|a_t - b_t| <= window`` over
     a KEYLESS stream — the time-band self-join decomposed into an
@@ -124,7 +179,21 @@ def keyless_band_pairs(
     ``cell`` may only be >= ``window``: with a narrower cell a pair's
     endpoints can sit 2+ cells apart and the 3-cell probe replication
     would silently miss it, so that configuration raises instead of
-    returning incomplete results."""
+    returning incomplete results.
+
+    ``partitions`` sizes the join's co-partitioning; the default
+    (None) derives it from the build side's Catalyst plan-stats bytes
+    so the per-task hashed relation stays BOUNDED as the corpus grows
+    — a shuffle-hash build cannot spill, so inheriting the session's
+    fixed shuffle-partition count makes per-task build memory
+    corpus-LINEAR, which is a latent OOM at every scale jump.  The
+    x1000-density probe (100M events, 32 inherited partitions = 3.1M
+    build rows/task) hit exactly that: `Can't acquire 134217728 bytes
+    memory to build hash relation`.  Partition count, not per-task
+    state, must carry the scale (same rule the streaming state ops
+    follow).  Both sides repartition to the SAME N on the join keys,
+    so the join itself adds no further exchange — the explicit
+    repartition IS the join shuffle, just correctly sized."""
     if cell is not None and cell < window:
         raise ValueError(
             f"cell ({cell}) must be >= window ({window}): a narrower cell "
@@ -155,6 +224,10 @@ def keyless_band_pairs(
             F.explode(F.array(*[F.lit(s) for s in range(salt_buckets)])),
         )
         join_keys.append("_salt")
+    if partitions is None:
+        partitions = stats_sized_partitions(build)
+    build = build.repartition(partitions, *join_keys)
+    probe = probe.repartition(partitions, *join_keys)
     # the build side is pinned SHUFFLE-HASH: both sides of a keyless
     # band join are the full event stream — corpus-linear by
     # construction, never a broadcast candidate.  Left unpinned, AQE

@@ -522,6 +522,7 @@ _VERIFY_FIRST = [
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     "pack_sequences", "semdedup_prune", "semdedup_prune_scaled",
+    "events_concurrent_degree_salted", "events_concurrent_degree",
     # Tail: oldest green first.
     "similarity_topk", "similarity_pairs_label", "text_stats",
     "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
@@ -530,12 +531,11 @@ _VERIFY_FIRST = [
     "semi_join_parts", "user_running_value", "event_gaps",
     "distinct_parts_per_supplier", "user_retention_cohorts",
     "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
-    "dedup_simhash64", "events_concurrent_degree_salted",
-    "events_concurrent_degree", "corpus_mixture_sample",
-    "distinct_daily_users", "value_percentiles", "dedup_embedding_cosine",
-    "scd2_user_history", "merge_upsert_balances", "similarity_ann_lsh",
-    "embedding_centroids", "quality_repetition_signals",
-    "shipping_priority", "source_overlap_matrix",
+    "dedup_simhash64", "corpus_mixture_sample", "distinct_daily_users",
+    "value_percentiles", "dedup_embedding_cosine", "scd2_user_history",
+    "merge_upsert_balances", "similarity_ann_lsh", "embedding_centroids",
+    "quality_repetition_signals", "shipping_priority",
+    "source_overlap_matrix",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
     "duplicate_rate_by_source", "ann_recall_eval",

@@ -529,3 +529,67 @@ def test_pack_greedy_rejects_output_column_collision(spark):
     )
     with pytest.raises(ValueError, match="seq_id"):
         pack_greedy(df2)
+
+
+def test_stats_sized_partitions_bounds_and_placeholder(spark, sf_dir):
+    """The shuffle-hash build sizing must (a) scale partition count
+    with REAL plan-stats bytes, (b) respect floor and ceiling clamps,
+    and (c) treat Catalyst's no-stats placeholder (~Long.MaxValue for
+    any createDataFrame input) as UNKNOWN rather than slamming the
+    ceiling — the regression was a 4-row in-memory input scheduling
+    65536 no-op tasks.  Pure plan analysis: no Spark job runs."""
+    from confluent_kafka_streams_examples_spark.operators.skew import (
+        stats_sized_partitions,
+    )
+
+    floor = spark.sparkContext.defaultParallelism
+
+    # (c) in-memory input: stats are the placeholder -> floor, never
+    # the ceiling
+    tiny = spark.createDataFrame([(1, 100)], "id bigint, t bigint")
+    assert stats_sized_partitions(tiny) == floor
+
+    # (a)+(b) parquet input has real, small stats -> floor at default
+    # budget; with a 1-byte budget the derived count crosses the
+    # ceiling and clamps there
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert stats_sized_partitions(events) == floor
+    assert stats_sized_partitions(events, budget=1, ceiling=64) == 64
+    # and sits strictly between the clamps when the budget divides the
+    # real stats into more tasks than cores but fewer than the ceiling
+    stats = int(
+        str(
+            events._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    )
+    budget = max(1, stats // (4 * floor))
+    mid = stats_sized_partitions(events, budget=budget)
+    assert floor < mid <= 4 * floor + 1
+
+
+def test_semdedup_assignment_ties_and_hof_parity(spark):
+    """The vectorized (mapInPandas numpy) centroid assignment must
+    reproduce the JVM zip_with/aggregate fold it replaced, including
+    the two sharp edges: 6-dp rounding BEFORE the argmin, and ties
+    resolving to the smallest cid.  Vectors are constructed so that
+    (a) id 2 is EXACTLY equidistant from both centroids (tie -> cid 0)
+    and (b) id 3's raw distances differ only at the 8th decimal, so
+    rounding to 6 dp makes them tie too (tie -> cid 0); an
+    unrounded argmin would pick cid 1 for it."""
+    from confluent_kafka_streams_examples_spark.operators.similarity import (
+        semdedup,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),          # centroid 0
+        (1, [2.0, 0.0]),          # centroid 1
+        (2, [1.0, 5.0]),          # exact tie: d2 = 26 to both
+        (3, [1.00000001, 5.0]),   # ties only after round(_, 6)
+        (4, [1.9, 0.0]),          # strictly closer to centroid 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    out = semdedup(df, n_clusters=2, threshold=2.0).collect()
+    by_cid = {r["cid"]: r for r in out}
+    # ids 0,2,3 -> cid 0; ids 1,4 -> cid 1
+    assert by_cid[0]["n_members"] == 3
+    assert by_cid[1]["n_members"] == 2

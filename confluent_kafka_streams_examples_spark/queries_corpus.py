@@ -961,3 +961,54 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "corpus_shard_export",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+    )
+    SELECT CAST({_hex_to_int_sql('k', 1, 4)} % 8 AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (
+                  PARTITION BY {_hex_to_int_sql('k', 1, 4)} % 8
+                  ORDER BY k, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM keyed
+    """,
+)
+def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer shard manifest: the deterministic GLOBAL SHUFFLE every
+    training export needs — each doc gets a shard and a position inside
+    it, both pure functions of the stable doc id (md5), so the
+    trainer-visible order is (a) decorrelated from ingestion/crawl
+    order (adjacent source docs land in different shards — the
+    within-batch correlation killer) and (b) bit-for-bit reproducible
+    across engines, reruns, and cluster sizes.  rand()-seeded shuffles
+    are neither: a retry or a repartition reshuffles the corpus.
+
+    Scale shape: shard assignment is a pure projection (no shuffle);
+    positions need ONE exchange keyed on shard_id plus a per-shard
+    sort — never a global ORDER BY (a single-partition window is the
+    classic 100 TB export killer).  Shard count scales with the corpus
+    (here 8 for the oracle; production picks corpus_bytes /
+    target_shard_bytes, e.g. ~25k shards for 100 TB at 4 GB), so each
+    window partition stays bounded and spills at worst locally.
+    Reference analog: key-repartitioned sink topic
+    (BasicStreams.scala:34) — the shard IS the partition, made
+    explicit and deterministic.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    shard = (
+        F.conv(F.substring(F.col("k"), 1, 4), 16, 10).cast("long") % 8
+    ).alias("shard_id")
+    sharded = keyed.select("doc_id", "k", shard)
+    w = Window.partitionBy("shard_id").orderBy("k", "doc_id")
+    return sharded.select(
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )

@@ -1652,3 +1652,75 @@ def events_concurrent_degree_salted(spark: SparkSession, sf_dir: str) -> DataFra
     return pairs.groupBy(F.col("a_id").alias("event_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_concurrent")
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase), the
+    product-analytics staple the flat event rollups don't cover: a user
+    counts at stage N only with an event STRICTLY AFTER their stage-N-1
+    time (first-touch semantics — min() at every stage), so out-of-order
+    histories (purchase before ever viewing) don't inflate conversion.
+
+    Scale shape: three scans of events, each with the event_type
+    predicate PUSHED into the parquet scan (at 100 TB each stage reads
+    only its type's row groups — and a type-partitioned layout prunes
+    to one directory); every aggregate and join keys on user_id, so the
+    whole cascade co-partitions on one key and AQE reuses the exchange
+    (the same single-key posture as user_retention_cohorts).  Stage
+    tables only ever SHRINK (funnel monotonicity), so the later joins
+    are the cheapest.  The final counts are single-row partial
+    aggregates — no data returns to the driver until three numbers.
+    Reference analog: filter -> groupByKey -> aggregate chain
+    (AggregationsExample.scala:33-41), composed into a 3-stage cascade.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _count(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+
+    return (
+        _count(v, "1_view")
+        .unionAll(_count(c, "2_click"))
+        .unionAll(_count(p, "3_purchase"))
+    )

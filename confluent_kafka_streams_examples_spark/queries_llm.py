@@ -1559,3 +1559,69 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in_vocab",
         round_det(F.col("in_vocab") / F.col("n_tok"), 4).alias("coverage"),
     )
+
+
+@query(
+    "ngram_novelty_scores",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    own AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(sum(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 / count(*) * 1e4 + 0.5) / 1e4 AS novelty
+    FROM sh JOIN own ON own.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the curation diversity measure
+    (how much of this doc's content is first seen HERE, in stable-id
+    ingestion order?): share of a doc's distinct word 3-grams whose
+    minimum owning doc_id is the doc itself.  Docs that merely restate
+    earlier content score ~0 even when no single earlier doc is a
+    near-duplicate — the cross-corpus redundancy signal MinHash
+    pairwise dedup structurally misses (it needs ONE similar partner;
+    novelty decays against the UNION of all predecessors).
+
+    Scale shape: reuses the one (doc_id, shingle) distinct explode the
+    whole dedup family is built on (operators/dedup.py::shingles);
+    first-owner is a min() partial aggregate keyed on the shingle; the
+    ownership rejoin is shingle-keyed and co-partitioned with that
+    aggregate's exchange (AQE reuses it), then one groupBy(doc_id)
+    folds to a per-doc triple.  Total rows through every exchange =
+    sum of document shingle counts — strictly LINEAR in corpus size,
+    never pairwise.  A stop-phrase trigram shared by millions of docs
+    makes one hot join key: linear rows, and AQE's skew-join split
+    handles the partition imbalance (same posture as the shared-count
+    artifact build, dedup.py::shared_shingle_counts).
+
+    Reference analog: groupByKey+aggregate over a derived key
+    (AggregationsExample.scala:36-41) — here the derived key is the
+    content n-gram and the aggregate is first-owner.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sh = dedup.shingles(docs, "doc_id", "text")  # distinct (id, shingle)
+    own = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(own, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    from confluent_kafka_streams_examples_spark.functions.scalar import round_det
+
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        round_det(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+    )

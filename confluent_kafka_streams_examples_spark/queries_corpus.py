@@ -1012,3 +1012,81 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("pos"),
         "doc_id",
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    d AS (SELECT i - 1 AS dim, qv[i] AS qval
+          FROM q, unnest(range(1, len(qv) + 1)) u(i))
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qval) AS BIGINT) AS sum_q,
+           CAST(min(qval) AS BIGINT) AS min_q,
+           CAST(max(qval) AS BIGINT) AS max_q,
+           CAST((sum(qval) + 1000000 * count(*)) // count(*) - 1000000
+                AS BIGINT) AS mean_q,
+           CAST((count(*) * sum(qval * qval) - sum(qval) * sum(qval))
+                // (count(*) * count(*)) AS BIGINT) AS var_q
+    FROM d GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION moment statistics over the embedding column — the
+    pass every whitening / mean-centering / PCA-prep step runs before
+    an ANN index is trained (a dimension with tiny variance carries no
+    recall; a shifted mean breaks cosine-vs-dot equivalence).
+
+    Exactness: values quantize to integer 1e-6 units FIRST (float32 ->
+    double widening is exact; one identical IEEE fold on both engines),
+    so every downstream moment is INTEGER arithmetic — no FP summation-
+    order dependence anywhere, hash-strict oracle.  Mean uses the
+    positive-numerator offset trick ((sum + OFF*n) div n - OFF) because
+    Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    they only agree on non-negative numerators.  Variance numerator
+    n*sum_qsq - sum_q^2 is Cauchy-Schwarz-non-negative, computed in
+    DECIMAL(38,0) (peaks ~3e35 at 1e12 rows — inside DECIMAL(38) just
+    like the oracle's HUGEINT; pure BIGINT overflows past ~2e5 rows,
+    the corpus_mixture_sample lesson).
+
+    Scale shape: one narrow posexplode (rows x dims, no text, 16-byte
+    pairs) into a partial aggregate on a 64-key space — the best
+    map-side-combine story in the registry: every task folds to <= 64
+    partial rows regardless of input size, so the exchange carries
+    O(tasks * dims), not O(rows).  No window, no join, no Python.
+    Reference analog: groupByKey + aggregate (AggregationsExample
+    .scala:36-41) with the derived key = array position.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select("embedding")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    d = emb.select(F.posexplode(qv).alias("dim", "qval"))
+    stats = d.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qval").cast("bigint").alias("sum_q"),
+        F.min("qval").cast("bigint").alias("min_q"),
+        F.max("qval").cast("bigint").alias("max_q"),
+        F.sum((F.col("qval") * F.col("qval")).cast("decimal(38,0)")).alias(
+            "_sumsq"
+        ),
+    )
+    return stats.select(
+        "dim",
+        "n",
+        "sum_q",
+        "min_q",
+        "max_q",
+        F.expr("(sum_q + 1000000L * n) div n - 1000000L").alias("mean_q"),
+        F.expr(
+            "(CAST(n AS DECIMAL(38,0)) * _sumsq"
+            " - CAST(sum_q AS DECIMAL(38,0)) * sum_q)"
+            " div (CAST(n AS DECIMAL(38,0)) * n)"
+        ).alias("var_q"),
+    )

@@ -1625,3 +1625,98 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         round_det(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
     )
+
+
+@query(
+    "quality_histogram_threshold",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS tk FROM documents
+    ),
+    r AS (
+      SELECT lang,
+             CAST(floor((least(1.0, len(tk) / 100.0)
+                  * (1.0 - (len(list_filter(tk,
+                        x -> list_contains([{_STOP_SQL}], x))) / len(tk)) * 0.5)
+                  * (len(list_distinct(tk)) / len(tk))) * 1e4 + 0.5)
+                  AS BIGINT) // 100 AS bucket
+      FROM t
+    ),
+    hist AS (SELECT lang, bucket, count(*) AS cnt FROM r GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, bucket,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket DESC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_kept,
+             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_total
+      FROM hist
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS threshold_bucket, n_total, n_kept
+    FROM cum
+    WHERE n_kept * 5 >= n_total
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bucket DESC) = 1
+    """,
+)
+def quality_histogram_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-20% quality gate via HISTOGRAM quantile — the
+    scale-correct way to threshold a corpus on a score percentile.  The
+    naive formulation (rank every doc in a per-lang window, keep
+    rank/n <= 0.2) sorts an unbounded partition: one language is most
+    of a 100 TB crawl, so that window is the classic single-partition
+    killer.  Instead: quantize the quality score into 101 integer
+    buckets (one identical IEEE fold, then pure integers), build a
+    (lang, bucket) histogram whose size is langs x 101 REGARDLESS of
+    corpus size, run the cumulative scan and threshold selection on
+    that tiny table, and the chosen thresholds broadcast back to gate
+    the corpus (the gate itself is corpus_stratified_sample's
+    projection posture).  threshold_bucket = the largest bucket with
+    >= 20% of the language's docs at-or-above it (ties keep slightly
+    more than 20% — documented histogram semantics; n_kept reports the
+    exact kept count).  Integer comparison n_kept * 5 >= n_total, no
+    FP percentile anywhere.
+
+    Scale shape: one partial-agg shuffle (exchange carries O(tasks *
+    langs * 101) partials), windows only over the histogram.
+    Reference analog: aggregate then threshold-filter the aggregate
+    (AggregationsExample.scala:36-44).
+    """
+    from confluent_kafka_streams_examples_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, "documents", sf_dir).select("lang", "text")
+    tk = F.split(F.col("text"), " ")
+    n_tok = F.size(tk)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    raw_stop = F.size(F.filter(tk, lambda t: F.array_contains(stop_arr, t))) / n_tok
+    raw_uniq = F.size(F.array_distinct(tk)) / n_tok
+    raw_q = (
+        F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        * (F.lit(1.0) - raw_stop * F.lit(0.5))
+        * raw_uniq
+    )
+    q_1e4 = F.floor(raw_q * F.lit(1e4) + F.lit(0.5)).cast("long")
+    bucketed = docs.select("lang", q_1e4.alias("q_1e4"))
+    hist = (
+        bucketed.select("lang", F.expr("q_1e4 div 100").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_desc = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        F.col("bucket").cast("bigint").alias("threshold_bucket"),
+        F.sum("cnt").over(w_desc).cast("bigint").alias("n_kept"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_total"),
+    )
+    sat = cum.filter(F.col("n_kept") * 5 >= F.col("n_total"))
+    w_rn = Window.partitionBy("lang").orderBy(F.col("threshold_bucket").desc())
+    return (
+        sat.withColumn("_rn", F.row_number().over(w_rn))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("lang", "threshold_bucket", "n_total", "n_kept")
+    )

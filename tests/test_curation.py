@@ -1,0 +1,176 @@
+"""Semantic edge-case tests for the round-8 curation/analytics queries:
+ordered funnel, n-gram novelty, histogram quantile gate, shard export,
+and per-dimension embedding moments.  Style follows test_corpus.py —
+monkeyed load_table over constructed frames for exact semantics, plus
+plan-shape assertions for the scale posture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+from confluent_kafka_streams_examples_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _with_table(module, df, fn, spark):
+    """Run query fn with the module's load_table returning df."""
+    orig = module.load_table
+    module.load_table = lambda spark, name, sf_dir: df  # noqa: ARG005
+    try:
+        return fn(spark, SF_SMOKE).collect()
+    finally:
+        module.load_table = orig
+
+
+# ---------------------------------------------------------------- funnel
+
+def test_funnel_strict_order_semantics(spark):
+    """A purchase BEFORE the user's first post-view click must not
+    count at stage 3; users lacking a stage are absent downstream."""
+    import confluent_kafka_streams_examples_spark.queries_extra as qe
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", t0),
+        (1, "click", t0 + s),
+        (1, "purchase", t0 + 2 * s),
+        # user 2: purchase first -> reaches click, NOT purchase
+        (2, "purchase", t0),
+        (2, "view", t0 + s),
+        (2, "click", t0 + 2 * s),
+        # user 3: click only -> no stages
+        (3, "click", t0),
+        # user 4: view only -> stage 1
+        (4, "view", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r["stage"]: r["n_users"]
+        for r in _with_table(qe, df, qe.funnel_conversion, spark)
+    }
+    assert out == {"1_view": 3, "2_click": 2, "3_purchase": 1}
+
+
+def test_funnel_pushes_type_predicate_to_scan(spark):
+    p = explain_str(QUERIES["funnel_conversion"](spark, SF_SMOKE), "formatted")
+    assert "PushedFilters" in p and "event_type" in p
+    assert "CartesianProduct" not in p
+
+
+# --------------------------------------------------------------- novelty
+
+def test_ngram_novelty_union_of_predecessors(spark):
+    """A verbatim repeat scores 0 novelty; a doc sharing one of two
+    shingles scores 0.5; sub-3-token docs are absent."""
+    import confluent_kafka_streams_examples_spark.queries_llm as ql
+
+    rows = [
+        (1, "a b c d"),  # shingles {a b c, b c d} -> both novel
+        (2, "a b c d"),  # same -> 0 novel
+        (3, "a b c x"),  # {a b c (owned by 1), b c x (novel)} -> 0.5
+        (4, "a b"),      # < 3 tokens -> no shingles -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in _with_table(df=df, module=ql, fn=ql.ngram_novelty_scores, spark=spark)
+    }
+    assert out == {1: (2, 2, 1.0), 2: (2, 0, 0.0), 3: (2, 1, 0.5)}
+
+
+# ------------------------------------------------- histogram quantile gate
+
+def test_quality_threshold_matches_rank_reimplementation(spark):
+    """Histogram threshold == independent per-doc reimplementation:
+    for each lang, threshold_bucket is the LARGEST bucket whose
+    at-or-above count covers >= 20% of the language's docs."""
+    rows = QUERIES["text_stats"](spark, SF_SMOKE).collect()
+    docs = QUERIES["quality_histogram_threshold"](spark, SF_SMOKE).collect()
+    # rebuild buckets from the (engine-portable) rounded quality score
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, "documents", SF_SMOKE).select("doc_id", "lang").collect()
+    }
+    per_lang: dict[str, list[int]] = {}
+    for r in rows:
+        b = int(round(r["quality_score"] * 1e4)) // 100
+        per_lang.setdefault(langs[r["doc_id"]], []).append(b)
+    expect = {}
+    for lang, buckets in per_lang.items():
+        n = len(buckets)
+        thr = None
+        for b in sorted(set(buckets), reverse=True):
+            kept = sum(1 for x in buckets if x >= b)
+            if kept * 5 >= n:
+                thr = (b, n, kept)
+                break
+        expect[lang] = thr
+    got = {r["lang"]: (r["threshold_bucket"], r["n_total"], r["n_kept"]) for r in docs}
+    assert got == expect
+
+
+def test_quality_threshold_two_exchanges(spark):
+    """Corpus-size-independent plan: one partial-agg exchange to the
+    (lang, bucket) histogram, one lang repartition for the windows —
+    never a per-doc rank window."""
+    p = explain_str(QUERIES["quality_histogram_threshold"](spark, SF_SMOKE), "simple")
+    assert p.count("Exchange") == 2, p
+
+
+# ------------------------------------------------------------ shard export
+
+def test_shard_export_positions_contiguous_and_deterministic(spark):
+    out1 = QUERIES["corpus_shard_export"](spark, SF_SMOKE).collect()
+    out2 = QUERIES["corpus_shard_export"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_shard: dict[int, list[int]] = {}
+    for r in out1:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # every doc exactly once
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    n_docs = load_table(spark, "documents", SF_SMOKE).count()
+    assert len({r["doc_id"] for r in out1}) == len(out1) == n_docs
+
+
+def test_shard_export_single_exchange(spark):
+    """Shard windows need exactly ONE exchange (hash on shard_id) —
+    a global ORDER BY would show a rangepartitioning exchange."""
+    p = explain_str(QUERIES["corpus_shard_export"](spark, SF_SMOKE), "simple")
+    assert p.count("Exchange") == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+# -------------------------------------------------- embedding dim moments
+
+def test_embedding_dim_stats_negative_mean_floor_semantics(spark):
+    """mean_q must FLOOR (DuckDB //), not truncate toward zero (bare
+    Spark div on a negative numerator): sum=-250001 over n=2 docs
+    -> mean -125001, and the Cauchy-Schwarz variance div is exact."""
+    import confluent_kafka_streams_examples_spark.queries_corpus as qc
+
+    rows = [([-0.25, 0.25],), ([-0.000001, 0.25],)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    out = {
+        r["dim"]: (r["n"], r["sum_q"], r["mean_q"], r["var_q"], r["min_q"], r["max_q"])
+        for r in _with_table(df=df, module=qc, fn=qc.embedding_dim_stats, spark=spark)
+    }
+    # float32 -1e-06 quantizes to floor(-0.99999... + 0.5) = -1
+    assert out[0] == (2, -250001, -125001, 15624875000, -250000, -1)
+    assert out[1] == (2, 500000, 250000, 0, 250000, 250000)
+
+
+def test_embedding_dim_stats_partial_agg_before_exchange(spark):
+    """The exchange must carry partials, not rows: HashAggregate
+    appears both below and above the single exchange."""
+    p = explain_str(QUERIES["embedding_dim_stats"](spark, SF_SMOKE), "simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("HashAggregate") >= 2, p

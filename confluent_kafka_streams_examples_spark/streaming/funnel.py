@@ -1,0 +1,125 @@
+"""Streaming ordered-funnel processor — the stateful twin of the batch
+``funnel_conversion`` query (queries_extra.py).
+
+Per-user state is three stage timestamps (epoch micros): the earliest
+``view``, the earliest ``click`` STRICTLY AFTER that view, the earliest
+``purchase`` STRICTLY AFTER that click — first-touch semantics, same as
+the batch oracle.  State is three longs per user regardless of how many
+events the user produces: O(users) state, the shape that survives a
+billion-user stream (contrast with keeping per-type candidate sets,
+which is O(events) until the watermark closes).
+
+Ordering contract (documented, tested): rows are folded in EVENT-TIME
+order WITHIN each micro-batch (we sort the Arrow batch), so any replay
+whose batches arrive in event-time order reproduces the batch query
+exactly (`tests/test_streaming_funnel.py` asserts this).  Across
+out-of-order batches the fold is CONSERVATIVE: a late-arriving earlier
+``view`` may lower stage-1 time, but clicks already rejected against
+the old stage-1 time are not re-admitted (they were not retained) — a
+stage is never reported EARLIER than exact, and never reported when the
+exact cascade would not have fired... with one documented exception:
+a stage time already accepted is kept even if the preceding stage's
+time later moves below it (monotone refinement, Kafka-Streams-style
+at-arrival semantics).  Exactness under arbitrary disorder requires
+retaining all per-type timestamps until the watermark — the O(events)
+trade this operator deliberately refuses; run the batch query over the
+stored stream for the audited number (the lambda-architecture split
+the reference's own examples assume: ProcessorApiExample.scala:34-72
+folds at-arrival too).
+
+Reference analog: per-key KeyValueStore fold + downstream forward
+(ProcessorApiExample.scala:60-67); the stage cascade generalizes the
+single running value to a small state machine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+    ]
+)
+
+_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stage_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Update-mode stream of (user_id, stage, t1_us, t2_us, t3_us):
+    one row per user per micro-batch in which the user's funnel state
+    CHANGED (stage advanced or a stage time refined).  ``stage`` is the
+    deepest stage reached (1..3); users with no qualifying view emit
+    nothing."""
+    src = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    ).filter(F.col("etype").isin(*_STAGES))
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        changed = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # event-time order within the batch: in-order replays
+            # reproduce the batch query exactly
+            pdf = pdf.sort_values("ts_us")
+            for etype, ts_us in zip(pdf["etype"].values, pdf["ts_us"].values):
+                ts_us = int(ts_us)
+                if etype == "view":
+                    if t1 is None or ts_us < t1:
+                        t1, changed = ts_us, True
+                elif etype == "click":
+                    if t1 is not None and ts_us > t1 and (t2 is None or ts_us < t2):
+                        t2, changed = ts_us, True
+                elif etype == "purchase":
+                    if t2 is not None and ts_us > t2 and (t3 is None or ts_us < t3):
+                        t3, changed = ts_us, True
+        if changed:
+            state.update((t1, t2, t3))
+            stage = 3 if t3 is not None else (2 if t2 is not None else 1)
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "stage": [stage],
+                    "t1_us": [t1],
+                    "t2_us": pd.array([t2], dtype="Int64"),
+                    "t3_us": pd.array([t3], dtype="Int64"),
+                }
+            )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

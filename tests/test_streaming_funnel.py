@@ -1,0 +1,146 @@
+"""Streaming funnel processor vs its batch oracle twin.
+
+The contract documented in streaming/funnel.py: an event-time-ordered
+replay reproduces the batch ``funnel_conversion`` query exactly; state
+is three longs per user; stage times only refine monotonically."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from confluent_kafka_streams_examples_spark.streaming.funnel import (
+    funnel_stage_stream,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _s(n: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=n)
+
+
+def _drive(spark, tmp_path, batches):
+    src = str(tmp_path / "src")
+    qname = f"f{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(batches[0], SCHEMA).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = funnel_stage_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            spark.createDataFrame(b, SCHEMA).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {qname}").collect()
+
+
+def test_funnel_stream_matches_batch_on_inorder_replay(spark, tmp_path):
+    """Batches arriving in event-time order: final per-user stage equals
+    the batch funnel_conversion cascade on the union of all batches."""
+    batches = [
+        [  # batch 1
+            (1, "view", _s(0)),
+            (2, "purchase", _s(0)),  # purchase first: must not count
+            (2, "view", _s(1)),
+            (4, "view", _s(0)),
+            (3, "click", _s(0)),  # click with no view: nothing
+        ],
+        [  # batch 2
+            (1, "click", _s(10)),
+            (2, "click", _s(11)),
+        ],
+        [  # batch 3
+            (1, "purchase", _s(20)),
+        ],
+    ]
+    rows = _drive(spark, tmp_path, batches)
+    # latest state per user (update mode re-emits on refinement)
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["stage"])
+    assert final == {1: 3, 2: 2, 4: 1}
+
+    # batch twin on the union must agree
+    import confluent_kafka_streams_examples_spark.queries_extra as qe
+
+    union = [r for b in batches for r in b]
+    df = spark.createDataFrame(union, SCHEMA)
+    orig = qe.load_table
+    qe.load_table = lambda spark, name, sf_dir: df  # noqa: ARG005
+    try:
+        batch = {
+            r["stage"]: r["n_users"]
+            for r in qe.funnel_conversion(spark, "unused").collect()
+        }
+    finally:
+        qe.load_table = orig
+    stream_counts = {
+        "1_view": sum(1 for s in final.values() if s >= 1),
+        "2_click": sum(1 for s in final.values() if s >= 2),
+        "3_purchase": sum(1 for s in final.values() if s >= 3),
+    }
+    assert batch == stream_counts
+
+
+def test_funnel_stream_intra_batch_disorder_is_sorted(spark, tmp_path):
+    """Rows inside ONE micro-batch are folded in event-time order even
+    when the frame arrives shuffled: click-then-view arrival with
+    view-before-click timestamps still advances to stage 2."""
+    rows = _drive(
+        spark,
+        tmp_path,
+        [[(7, "click", _s(5)), (7, "view", _s(1))]],
+    )
+    assert [(r["user_id"], r["stage"]) for r in rows] == [(7, 2)]
+    assert rows[0]["t1_us"] < rows[0]["t2_us"]
+
+
+def test_funnel_stream_state_is_three_longs_and_silent_users_emit_nothing(
+    spark, tmp_path
+):
+    rows = _drive(
+        spark,
+        tmp_path,
+        [[(9, "purchase", _s(0)), (9, "click", _s(1))]],  # no view ever
+    )
+    assert rows == []
+
+
+def test_funnel_stream_stage_never_regresses_across_batches(spark, tmp_path):
+    """A late earlier view refines t1 but keeps the accepted click
+    (monotone refinement — the documented at-arrival semantics)."""
+    batches = [
+        [(5, "view", _s(10)), (5, "click", _s(20))],
+        [(5, "view", _s(0))],  # late arrival, earlier than everything
+    ]
+    rows = _drive(spark, tmp_path, batches)
+    per_emit = [(r["stage"], r["t1_us"]) for r in rows]
+    # second emission refined t1 downward, stage stayed 2
+    assert max(s for s, _ in per_emit) == 2
+    assert min(t for _, t in per_emit) < max(t for _, t in per_emit)

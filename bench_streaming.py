@@ -173,6 +173,25 @@ def _p_session(spark, left, right):
     )
 
 
+def _p_funnel(spark, left, right):
+    # per-user stage-machine fold (applyInPandasWithState, 3 longs of
+    # state per user): the bench stream maps to funnel columns — user
+    # from the key suffix, event_type cycling view/click/purchase
+    from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        funnel_stage_stream,
+    )
+
+    src = _read(spark, left).select(
+        F.expr("CAST(substring(key, 2) AS LONG)").alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value").cast("long") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.col("ts"),
+    )
+    return funnel_stage_stream(src), "update"
+
+
 PIPELINES = [
     ("latest_per_key", _p_latest, N_ROWS),
     ("windowed_join", _p_join, N_ROWS + N_ROWS // 2),
@@ -181,6 +200,7 @@ PIPELINES = [
     ("dedup_within_watermark", _p_dedup, N_ROWS),
     ("tumbling_agg", _p_tumbling, N_ROWS),
     ("session_agg", _p_session, N_ROWS),
+    ("funnel_stages", _p_funnel, N_ROWS),
 ]
 
 

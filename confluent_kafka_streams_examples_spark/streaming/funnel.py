@@ -9,10 +9,16 @@ events the user produces: O(users) state, the shape that survives a
 billion-user stream (contrast with keeping per-type candidate sets,
 which is O(events) until the watermark closes).
 
-Ordering contract (documented, tested): rows are folded in EVENT-TIME
-order WITHIN each micro-batch (we sort the Arrow batch), so any replay
-whose batches arrive in event-time order reproduces the batch query
-exactly (`tests/test_streaming_funnel.py` asserts this).  Across
+Ordering contract (documented, tested): the within-batch fold is a
+VECTORIZED three-step min-cascade (t1 = min over views; t2 = min over
+clicks > t1_new, t2_old staying valid because t1 only decreases; t3
+likewise) — provably identical to iterating the batch's rows in
+event-time order, because a click is admitted iff SOME view precedes
+it, i.e. iff the batch-global t1 precedes it (same argument one stage
+down for purchases).  So arrival order within a batch never matters,
+and any replay whose BATCHES arrive in event-time order reproduces the
+batch query exactly (`tests/test_streaming_funnel.py` asserts this).
+Across
 out-of-order batches the fold is CONSERVATIVE: a late-arriving earlier
 ``view`` may lower stage-1 time, but clicks already rejected against
 the old stage-1 time are not re-admitted (they were not retained) — a
@@ -85,24 +91,25 @@ def funnel_stage_stream(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         t1, t2, t3 = state.get if state.exists else (None, None, None)
-        changed = False
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # event-time order within the batch: in-order replays
-            # reproduce the batch query exactly
-            pdf = pdf.sort_values("ts_us")
-            for etype, ts_us in zip(pdf["etype"].values, pdf["ts_us"].values):
-                ts_us = int(ts_us)
-                if etype == "view":
-                    if t1 is None or ts_us < t1:
-                        t1, changed = ts_us, True
-                elif etype == "click":
-                    if t1 is not None and ts_us > t1 and (t2 is None or ts_us < t2):
-                        t2, changed = ts_us, True
-                elif etype == "purchase":
-                    if t2 is not None and ts_us > t2 and (t3 is None or ts_us < t3):
-                        t3, changed = ts_us, True
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ts, et = pdf["ts_us"], pdf["etype"]
+
+        def _min(prev: int | None, series: pd.Series) -> int | None:
+            if len(series):
+                m = int(series.min())
+                return m if prev is None or m < prev else prev
+            return prev
+
+        # vectorized min-cascade == event-time-ordered fold (see module
+        # docstring); t2_old/t3_old stay valid because t1/t2 only decrease
+        n1 = _min(t1, ts[et == "view"])
+        n2 = _min(t2, ts[(et == "click") & (ts > n1)]) if n1 is not None else t2
+        n3 = _min(t3, ts[(et == "purchase") & (ts > n2)]) if n2 is not None else t3
+        changed = (n1, n2, n3) != (t1, t2, t3)
+        t1, t2, t3 = n1, n2, n3
         if changed:
             state.update((t1, t2, t3))
             stage = 3 if t3 is not None else (2 if t2 is not None else 1)

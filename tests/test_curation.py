@@ -174,3 +174,153 @@ def test_embedding_dim_stats_partial_agg_before_exchange(spark):
     p = explain_str(QUERIES["embedding_dim_stats"](spark, SF_SMOKE), "simple")
     assert p.count("Exchange") == 1, p
     assert p.count("HashAggregate") >= 2, p
+
+
+# ----------------------------------------------------- property tests
+# Strategy: hypothesis corpora run through the ORACLE SQL (DuckDB, no
+# Spark job per example) against brute-force Python references.  The
+# driver hash-pins Spark == oracle at sf0.01, so oracle == reference
+# here transitively pins Spark == reference.
+
+import datetime as _dt
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+from confluent_kafka_streams_examples_spark.queries import ORACLES
+
+
+def _brute_funnel(rows):
+    """rows: (user_id, event_type, ts).  First-touch strict cascade."""
+    by_user = {}
+    for u, e, t in rows:
+        by_user.setdefault(u, []).append((e, t))
+    n = {1: 0, 2: 0, 3: 0}
+    for evs in by_user.values():
+        t1 = min((t for e, t in evs if e == "view"), default=None)
+        if t1 is None:
+            continue
+        n[1] += 1
+        t2 = min((t for e, t in evs if e == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        n[2] += 1
+        t3 = min((t for e, t in evs if e == "purchase" and t > t2), default=None)
+        if t3 is not None:
+            n[3] += 1
+    return {"1_view": n[1], "2_click": n[2], "3_purchase": n[3]}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_funnel_oracle_matches_bruteforce(rows):
+    t0 = _dt.datetime(2024, 1, 1)
+    data = [(u, e, t0 + _dt.timedelta(seconds=s)) for u, e, s in rows]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, event_type VARCHAR, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)", data)
+    got = dict(con.execute(ORACLES["funnel_conversion"]).fetchall())
+    con.close()
+    want = _brute_funnel([(u, e, ts) for u, e, ts in data])
+    assert got == want
+    # funnel monotonicity is implied but assert it explicitly
+    assert got["1_view"] >= got["2_click"] >= got["3_purchase"]
+
+
+def _brute_novelty(docs):
+    """docs: (doc_id, text).  Distinct word-3-gram first-owner shares."""
+    sh = {}
+    per_doc = {}
+    for doc_id, text in sorted(docs):
+        toks = text.split(" ")
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        if not grams:
+            continue
+        per_doc[doc_id] = grams
+        for g in grams:
+            sh.setdefault(g, doc_id)  # min doc_id owns (sorted insert order)
+    out = {}
+    for doc_id, grams in per_doc.items():
+        novel = sum(1 for g in grams if sh[g] == doc_id)
+        out[doc_id] = (len(grams), novel)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_novelty_oracle_matches_bruteforce(texts):
+    docs = list(enumerate(texts))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["ngram_novelty_scores"]).fetchall()
+    }
+    con.close()
+    want = _brute_novelty(docs)
+    assert got == want
+    # every distinct corpus shingle is novel in exactly one doc
+    all_grams = set()
+    for _, text in docs:
+        toks = text.split(" ")
+        all_grams |= {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert sum(n for _, n in got.values()) == len(all_grams)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-0.5, max_value=0.5, allow_nan=False, width=32),
+            min_size=2,
+            max_size=2,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_dim_stats_oracle_matches_bruteforce(vecs):
+    """Floor-division mean/variance over quantized values — pins the
+    floor-vs-truncate semantics for any sign mix."""
+    import math
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)", list(enumerate(vecs))
+    )
+    got = {
+        r[0]: (r[1], r[2], r[5], r[6])  # n, sum_q, mean_q, var_q
+        for r in con.execute(ORACLES["embedding_dim_stats"]).fetchall()
+    }
+    con.close()
+    import struct
+
+    def f32(x):  # the float32 the parquet column would store
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    for dim in (0, 1):
+        qs = [math.floor(f32(v[dim]) * 1e6 + 0.5) for v in vecs]
+        n, s = len(qs), sum(qs)
+        mean = (s + 1_000_000 * n) // n - 1_000_000
+        var = (n * sum(q * q for q in qs) - s * s) // (n * n)
+        assert got[dim] == (n, s, mean, var), dim

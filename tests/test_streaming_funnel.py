@@ -108,10 +108,10 @@ def test_funnel_stream_matches_batch_on_inorder_replay(spark, tmp_path):
     assert batch == stream_counts
 
 
-def test_funnel_stream_intra_batch_disorder_is_sorted(spark, tmp_path):
-    """Rows inside ONE micro-batch are folded in event-time order even
-    when the frame arrives shuffled: click-then-view arrival with
-    view-before-click timestamps still advances to stage 2."""
+def test_funnel_stream_intra_batch_disorder_handled(spark, tmp_path):
+    """Arrival order inside ONE micro-batch never matters (the
+    vectorized min-cascade is order-independent): click-then-view
+    arrival with view-before-click timestamps still reaches stage 2."""
     rows = _drive(
         spark,
         tmp_path,

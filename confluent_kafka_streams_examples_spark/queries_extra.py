@@ -1724,3 +1724,81 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_count(c, "2_click"))
         .unionAll(_count(p, "3_purchase"))
     )
+
+
+def _z_interleave_sql(d1: str, d2: str, bits: int = 8) -> str:
+    """SQL: Morton/z-order interleave of two ``bits``-bit ints —
+    identical text works in DuckDB; the Spark twin uses shiftleft/
+    shiftright for the same arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({d1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({d2} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(user_id % 256 AS BIGINT) AS d_user,
+             CAST((epoch_us(ts) // 3600000000) % 256 AS BIGINT) AS d_hour
+      FROM events
+    ),
+    z AS (
+      SELECT d_user, d_hour,
+             ({_z_interleave_sql('d_user', 'd_hour')}) // 256 AS z_bucket
+      FROM d
+    )
+    SELECT CAST(z_bucket AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(d_user) AS BIGINT) AS user_lo,
+           CAST(max(d_user) AS BIGINT) AS user_hi,
+           CAST(min(d_hour) AS BIGINT) AS hour_lo,
+           CAST(max(d_hour) AS BIGINT) AS hour_hi
+    FROM z GROUP BY z_bucket
+    """,
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout evaluation — the multi-dimensional file
+    clustering every 100 TB lakehouse runs (Delta/Iceberg OPTIMIZE
+    ZORDER): interleave the bits of two query dimensions (user bucket,
+    event hour) so that sorting by ONE key co-locates rows that are
+    close in BOTH, and per-file min/max statistics prune scans for
+    predicates on EITHER dimension.  Output = per z-bucket ("file")
+    row count plus each dimension's min/max — exactly the footer stats
+    a pruning planner consults; tight per-bucket ranges (<= 2^(bits/2)
+    wide here, vs the full 256 under a single-key sort) ARE the
+    pruning win, asserted in tests/test_curation.py.
+
+    Scale shape: the z-value is a pure integer projection (16
+    shift-and-mask terms, whole-stage codegen); the rollup is one
+    partial-agg shuffle over a 256-key space (map-side combine folds
+    every task to <= 256 partials).  The WRITE path at scale is
+    ``df.repartitionByRange(n_files, z).sortWithinPartitions(z)`` —
+    range partitioning samples the z distribution, so no global sort
+    bottleneck; this query is the read-side stats audit of that
+    layout.  Reference analog: derived-key groupBy
+    (AggregationsExample.scala:36-41); the derived key happens to be
+    a space-filling curve.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    d_user = (F.col("user_id") % 256).cast("long")
+    d_hour = (F.floor(epoch_us(F.col("ts")) / F.lit(3_600_000_000)) % 256).cast(
+        "long"
+    )
+    d = ev.select(d_user.alias("d_user"), d_hour.alias("d_hour"))
+    z = F.lit(0).cast("long")
+    for i in range(8):
+        z = z + F.shiftleft(F.shiftright(F.col("d_user"), i) % 2, 2 * i)
+        z = z + F.shiftleft(F.shiftright(F.col("d_hour"), i) % 2, 2 * i + 1)
+    bucketed = d.select(
+        "d_user", "d_hour", F.floor(z / F.lit(256)).cast("long").alias("z_bucket")
+    )
+    return bucketed.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("d_user").cast("bigint").alias("user_lo"),
+        F.max("d_user").cast("bigint").alias("user_hi"),
+        F.min("d_hour").cast("bigint").alias("hour_lo"),
+        F.max("d_hour").cast("bigint").alias("hour_hi"),
+    )

@@ -324,3 +324,23 @@ def test_dim_stats_oracle_matches_bruteforce(vecs):
         mean = (s + 1_000_000 * n) // n - 1_000_000
         var = (n * sum(q * q for q in qs) - s * s) // (n * n)
         assert got[dim] == (n, s, mean, var), dim
+
+
+# ------------------------------------------------------------- z-order
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The pruning property: a z-bucket (top-8 z bits) confines EACH
+    dimension to a <= 16-wide range (top 4 bits fixed per dim), vs 256
+    under a single-key layout — this is why footer min/max prunes on
+    either predicate."""
+    rows = QUERIES["zorder_layout_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["user_hi"] - r["user_lo"] <= 15, r
+        assert r["hour_hi"] - r["hour_lo"] <= 15, r
+
+
+def test_zorder_single_partial_agg_exchange(spark):
+    p = explain_str(QUERIES["zorder_layout_stats"](spark, SF_SMOKE), "simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("HashAggregate") >= 2, p

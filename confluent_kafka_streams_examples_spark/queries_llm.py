@@ -1586,24 +1586,27 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise dedup structurally misses (it needs ONE similar partner;
     novelty decays against the UNION of all predecessors).
 
-    Scale shape: reuses the one (doc_id, shingle) distinct explode the
-    whole dedup family is built on (operators/dedup.py::shingles);
-    first-owner is a min() partial aggregate keyed on the shingle; the
-    ownership rejoin is shingle-keyed and co-partitioned with that
-    aggregate's exchange (AQE reuses it), then one groupBy(doc_id)
-    folds to a per-doc triple.  Total rows through every exchange =
-    sum of document shingle counts — strictly LINEAR in corpus size,
-    never pairwise.  A stop-phrase trigram shared by millions of docs
-    makes one hot join key: linear rows, and AQE's skew-join split
-    handles the partition imbalance (same posture as the shared-count
-    artifact build, dedup.py::shared_shingle_counts).
+    Scale shape: shingles hash to 8-byte longs BEFORE the distinct
+    (operators/dedup.py::shingle_hashes — the shared-count-artifact
+    idiom), so no exchange ever carries n-gram text: the hash never
+    reaches the output, only counts and min-owner comparisons do, and
+    the result matches the string-keyed oracle up to 2^-64 collisions
+    (the house posture for every hashed-shingle consumer).  First-owner
+    is a min() partial aggregate keyed on the hash; the ownership
+    rejoin is co-partitioned with that aggregate's exchange (AQE reuses
+    it), then one groupBy(doc_id) folds to a per-doc triple.  Total
+    rows through every exchange = sum of document shingle counts —
+    strictly LINEAR in corpus size, never pairwise.  A stop-phrase
+    trigram shared by millions of docs makes one hot join key: linear
+    rows, and AQE's skew-join split handles the partition imbalance
+    (same posture as dedup.py::shared_shingle_counts).
 
     Reference analog: groupByKey+aggregate over a derived key
     (AggregationsExample.scala:36-41) — here the derived key is the
     content n-gram and the aggregate is first-owner.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    sh = dedup.shingles(docs, "doc_id", "text")  # distinct (id, shingle)
+    sh = dedup.shingle_hashes(docs, "doc_id", "text")  # distinct (id, hash)
     own = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(own, "shingle")

@@ -85,7 +85,11 @@ def funnel_stage_stream(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(type_col).alias("etype"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
-    ).filter(F.col("etype").isin(*_STAGES))
+    ).filter(F.col("etype").isin(*_STAGES) & F.col("ts_us").isNotNull())
+    # the null-ts filter keeps NaN out of the Arrow batches: a null
+    # timestamp would otherwise float the ts_us column and make an
+    # all-null chunk raise on int(min); SQL min() ignores nulls, so
+    # dropping them matches the batch oracle's semantics exactly
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -144,3 +144,14 @@ def test_funnel_stream_stage_never_regresses_across_batches(spark, tmp_path):
     # second emission refined t1 downward, stage stayed 2
     assert max(s for s, _ in per_emit) == 2
     assert min(t for _, t in per_emit) < max(t for _, t in per_emit)
+
+
+def test_funnel_stream_null_timestamps_dropped(spark, tmp_path):
+    """A null ts must be ignored (SQL min() semantics), not poison the
+    Arrow batch with NaN."""
+    rows = _drive(
+        spark,
+        tmp_path,
+        [[(11, "view", None), (11, "view", _s(1)), (11, "click", _s(2))]],
+    )
+    assert [(r["user_id"], r["stage"]) for r in rows] == [(11, 2)]

@@ -178,17 +178,11 @@ def _p_funnel(spark, left, right):
     # state per user): the bench stream maps to funnel columns — user
     # from the key suffix, event_type cycling view/click/purchase
     from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        bench_stream_to_funnel_columns,
         funnel_stage_stream,
     )
 
-    src = _read(spark, left).select(
-        F.expr("CAST(substring(key, 2) AS LONG)").alias("user_id"),
-        F.element_at(
-            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
-            (F.col("value").cast("long") % 3 + 1).cast("int"),
-        ).alias("event_type"),
-        F.col("ts"),
-    )
+    src = bench_stream_to_funnel_columns(_read(spark, left))
     return funnel_stage_stream(src), "update"
 
 

@@ -134,3 +134,19 @@ def funnel_stage_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bench_stream_to_funnel_columns(src: DataFrame) -> DataFrame:
+    """Map the synthetic bench stream (key 'k<N>', value, ts) onto the
+    funnel's input columns: user from the key suffix, event_type
+    cycling view/click/purchase from the value — shared by
+    bench_streaming.py and scripts/stream_state_probe.py so the two
+    harnesses measure the identical pipeline."""
+    return src.select(
+        F.expr("CAST(substring(key, 2) AS LONG)").alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value").cast("long") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.col("ts"),
+    )

@@ -129,7 +129,7 @@ class Snapshot:
         if rel_path not in self._modules:
             try:
                 if self.ref is None:
-                    with open(os.path.join(REPO, rel_path)) as fh:
+                    with open(os.path.join(REPO, rel_path), encoding="utf-8") as fh:
                         src = fh.read()
                 else:
                     src = subprocess.run(
@@ -219,7 +219,7 @@ def latest_green_rounds() -> dict[str, int]:
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        with open(path) as fh:
+        with open(path, encoding="utf-8") as fh:
             data = json.load(fh)
         for qname, res in data.items():
             ok = (

@@ -28,7 +28,17 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
     print("+", " ".join(cmd), flush=True)
-    return subprocess.run(cmd, cwd=ROOT, check=True, **kw)
+    if kw.get("capture_output"):
+        kw.setdefault("encoding", "utf-8")  # content has em dashes
+    res = subprocess.run(cmd, cwd=ROOT, **kw)
+    if res.returncode != 0:
+        # surface the generator's actionable message (e.g. the >50
+        # changed-queries rotation-unsound SystemExit) instead of a
+        # bare CalledProcessError that swallows captured stderr
+        if res.stderr:
+            print(res.stderr, file=sys.stderr, flush=True)
+        res.check_returncode()
+    return res
 
 
 def main() -> int:
@@ -38,7 +48,7 @@ def main() -> int:
         text=True,
     ).stdout
     with tempfile.NamedTemporaryFile(
-        "w", suffix=".txt", delete=False
+        "w", suffix=".txt", delete=False, encoding="utf-8"
     ) as fh:
         fh.write(gen)
         tmp = fh.name
@@ -52,7 +62,7 @@ def main() -> int:
         capture_output=True,
         text=True,
     ).stdout
-    with open(os.path.join(ROOT, "QUERIES.md"), "w") as fh:
+    with open(os.path.join(ROOT, "QUERIES.md"), "w", encoding="utf-8") as fh:
         fh.write(index)
 
     run(

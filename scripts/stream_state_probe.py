@@ -69,7 +69,16 @@ def _gen(spark, path: str, n: int, n_keys: int) -> None:
                 F.lit(1704067200.0) + F.col("id") / 10000.0
             ).alias("ts"),
         )
-        .repartition(N_FILES)
+        # range-partition on ts so each file holds a CONTIGUOUS time
+        # slice and the file source (maxFilesPerTrigger=1, lexicographic
+        # part order == ascending ranges) replays time IN ORDER.  A
+        # round-robin repartition makes every file span the full range:
+        # the watermark jumps to max(ts)-delay after batch 1 and ~85%
+        # of later rows are dropped as late, so watermark-bounded
+        # pillars measure late-dropping, not horizon eviction (r8
+        # review finding — the dedup rows recorded before this fix
+        # were an artifact)
+        .repartitionByRange(N_FILES, "ts")
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -114,10 +123,24 @@ def _p_dedup(spark, path):
     )
 
 
+def _p_funnel(spark, path):
+    # stage-machine state: 3 longs per user — the same keyed-state
+    # class as running_total but with branchy per-batch logic; the
+    # probe asks whether the state machine changes the K-scaling story
+    from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        bench_stream_to_funnel_columns,
+        funnel_stage_stream,
+    )
+
+    src = bench_stream_to_funnel_columns(_read(spark, path))
+    return funnel_stage_stream(src), "update"
+
+
 PILLARS = [
     ("latest_per_key", _p_latest),
     ("running_total", _p_total),
     ("dedup_watermark", _p_dedup),
+    ("funnel_stages", _p_funnel),
 ]
 
 
@@ -155,14 +178,21 @@ def _state_metrics(progresses):
             size = max(
                 size,
                 custom.get("rocksdbSstFileSize", 0)
-                or op.get("stateMemory", 0)
+                or op.get("memoryUsedBytes", 0)
                 or custom.get("stateOnCurrentVersionSizeBytes", 0),
             )
     return rows, size, batch_ms
 
 
 def main() -> None:
-    multipliers = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    args = sys.argv[1:]
+    only = None
+    for a in list(args):
+        if a.startswith("--pillars="):
+            only = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
+    pillars = [(n, f) for n, f in PILLARS if only is None or n in only]
+    multipliers = [int(a) for a in args] or [1, 10, 100]
     root = tempfile.mkdtemp(prefix="ckse_state_probe_")
     results = []
     try:
@@ -173,7 +203,7 @@ def main() -> None:
             path = f"{root}/in_x{xk}"
             _gen(gen, path, N_ROWS, n_keys)
             gen.stop()
-            for name, factory in PILLARS:
+            for name, factory in pillars:
                 spark = get_spark(f"ckse-state-probe-{name}-x{xk}")
                 spark.sparkContext.setLogLevel("ERROR")
                 spark.conf.set(

@@ -622,8 +622,25 @@ def test_no_unbounded_bigint_multiply_over_corpus_aggregates(spark):
         # |lp_micro| = |ln p|*1e6 <= ~75e6 even at p = 1e-33, so the
         # product stays < 1e17 for documents up to 1e9 tokens
         "lm_unigram_score": "per-doc term count x log-prob micros",
+        # n_kept * 5 vs n_total: both row counts, so the product
+        # overflows only past 1.8e18 documents (2^63/5) — 6 orders of
+        # magnitude beyond a 100 TB corpus
+        "quality_histogram_threshold": "rowcount x 5 < 2^63 to 1.8e18 docs",
+        # n * 1e6 (the positive-numerator mean offset) overflows past
+        # 9.2e12 values per dimension — ~9x the 1e12-row design point,
+        # documented in the query docstring; qval*qval <= (1.1e6)^2 ~
+        # 1.2e12 per ELEMENT (|x| <= 1 embeddings x 1e-6 quantization),
+        # and the sum of squares goes through DECIMAL(38,0)
+        "embedding_dim_stats": "n x 1e6 bounded to 9.2e12 rows/dim; qval^2 per-element",
+        # simhash bit folds: (bit & 1) * small power of two per
+        # component, summed over 16/64 components — bounded by the
+        # signature width, independent of corpus size
+        "dedup_simhash": "bit x 2^i folds, signature-width bounded",
     }
-    corpus_markers = ("documents", "embeddings", "events")
+    # plan text carries COLUMN refs (doc_id#12L), never table names —
+    # a table-name gate matches nothing and the walk below never runs
+    # (r8 review finding: the test was vacuous as first committed)
+    corpus_markers = ("doc_id", "vec_id", "event_id", "user_id")
 
     def jseq(seq):
         return [seq.apply(i) for i in range(seq.size())]

@@ -344,3 +344,26 @@ def test_zorder_single_partial_agg_exchange(spark):
     p = explain_str(QUERIES["zorder_layout_stats"](spark, SF_SMOKE), "simple")
     assert p.count("Exchange") == 1, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_shard_export_writes_partitioned_layout(spark, tmp_path):
+    """The manifest drives a real export: partitionBy(shard_id) write
+    produces one directory per shard whose rows reproduce the manifest
+    exactly — the trainer-facing contract of corpus_shard_export."""
+    import os
+
+    from confluent_kafka_streams_examples_spark.sources.parquet import write_sized
+
+    manifest = QUERIES["corpus_shard_export"](spark, SF_SMOKE)
+    out = str(tmp_path / "shards")
+    write_sized(manifest, out, target_file_mb=64, partition_by=["shard_id"])
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard_id=")
+    )
+    assert dirs == [f"shard_id={i}" for i in sorted(
+        {r["shard_id"] for r in manifest.collect()}
+    )]
+    back = spark.read.parquet(out)
+    a = sorted(map(tuple, manifest.select("shard_id", "pos", "doc_id").collect()))
+    b = sorted(map(tuple, back.select("shard_id", "pos", "doc_id").collect()))
+    assert a == b

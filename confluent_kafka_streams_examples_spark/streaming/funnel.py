@@ -117,11 +117,15 @@ def funnel_stage_stream(
         if changed:
             state.update((t1, t2, t3))
             stage = 3 if t3 is not None else (2 if t2 is not None else 1)
+            # every column dtype pinned: pandas infers object for
+            # all-NA plain lists, and concat across yielded frames
+            # then warns (and will someday change dtypes) — explicit
+            # Int64 keeps the Arrow schema stable whatever the mix
             yield pd.DataFrame(
                 {
-                    "user_id": [int(key[0])],
-                    "stage": [stage],
-                    "t1_us": [t1],
+                    "user_id": pd.array([int(key[0])], dtype="Int64"),
+                    "stage": pd.array([stage], dtype="Int64"),
+                    "t1_us": pd.array([t1], dtype="Int64"),
                     "t2_us": pd.array([t2], dtype="Int64"),
                     "t3_us": pd.array([t3], dtype="Int64"),
                 }

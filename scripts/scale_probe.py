@@ -241,6 +241,14 @@ def main() -> None:
             probe_queries = flag.split("=", 1)[1].split(",")
         elif flag.startswith("--tables="):
             build_tables = set(flag.split("=", 1)[1].split(","))
+        elif flag.startswith("--shuffle-partitions="):
+            # a cluster sizes shuffle partitions to INPUT (AQE advisory
+            # bytes); the local default stays pinned at 32, so x1000
+            # probes spill for rig reasons, not plan reasons.  This
+            # knob lets a probe run demonstrate that claim empirically:
+            # rerun the spilling decade with 10x partitions and watch
+            # the per-task spill vanish while wall improves.
+            os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = flag.split("=", 1)[1]
         elif flag == "--clean":
             # drop the replicated corpora AND every stored artifact —
             # both grow multi-GB at x100/x1000 and outlive the probe

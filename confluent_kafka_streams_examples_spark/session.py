@@ -7,6 +7,10 @@ Scale notes (100 TB design):
   ``spark.sql.shuffle.partitions`` at cluster scale.
 - ``shuffle.partitions`` default here (32) matches local[32]; on a real
   cluster this is set to 2-3x total cores and AQE coalesces down.
+  Override locally with ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (the scale
+  probe's ``--shuffle-partitions=`` uses it to demonstrate that x1000
+  spills are rig artifacts: same plan, cluster-shaped partition count
+  and heap, zero spill — SCALE.md).
 - Arrow is enabled for every pandas-UDF boundary.
 - Parquet readers are vectorized by default; filters/column pruning push
   into the scan (verify with ``plans.describe.explain_str``).

@@ -1723,3 +1723,92 @@ def quality_histogram_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .select("lang", "threshold_bucket", "n_total", "n_kept")
     )
+
+
+_HYBRID_TERMS = ("join", "merge", "vector")
+
+
+@query(
+    "hybrid_search",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs,
+                     sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ({", ".join(f"'{t}'" for t in _HYBRID_TERMS)})
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    idf AS (SELECT token,
+                   ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                   s.avgdl AS avgdl
+            FROM dfreq, stats s),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(i.idf * ((tf.tf * 2.2) /
+                    (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / i.avgdl))))
+                  * 1000000.0 + 0.5) AS BIGINT) AS sm
+      FROM tf JOIN idf i ON tf.token = i.token
+              JOIN dl ON tf.doc_id = dl.doc_id),
+    cand AS (SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
+             FROM scored GROUP BY doc_id
+             ORDER BY score_micro DESC, doc_id LIMIT 50),
+    n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+    q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
+    SELECT c.doc_id, c.score_micro,
+           round(list_inner_product(n.v, q.qv) / (n.nrm * q.qnrm), 6)
+             AS cos_sim
+    FROM cand c JOIN n ON n.vec_id = c.doc_id, q
+    WHERE n.vec_id != 0
+    ORDER BY cos_sim DESC, c.doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the RAG-stack core: BM25 keyword recall
+    (cheap, lexical, high-recall) feeding an embedding-cosine rerank
+    (expensive, semantic, high-precision).  Top-50 lexical candidates
+    for a fixed 3-term query, reranked to top-10 by cosine against the
+    vec_id=0 query embedding; output carries BOTH scores so a caller
+    can fuse them.
+
+    Scale shape: stage 1 is bm25_rank's shape (matching-term rows only
+    through the shuffle, TakeOrdered top-50 — never a corpus sort);
+    stage 2 joins the 50-row candidate set into the embeddings scan as
+    a BROADCAST (candidates are top-k-bounded by construction, the
+    broadcast house rule), so the rerank reads the embedding store
+    once, filters to 50 rows, and scores JVM-side (zip_with/aggregate).
+    At 100 TB the embedding side would be the IVF/PQ artifact instead
+    of a full scan — the rerank stage is the same join either way.
+    Determinism: integer-micro BM25 partials, 6-dp rounded cosine,
+    id tie-breaks at both stages (the bm25_search and similarity_topk
+    contracts composed)."""
+    from confluent_kafka_streams_examples_spark.operators.similarity import (
+        _dot,
+        with_norm,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    cand = text.bm25_rank(docs, list(_HYBRID_TERMS), topk=50)
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = with_norm(emb, "embedding")
+    q = base.filter(F.col("vec_id") == 0).select(
+        F.col("_v").alias("_qv"), F.col("_norm").alias("_qnorm")
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm")), 6
+    )
+    return (
+        base.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(cand), F.col("vec_id") == F.col("doc_id"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", cos)
+        .select("doc_id", "score_micro", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+        .limit(10)
+    )

@@ -367,3 +367,31 @@ def test_shard_export_writes_partitioned_layout(spark, tmp_path):
     a = sorted(map(tuple, manifest.select("shard_id", "pos", "doc_id").collect()))
     b = sorted(map(tuple, back.select("shard_id", "pos", "doc_id").collect()))
     assert a == b
+
+
+# ------------------------------------------------------- hybrid search
+
+def test_hybrid_search_is_subset_of_bm25_candidates(spark):
+    """Every reranked hit must come from the lexical candidate set —
+    the two-stage contract."""
+    from confluent_kafka_streams_examples_spark.operators.text import bm25_rank
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    cand = {
+        r["doc_id"]
+        for r in bm25_rank(docs, ["join", "merge", "vector"], topk=50).collect()
+    }
+    hits = QUERIES["hybrid_search"](spark, SF_SMOKE).collect()
+    assert hits and {r["doc_id"] for r in hits} <= cand
+    # rerank order is by cosine desc with id tie-break
+    sims = [(r["cos_sim"], -r["doc_id"]) for r in hits]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_hybrid_search_broadcasts_candidates_into_rerank(spark):
+    """The candidate set reaches the embeddings scan as a broadcast —
+    the rerank never shuffles the embedding store."""
+    p = explain_str(QUERIES["hybrid_search"](spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p

@@ -46,22 +46,49 @@ def cosine_topk(
     """Top-k nearest neighbors of one vector by cosine similarity.
 
     Deterministic: similarity is rounded to 6 dp and ties break on the
-    integer id.  The final top-k is a single ORDER BY ... LIMIT k which
-    Spark executes as TakeOrdered (per-partition heap + driver merge of
-    k rows) — no global sort materialization.
+    integer id (the shared cosine_rerank contract).  The final top-k is
+    a single ORDER BY ... LIMIT k which Spark executes as TakeOrdered
+    (per-partition heap + driver merge of k rows) — no global sort
+    materialization.
     """
-    base = with_norm(df, vec_col)
-    q = base.filter(F.col(id_col) == query_id).select(
+    return cosine_rerank(
+        df.filter(F.col(id_col) != query_id),
+        df.filter(F.col(id_col) == query_id),
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(id_col, "cos_sim")
+
+
+def cosine_rerank(
+    cand: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic cosine of every ``cand`` row against the single
+    ``query`` row, top-k: 6-dp rounded similarity, integer-id
+    tie-break, ORDER BY ... LIMIT k (TakeOrdered — per-partition heap,
+    no global sort).  Norms are computed on exactly the frames given —
+    pre-filter ``cand`` to a candidate set and the norm cost is
+    O(candidates x dim), never a corpus pass.  Carries every input
+    column plus ``cos_sim`` so callers keep their stage-1 scores.
+
+    This IS the shared deterministic-cosine contract: cosine_topk and
+    the hybrid-search rerank both route through it, so a rounding or
+    tie-break change lands in ONE place."""
+    base = with_norm(cand, vec_col)
+    q = with_norm(query, vec_col).select(
         F.col("_v").alias("_qv"), F.col("_norm").alias("_qnorm")
     )
     cos = F.round(
         _dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm")), 6
     )
     return (
-        base.filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(q))
+        base.crossJoin(F.broadcast(q))
         .withColumn("cos_sim", cos)
-        .select(id_col, "cos_sim")
+        .drop("_v", "_norm", "_qv", "_qnorm")
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

@@ -525,14 +525,13 @@ _VERIFY_FIRST = [
     "events_concurrent_degree_salted", "events_concurrent_degree",
     "ngram_novelty_scores", "funnel_conversion", "corpus_shard_export",
     "quality_histogram_threshold", "embedding_dim_stats",
-    "zorder_layout_stats", "hybrid_search",
+    "zorder_layout_stats", "hybrid_search", "similarity_topk",
     # Tail: oldest green first.
-    "similarity_topk", "similarity_pairs_label", "text_stats",
-    "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
-    "token_frequencies", "asof_join", "rollup_pricing",
-    "cube_order_priority", "setops_users", "anti_join_users",
-    "semi_join_parts", "user_running_value", "event_gaps",
-    "distinct_parts_per_supplier", "user_retention_cohorts",
+    "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
+    "lang_profile", "lang_id_heuristic", "token_frequencies", "asof_join",
+    "rollup_pricing", "cube_order_priority", "setops_users",
+    "anti_join_users", "semi_join_parts", "user_running_value",
+    "event_gaps", "distinct_parts_per_supplier", "user_retention_cohorts",
     "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
     "dedup_simhash64", "corpus_mixture_sample", "distinct_daily_users",
     "value_percentiles", "dedup_embedding_cosine",

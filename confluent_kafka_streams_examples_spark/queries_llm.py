@@ -1781,34 +1781,24 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the shuffle, TakeOrdered top-50 — never a corpus sort);
     stage 2 joins the 50-row candidate set into the embeddings scan as
     a BROADCAST (candidates are top-k-bounded by construction, the
-    broadcast house rule), so the rerank reads the embedding store
-    once, filters to 50 rows, and scores JVM-side (zip_with/aggregate).
-    At 100 TB the embedding side would be the IVF/PQ artifact instead
-    of a full scan — the rerank stage is the same join either way.
-    Determinism: integer-micro BM25 partials, 6-dp rounded cosine,
-    id tie-breaks at both stages (the bm25_search and similarity_topk
-    contracts composed)."""
+    broadcast house rule) BEFORE any vector math, so norms and dot
+    products run on the ~50 surviving rows, never the corpus (the
+    candidates-first ordering is the whole point of a two-stage
+    retrieval).  At 100 TB the embedding side would be the IVF/PQ
+    artifact instead of a full scan — the rerank stage is the same
+    join either way.  Determinism: integer-micro BM25 partials, then
+    operators/similarity.py::cosine_rerank (the SAME 6-dp/id-tiebreak
+    contract cosine_topk routes through)."""
     from confluent_kafka_streams_examples_spark.operators.similarity import (
-        _dot,
-        with_norm,
+        cosine_rerank,
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     cand = text.bm25_rank(docs, list(_HYBRID_TERMS), topk=50)
     emb = load_table(spark, "embeddings", sf_dir)
-    base = with_norm(emb, "embedding")
-    q = base.filter(F.col("vec_id") == 0).select(
-        F.col("_v").alias("_qv"), F.col("_norm").alias("_qnorm")
+    cand_emb = emb.filter(F.col("vec_id") != 0).join(
+        F.broadcast(cand), F.col("vec_id") == F.col("doc_id")
     )
-    cos = F.round(
-        _dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm")), 6
-    )
-    return (
-        base.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(cand), F.col("vec_id") == F.col("doc_id"))
-        .crossJoin(F.broadcast(q))
-        .withColumn("cos_sim", cos)
-        .select("doc_id", "score_micro", "cos_sim")
-        .orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
-        .limit(10)
-    )
+    return cosine_rerank(
+        cand_emb, emb.filter(F.col("vec_id") == 0), k=10
+    ).select("doc_id", "score_micro", "cos_sim")

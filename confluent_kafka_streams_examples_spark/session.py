@@ -76,7 +76,15 @@ def get_spark(app_name: str = "confluent-kafka-streams-examples-spark") -> Spark
         builder = builder.config("spark.local.dir", local_dir)
     if not os.environ.get("MASTER") and not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate IGNORES builder configs when a session already lives
+    # in this process; shuffle.partitions is runtime-settable, so apply
+    # the override on the live session too — otherwise the probe knob
+    # silently no-ops and a spill comparison measures the default
+    shuffle_override = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle_override:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_override)
+    return spark
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -85,11 +85,19 @@ def funnel_stage_stream(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(type_col).alias("etype"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
-    ).filter(F.col("etype").isin(*_STAGES) & F.col("ts_us").isNotNull())
+    ).filter(
+        F.col("etype").isin(*_STAGES)
+        & F.col("ts_us").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     # the null-ts filter keeps NaN out of the Arrow batches: a null
     # timestamp would otherwise float the ts_us column and make an
     # all-null chunk raise on int(min); SQL min() ignores nulls, so
-    # dropping them matches the batch oracle's semantics exactly
+    # dropping them matches the batch oracle's semantics exactly.
+    # The null-USER filter is a poison guard: groupBy(null) delivers
+    # key (None,) and int(None) would kill the whole StreamingQuery —
+    # one malformed record must never take down every user's funnel
+    # (E1 posture; a null user has no funnel identity to track anyway)
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

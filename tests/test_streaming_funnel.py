@@ -204,3 +204,14 @@ def test_funnel_stream_state_survives_restart(spark, tmp_path):
     # stage 2 only possible if t1 was RECOVERED from the checkpoint
     assert [(r["user_id"], r["stage"]) for r in rows] == [(21, 2)]
     assert rows[0]["t1_us"] is not None and rows[0]["t1_us"] < rows[0]["t2_us"]
+
+
+def test_funnel_stream_null_user_is_poison_guarded(spark, tmp_path):
+    """One record with a null user_id must not kill the query (int(None)
+    in the state fold would fail the whole StreamingQuery)."""
+    rows = _drive(
+        spark,
+        tmp_path,
+        [[(None, "view", _s(0)), (31, "view", _s(1)), (31, "click", _s(2))]],
+    )
+    assert [(r["user_id"], r["stage"]) for r in rows] == [(31, 2)]

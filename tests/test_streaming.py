@@ -406,3 +406,31 @@ def test_streaming_bench_pipelines_construct(spark, tmp_path):
         df, mode = factory(spark, left, right)
         assert df.isStreaming, name
         assert mode in ("append", "update"), (name, mode)
+
+
+def test_state_probe_pillars_construct(spark, tmp_path):
+    """Same bitrot guard for scripts/stream_state_probe.py: every
+    pillar factory must build a valid streaming plan (the probe runs
+    ad hoc; its funnel pillar shares bench_stream_to_funnel_columns
+    with bench_streaming, and drift here invalidates SCALE.md's
+    state-decade tables)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_state_probe",
+        _os.path.join(_os.path.dirname(__file__), "..", "scripts", "stream_state_probe.py"),
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+    path = str(tmp_path / "probe_in")
+    spark.createDataFrame(
+        [("k1", 1.0), ("k2", 2.0)], "key string, value double"
+    ).selectExpr(
+        "key", "value",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,value) AS ts",
+    ).write.mode("overwrite").parquet(path)
+    for name, factory in sp.PILLARS:
+        df, mode = factory(spark, path)
+        assert df.isStreaming, name
+        assert mode in ("append", "update"), (name, mode)

@@ -1802,3 +1802,102 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d_hour").cast("bigint").alias("hour_lo"),
         F.max("d_hour").cast("bigint").alias("hour_hi"),
     )
+
+
+_CMS_ROWS = 4
+_CMS_WIDTH = 256
+
+
+def _cms_bucket_sql(row: str, key: str) -> str:
+    """SQL: count-min bucket of ``key`` in hash row ``row`` — 16-bit
+    md5 prefix of 'r:key', mod width.  Deterministic, so the sketch is
+    exactly reproducible in any engine."""
+    h = f"md5(concat(CAST({row} AS VARCHAR), ':', CAST({key} AS VARCHAR)))"
+    return (
+        f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)"
+    )
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH rows_ AS (SELECT unnest(range(0, {_CMS_ROWS})) AS r),
+    cells AS (
+      SELECT r.r, ({_cms_bucket_sql('r.r', 'e.user_id')}) % {_CMS_WIDTH} AS bucket,
+             count(*) AS c
+      FROM events e, rows_ r
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+      FROM events GROUP BY user_id
+      ORDER BY true_n DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT t.user_id, t.true_n, r.r,
+             ({_cms_bucket_sql('r.r', 't.user_id')}) % {_CMS_WIDTH} AS bucket
+      FROM truth t, rows_ r
+    )
+    SELECT p.user_id, p.true_n, CAST(min(c.c) AS BIGINT) AS est_n
+    FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.true_n
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — the bounded-memory frequency
+    idiom for key universes that don't fit anywhere (4 x 256 integer
+    cells estimate any key's count, est >= true always, with
+    overestimate bounded by sum/width per row): the sketch every
+    100 TB pipeline uses for hot-key detection BEFORE choosing a salt
+    factor (operators/skew.py) or a max_df cap (dedup).  Emits the
+    top-20 exact counts alongside their sketch estimates so the
+    overestimate property is visible (and asserted in
+    tests/test_curation.py) — production keeps only the 1,024 cells.
+
+    Exactly oracle-able because the hash rows are md5-derived and
+    deterministic: both engines build bit-identical sketches — the
+    point where probabilistic data structures stay hash-checkable.
+
+    Scale shape: the sketch build is ONE partial aggregate over
+    (row, bucket) — a 1,024-cell key space, so the exchange carries
+    O(tasks x 1024) partials REGARDLESS of corpus size (the
+    histogram-gate posture); the estimate probe joins 80 rows against
+    the 1,024-cell table via broadcast.  The exact top-20 exists only
+    to exhibit the error bound; the sketch itself never scans twice.
+    Reference analog: the aggregate-then-inspect pattern
+    (AggregationsExample.scala:36-44) with a fixed-size aggregate.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    r = F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("r")
+
+    def bucket(row_col, key_col):
+        h = F.md5(
+            F.concat(row_col.cast("string"), F.lit(":"), key_col.cast("string"))
+        )
+        return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")) % _CMS_WIDTH
+
+    cells = (
+        ev.select("user_id", r)
+        .select("r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    probes = truth.select(
+        "user_id", "true_n", F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("r")
+    ).select(
+        "user_id", "true_n", "r", bucket(F.col("r"), F.col("user_id")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").cast("bigint").alias("est_n"))
+    )

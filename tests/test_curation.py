@@ -395,3 +395,23 @@ def test_hybrid_search_broadcasts_candidates_into_rerank(spark):
     p = explain_str(QUERIES["hybrid_search"](spark, SF_SMOKE), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------- CMS sketch
+
+def test_cms_never_underestimates(spark):
+    """The count-min invariant: est >= true for every probed key (a
+    single underestimate means the sketch arithmetic diverged)."""
+    rows = QUERIES["sketch_heavy_hitters"](spark, SF_SMOKE).collect()
+    # sf0.001 has fewer than 20 distinct users; the LIMIT caps at 20
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["est_n"] >= r["true_n"], r
+
+
+def test_cms_build_exchange_is_corpus_independent(spark):
+    """The sketch build aggregates into a fixed 1,024-cell space with
+    map-side partials — HashAggregate below and above its exchange."""
+    p = explain_str(QUERIES["sketch_heavy_hitters"](spark, SF_SMOKE), "simple")
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p

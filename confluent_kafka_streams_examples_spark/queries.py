@@ -526,7 +526,7 @@ _VERIFY_FIRST = [
     "ngram_novelty_scores", "funnel_conversion", "corpus_shard_export",
     "quality_histogram_threshold", "embedding_dim_stats",
     "zorder_layout_stats", "hybrid_search", "similarity_topk",
-    "sketch_heavy_hitters",
+    "sketch_heavy_hitters", "dedup_bloom_prefilter",
     # Tail: oldest green first.
     "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
     "lang_profile", "lang_id_heuristic", "token_frequencies", "asof_join",
@@ -535,11 +535,10 @@ _VERIFY_FIRST = [
     "event_gaps", "distinct_parts_per_supplier", "user_retention_cohorts",
     "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
     "dedup_simhash64", "corpus_mixture_sample", "distinct_daily_users",
-    "value_percentiles",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "dedup_embedding_cosine", "scd2_user_history", "merge_upsert_balances",
-    "similarity_ann_lsh", "embedding_centroids",
+    "value_percentiles", "dedup_embedding_cosine", "scd2_user_history",
+    "merge_upsert_balances", "similarity_ann_lsh", "embedding_centroids",
     "quality_repetition_signals", "shipping_priority",
     "source_overlap_matrix", "duplicate_rate_by_source", "ann_recall_eval",
     "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",

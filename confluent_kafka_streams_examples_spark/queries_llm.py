@@ -1802,3 +1802,126 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_rerank(
         cand_emb, emb.filter(F.col("vec_id") == 0), k=10
     ).select("doc_id", "score_micro", "cos_sim")
+
+
+_BLOOM_K = 4
+_BLOOM_BITS = 65536
+
+
+def _bloom_pos_sql(j: str, keyhash: str) -> str:
+    """SQL: bloom bit position of ``keyhash`` for hash row ``j`` —
+    16-bit md5 prefix of 'j:hash' (deterministic in any engine)."""
+    h = f"md5(concat(CAST({j} AS VARCHAR), ':', {keyhash}))"
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+    )
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS th, ({_INC_BUCKET_SQL} < 10) AS is_new
+      FROM documents),
+    ks AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+    bits AS (
+      SELECT DISTINCT ({_bloom_pos_sql('ks.j', 't.th')}) % {_BLOOM_BITS} AS pos
+      FROM tagged t, ks WHERE NOT t.is_new),
+    probes AS (
+      SELECT t.doc_id, t.th, ks.j,
+             ({_bloom_pos_sql('ks.j', 't.th')}) % {_BLOOM_BITS} AS pos
+      FROM tagged t, ks WHERE t.is_new),
+    hits AS (
+      SELECT p.doc_id, p.th, count(b.pos) AS n_set
+      FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.doc_id, p.th),
+    corpus_hashes AS (SELECT DISTINCT th FROM tagged WHERE NOT is_new)
+    SELECT h.doc_id,
+           CAST(CASE WHEN h.n_set = {_BLOOM_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS bloom_positive,
+           CAST(CASE WHEN c.th IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_true_dup
+    FROM hits h LEFT JOIN corpus_hashes c ON c.th = h.th
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter PREFILTER for incremental exact dedup — the
+    bounded-memory membership structure that lets a daily batch skip
+    the corpus join for the (vast) majority of genuinely-new docs: a
+    65,536-bit / 4-hash bloom of the stored corpus' content hashes
+    answers "possibly seen?" per new doc; only bloom-POSITIVE docs pay
+    the exact verification join.  No false negatives by construction
+    (a true duplicate always has all 4 bits set — pytest-pinned); the
+    false-positive rate is the classic (1-e^(-kn/m))^k.  Same
+    batch/corpus split as dedup_incremental (10% md5 bucket = today's
+    ingest).  Output per new doc: bloom verdict + exact truth, so the
+    FP rate is measurable (production keeps the 8 KB bit set and only
+    the positives' exact join).
+
+    Like sketch_heavy_hitters, the hash rows are md5-derived, so the
+    probabilistic structure is bit-identical in any engine and stays
+    DuckDB-hash-checkable.
+
+    Scale shape: the bloom build is a DISTINCT over positions — an
+    exchange bounded by 65,536 rows regardless of corpus size; probes
+    join the broadcast bit set (8 KB as rows); the exact-truth join
+    here exists only to exhibit FP behavior (it is the cost the bloom
+    REMOVES).  Reference analog: the stored-corpus membership check in
+    the incremental path (KTableExample.scala:52-56's table-lookup
+    posture) made memory-bounded.
+    """
+    from confluent_kafka_streams_examples_spark.queries_corpus import _bucket
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tagged = docs.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        (_bucket(F.col("doc_id")) < 10).alias("is_new"),
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+
+    def pos(j_col, th_col):
+        h = F.md5(F.concat(j_col.cast("string"), F.lit(":"), th_col))
+        return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")) % _BLOOM_BITS
+
+    bits = (
+        tagged.filter(~F.col("is_new"))
+        .select(ks, "th")
+        .select(pos(F.col("j"), F.col("th")).alias("pos"))
+        .distinct()
+    )
+    probes = (
+        tagged.filter(F.col("is_new"))
+        .select("doc_id", "th", ks)
+        .select("doc_id", "th", pos(F.col("j"), F.col("th")).alias("pos"))
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("doc_id", "th")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    # left-semi drops non-matching probe rows, so docs with 0 set bits
+    # vanish — restore them via a left join from the full probe set
+    all_new = tagged.filter(F.col("is_new")).select("doc_id", "th")
+    corpus_hashes = (
+        tagged.filter(~F.col("is_new")).select("th").distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        all_new.join(hits.select("doc_id", "n_set"), "doc_id", "left")
+        .join(F.broadcast(corpus_hashes), "th", "left")
+        .select(
+            "doc_id",
+            F.when(F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_K, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("bloom_positive"),
+            F.when(F.col("_dup").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_true_dup"),
+        )
+    )

@@ -415,3 +415,23 @@ def test_cms_build_exchange_is_corpus_independent(spark):
     p = explain_str(QUERIES["sketch_heavy_hitters"](spark, SF_SMOKE), "simple")
     assert p.count("HashAggregate") >= 2, p
     assert "CartesianProduct" not in p
+
+
+# --------------------------------------------------------- bloom filter
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every true duplicate must be bloom-positive — a false negative
+    means the bit arithmetic diverged between build and probe."""
+    rows = QUERIES["dedup_bloom_prefilter"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["is_true_dup"] == 1:
+            assert r["bloom_positive"] == 1, r
+
+
+def test_bloom_bit_set_is_broadcast(spark):
+    """The 65,536-row-bounded bit set reaches the probes as a
+    broadcast; the probe side never shuffles on bit position."""
+    p = explain_str(QUERIES["dedup_bloom_prefilter"](spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p

@@ -511,32 +511,12 @@ from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,
 # ---------------------------------------------------------------------
 
 _VERIFY_FIRST = [
-    # GENERATED by scripts/gen_verify_order.py (round 8) — do not
+    # GENERATED by scripts/gen_verify_order.py (round 9) — do not
     # hand-edit; regenerate after any query/helper change and paste
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
-    "dedup_containment", "dedup_lsh_recall_eval",
-    "pipeline_training_export", "dedup_ngram_jaccard",
-    "dedup_overlap_scores", "dedup_cluster_representatives",
-    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
-    "pipeline_clean_corpus", "similarity_ivf_pruned",
-    "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
-    "pack_sequences", "semdedup_prune", "semdedup_prune_scaled",
-    "events_concurrent_degree_salted", "events_concurrent_degree",
-    "ngram_novelty_scores", "funnel_conversion", "corpus_shard_export",
-    "quality_histogram_threshold", "embedding_dim_stats",
-    "zorder_layout_stats", "hybrid_search", "similarity_topk",
-    "sketch_heavy_hitters", "dedup_bloom_prefilter",
+    "embedding_dim_stats", "zorder_layout_stats",
     # Tail: oldest green first.
-    "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
-    "lang_profile", "lang_id_heuristic", "token_frequencies", "asof_join",
-    "rollup_pricing", "cube_order_priority", "setops_users",
-    "anti_join_users", "semi_join_parts", "user_running_value",
-    "event_gaps", "distinct_parts_per_supplier", "user_retention_cohorts",
-    "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
-    "dedup_simhash64", "corpus_mixture_sample", "distinct_daily_users",
-    # Past the 50-entry window from here: these stay green on
-    # unchanged bodies and lead the next round's rotation.
     "value_percentiles", "dedup_embedding_cosine", "scd2_user_history",
     "merge_upsert_balances", "similarity_ann_lsh", "embedding_centroids",
     "quality_repetition_signals", "shipping_priority",
@@ -555,17 +535,37 @@ _VERIFY_FIRST = [
     "part_supplier_counts", "small_quantity_revenue",
     "disjunctive_predicate_revenue", "excess_suppliers",
     "sole_late_supplier", "dormant_customer_balance",
-    "corpus_split_assignment", "corpus_stratified_sample",
-    "decontaminate_train", "pii_scrub", "embedding_quantize",
-    "rolling_user_stats", "sample_n_per_group", "dedup_exact_normalized",
-    "skewed_event_rollup", "dedup_incremental_persisted",
-    "lm_unigram_score", "corpus_chunk_documents", "bpe_pair_counts",
-    "doc_winnow_fingerprints", "dedup_duplicate_spans",
-    "dedup_span_removal", "dedup_cdc_chunks", "stream_stream_window_join",
-    "ktable_latest", "stream_table_join", "agg_running_total",
-    "user_sessions", "json_props_extract", "ktable_filter_extract",
-    "agg_pricing_summary", "windowed_hopping", "windowed_session",
-    "topk_per_key", "events_json_analytics",
+    "corpus_split_assignment",
+    # Past the 50-entry window from here: these stay green on
+    # unchanged bodies and lead the next round's rotation.
+    "corpus_stratified_sample", "decontaminate_train", "pii_scrub",
+    "embedding_quantize", "rolling_user_stats", "sample_n_per_group",
+    "dedup_exact_normalized", "skewed_event_rollup",
+    "dedup_incremental_persisted", "lm_unigram_score",
+    "corpus_chunk_documents", "bpe_pair_counts", "doc_winnow_fingerprints",
+    "dedup_duplicate_spans", "dedup_span_removal", "dedup_cdc_chunks",
+    "stream_stream_window_join", "ktable_latest", "stream_table_join",
+    "agg_running_total", "user_sessions", "json_props_extract",
+    "ktable_filter_extract", "agg_pricing_summary", "windowed_hopping",
+    "windowed_session", "topk_per_key", "events_json_analytics",
+    "dedup_containment", "dedup_lsh_recall_eval",
+    "pipeline_training_export", "dedup_ngram_jaccard",
+    "dedup_overlap_scores", "dedup_cluster_representatives",
+    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
+    "pipeline_clean_corpus", "similarity_ivf_pruned",
+    "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
+    "pack_sequences", "semdedup_prune", "semdedup_prune_scaled",
+    "events_concurrent_degree_salted", "events_concurrent_degree",
+    "ngram_novelty_scores", "funnel_conversion", "corpus_shard_export",
+    "quality_histogram_threshold", "hybrid_search", "similarity_topk",
+    "sketch_heavy_hitters", "dedup_bloom_prefilter",
+    "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
+    "lang_profile", "lang_id_heuristic", "token_frequencies", "asof_join",
+    "rollup_pricing", "cube_order_priority", "setops_users",
+    "anti_join_users", "semi_join_parts", "user_running_value",
+    "event_gaps", "distinct_parts_per_supplier", "user_retention_cohorts",
+    "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
+    "dedup_simhash64", "corpus_mixture_sample", "distinct_daily_users",
 ]
 
 

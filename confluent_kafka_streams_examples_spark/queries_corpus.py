@@ -1029,8 +1029,7 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(qval) AS BIGINT) AS sum_q,
            CAST(min(qval) AS BIGINT) AS min_q,
            CAST(max(qval) AS BIGINT) AS max_q,
-           CAST((sum(qval) + 1000000 * count(*)) // count(*) - 1000000
-                AS BIGINT) AS mean_q,
+           CAST(sum(qval) // count(*) AS BIGINT) AS mean_q,
            CAST((count(*) * sum(qval * qval) - sum(qval) * sum(qval))
                 // (count(*) * count(*)) AS BIGINT) AS var_q
     FROM d GROUP BY dim
@@ -1045,10 +1044,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: values quantize to integer 1e-6 units FIRST (float32 ->
     double widening is exact; one identical IEEE fold on both engines),
     so every downstream moment is INTEGER arithmetic — no FP summation-
-    order dependence anywhere, hash-strict oracle.  Mean uses the
-    positive-numerator offset trick ((sum + OFF*n) div n - OFF) because
-    Spark's `div` truncates toward zero while DuckDB's `//` floors —
-    they only agree on non-negative numerators.  Variance numerator
+    order dependence anywhere, hash-strict oracle.  Mean is plain
+    integer division: for INTEGER operands Spark's `div` and DuckDB's
+    `//` BOTH truncate toward zero (DuckDB floors only for floats), so
+    they agree for any component range — no offset trick, no |x| <= 1
+    assumption (ADVICE r8).  Variance numerator
     n*sum_qsq - sum_q^2 is Cauchy-Schwarz-non-negative, computed in
     DECIMAL(38,0) (peaks ~3e35 at 1e12 rows — inside DECIMAL(38) just
     like the oracle's HUGEINT; pure BIGINT overflows past ~2e5 rows,
@@ -1083,7 +1083,13 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_q",
         "min_q",
         "max_q",
-        F.expr("(sum_q + 1000000L * n) div n - 1000000L").alias("mean_q"),
+        # Plain truncating division (NOT the positive-offset trick,
+        # which silently breaks for components < -1.0 — ADVICE r8).
+        # Verified against DuckDB: for INTEGER operands both Spark's
+        # `div` and DuckDB's `//` truncate toward zero (DuckDB only
+        # floors for FLOAT operands), so they agree for ANY sum_q
+        # sign with no correction term.
+        F.expr("sum_q div n").alias("mean_q"),
         F.expr(
             "(CAST(n AS DECIMAL(38,0)) * _sumsq"
             " - CAST(sum_q AS DECIMAL(38,0)) * sum_q)"

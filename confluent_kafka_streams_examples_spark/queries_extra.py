@@ -1790,8 +1790,13 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.select(d_user.alias("d_user"), d_hour.alias("d_hour"))
     z = F.lit(0).cast("long")
     for i in range(8):
-        z = z + F.shiftleft(F.shiftright(F.col("d_user"), i) % 2, 2 * i)
-        z = z + F.shiftleft(F.shiftright(F.col("d_hour"), i) % 2, 2 * i + 1)
+        # bitwiseAND, not % 2: Spark's % is sign-preserving, so a
+        # negative dimension would yield -1 where the oracle's `& 1`
+        # yields 1 (ADVICE r8).
+        z = z + F.shiftleft(F.shiftright(F.col("d_user"), i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(F.col("d_hour"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
     bucketed = d.select(
         "d_user", "d_hour", F.floor(z / F.lit(256)).cast("long").alias("z_bucket")
     )

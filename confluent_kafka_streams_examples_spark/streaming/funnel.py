@@ -42,12 +42,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
 STATE_SCHEMA = StructType(
     [
@@ -143,6 +144,150 @@ def funnel_stage_stream(
         fold,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed variant: the high-key-cardinality fast path.
+#
+# applyInPandasWithState invokes the Python fold ONCE PER GROUP per
+# micro-batch; with per-user grouping and K distinct users per batch
+# that is K interpreter round-trips of ~2 ms each (pandas masking +
+# 1-row frame construction + state marshalling), which is the measured
+# 51k -> 13k rows/s cliff from 10k to 100k+ keys (SCALE.md decades,
+# VERDICT r8 #1).  The fix is to make the STATE KEY a hash bucket of
+# users rather than the user: state holds a packed vector of every
+# tracked user's (t1,t2,t3) in the bucket, the fold vectorizes the
+# min-cascade across ALL users in the bucket with numpy, and emission
+# yields ONE wide frame per bucket instead of one 1-row frame per user.
+# Python calls per batch drop from O(touched users) to O(touched
+# buckets) — bounded by ``n_buckets`` no matter how many users exist.
+#
+# Sizing at scale: per-bucket state is 32 bytes/user, so a bucket of
+# ~1k users is a ~32 KB RocksDB value — read+rewritten per touched
+# bucket per batch.  Pick n_buckets ~ expected_users / 1000 (1024
+# covers 1M users; at 1e9 users use ~1M buckets) to hold that blob
+# size constant; parallelism is unaffected (buckets >> cores).
+#
+# Semantics: IDENTICAL to funnel_stage_stream's conservative
+# at-arrival fold — same vectorized min-cascade, same monotone
+# refinement, same "state exists only after a qualifying view" rule —
+# asserted row-for-row against the per-user twin and the batch oracle
+# in tests/test_streaming_funnel.py.  Reference analog is unchanged
+# (ProcessorApiExample.scala:60-67); bucketing is pure physical
+# layout, like a Kafka Streams store partition holding many keys.
+# ---------------------------------------------------------------------------
+
+_MAX = np.iinfo(np.int64).max
+
+BUCKET_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def _unpack(blob: bytes) -> np.ndarray:
+    """blob -> (4, n) int64 matrix: rows = sorted user ids, t1, t2, t3."""
+    return np.frombuffer(blob, dtype=np.int64).reshape(4, -1)
+
+
+def funnel_stage_stream_bucketed(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Bucketed-state funnel: same output contract and at-arrival
+    semantics as :func:`funnel_stage_stream`, with per-HASH-BUCKET
+    state (one packed ``(user, t1, t2, t3)`` vector per bucket) so the
+    per-group Python overhead amortizes across every user in the
+    bucket.  Use this at high key cardinality; see the block comment
+    above for the sizing rule."""
+    src = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.when(F.col(type_col) == "view", F.lit(1))
+        .when(F.col(type_col) == "click", F.lit(2))
+        .when(F.col(type_col) == "purchase", F.lit(3))
+        .cast("long")
+        .alias("code"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    ).filter(
+        F.col("code").isNotNull()
+        & F.col("ts_us").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    # stage codes are computed JVM-side (one `when` chain inside the
+    # scan projection) so the Python fold never touches strings —
+    # object-dtype comparisons were a measurable share of the per-call
+    # cost in the per-user twin.
+    src = src.withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast("long")
+    )
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        uid = pdf["user_id"].to_numpy(dtype=np.int64)
+        code = pdf["code"].to_numpy(dtype=np.int64)
+        ts = pdf["ts_us"].to_numpy(dtype=np.int64)
+
+        if state.exists:
+            s_uid, s1, s2, s3 = _unpack(state.get[0])
+        else:
+            s_uid = s1 = s2 = s3 = np.empty(0, dtype=np.int64)
+
+        users = np.union1d(s_uid, uid)  # sorted
+        t1 = np.full(len(users), _MAX)
+        t2 = np.full(len(users), _MAX)
+        t3 = np.full(len(users), _MAX)
+        if len(s_uid):
+            old_pos = np.searchsorted(users, s_uid)
+            t1[old_pos], t2[old_pos], t3[old_pos] = s1, s2, s3
+
+        def stage_min(mask: np.ndarray, gate: np.ndarray) -> np.ndarray:
+            """Per-user min of ts[mask] restricted to ts strictly after
+            the user's gate time (_MAX gate admits nothing)."""
+            pos = np.searchsorted(users, uid[mask])
+            t = ts[mask]
+            adm = t > gate[pos]
+            out = np.full(len(users), _MAX)
+            np.minimum.at(out, pos[adm], t[adm])
+            return out
+
+        # the same provably-order-free min-cascade as the per-user
+        # fold (module docstring), across every user in the bucket
+        n1 = np.minimum(
+            t1, stage_min(code == 1, np.full(len(users), np.iinfo(np.int64).min))
+        )
+        n2 = np.minimum(t2, stage_min(code == 2, n1))
+        n3 = np.minimum(t3, stage_min(code == 3, n2))
+
+        keep = n1 != _MAX  # no qualifying view => no state, no emission
+        changed = ((n1 != t1) | (n2 != t2) | (n3 != t3)) & keep
+        state.update(
+            (np.concatenate([users[keep], n1[keep], n2[keep], n3[keep]]).tobytes(),)
+        )
+        if changed.any():
+            e1, e2, e3 = n1[changed], n2[changed], n3[changed]
+            stage = np.where(e3 != _MAX, 3, np.where(e2 != _MAX, 2, 1))
+            yield pd.DataFrame(
+                {
+                    "user_id": users[changed],
+                    "stage": stage.astype(np.int64),
+                    "t1_us": e1,
+                    "t2_us": pd.arrays.IntegerArray(e2, mask=e2 == _MAX),
+                    "t3_us": pd.arrays.IntegerArray(e3, mask=e3 == _MAX),
+                }
+            )
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -25,8 +25,16 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 STATE_SCHEMA = StructType(
     [StructField("total", DoubleType()), StructField("n", LongType())]
@@ -92,4 +100,87 @@ def running_total_with_emission(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed variant — the high-key-cardinality fast path (VERDICT r8 #1).
+#
+# Per-key grouping pays one Python fold invocation per touched key per
+# micro-batch (~2 ms of pandas + marshalling each): the measured
+# 32k -> 11k rows/s cliff from 10k to 1M keys (SCALE.md state decades).
+# Here the state key is pmod(xxhash64(key), n_buckets) and the state
+# value is ONE pickled dict {key: (total, n)} for every key in the
+# bucket, so the per-call overhead amortizes across all of them and
+# emission is one wide frame per bucket.  Python calls per batch are
+# bounded by n_buckets regardless of key cardinality.
+#
+# Sizing at scale: ~60 bytes/key pickled => a 1k-key bucket is a
+# ~60 KB RocksDB value, rewritten per touched bucket per batch; pick
+# n_buckets ~ keys / 1000 to hold that constant (same rule as
+# funnel_stage_stream_bucketed — see streaming/funnel.py for the full
+# rationale).  The punctuator (emit_every_ms) stays on the per-key
+# variant: a bucket-level timeout would re-emit whole buckets, which
+# changes A4's per-key cadence contract.
+#
+# Reference analog unchanged: per-key KeyValueStore fold
+# (ProcessorApiExample.scala:60-67); a bucket is the store partition
+# made explicit.
+# ---------------------------------------------------------------------------
+
+BUCKET_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def running_total_bucketed(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-key running sum with per-BUCKET state: identical update-mode
+    (key, total, n) output to :func:`running_total_with_emission`
+    (without the punctuator), vectorized across every key in a hash
+    bucket per micro-batch."""
+    import pickle
+
+    src = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets)).cast("long")
+    )
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        totals: dict[str, tuple[float, int]] = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+        # one C-level groupby over the bucket's rows, then a Python
+        # loop over TOUCHED keys only (~rows/n_buckets per call)
+        g = pdf.groupby("key", sort=False)["value"].agg(["sum", "size"])
+        out_k: list[str] = []
+        out_t: list[float] = []
+        out_n: list[int] = []
+        for k, s, c in zip(g.index, g["sum"].to_numpy(), g["size"].to_numpy()):
+            total, n = totals.get(k, (0.0, 0))
+            total += float(s)
+            n += int(c)
+            totals[k] = (total, n)
+            out_k.append(k)
+            out_t.append(total)
+            out_n.append(n)
+        state.update((pickle.dumps(totals, protocol=pickle.HIGHEST_PROTOCOL),))
+        yield pd.DataFrame({"key": out_k, "total": out_t, "n": out_n})
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

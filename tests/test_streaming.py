@@ -434,3 +434,50 @@ def test_state_probe_pillars_construct(spark, tmp_path):
         df, mode = factory(spark, path)
         assert df.isStreaming, name
         assert mode in ("append", "update"), (name, mode)
+
+
+def test_running_total_bucketed_matches_per_key(spark, tmp_path):
+    """Bucketed-state running total (streaming/processor.py, the
+    high-cardinality fast path): identical (key, total, n) results to
+    the per-key fold across multi-batch refinement, with keys spread
+    over many buckets — plus the pickled bucket map must survive the
+    state-store round trip between batches."""
+    from confluent_kafka_streams_examples_spark.streaming.processor import (
+        running_total_bucketed,
+    )
+
+    src = str(tmp_path / "src")
+    rows = []
+    for k in range(40):
+        for i in range(3):
+            rows.append((f"id-{k}", float(k + 1) + i, ts(i)))
+    write_batch(spark, src, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    totals = running_total_bucketed(stream, "key", "value", n_buckets=8)
+    qname = f"tb{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch folds into recovered bucket state
+        write_batch(spark, src, [("id-0", 100.0, ts(9)), ("id-39", 1.0, ts(9))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(f"SELECT * FROM {qname}").collect()
+    final = {}
+    for r in out:
+        prev = final.get(r["key"])
+        if prev is None or r["n"] > prev[1]:
+            final[r["key"]] = (r["total"], r["n"])
+    expect = {
+        f"id-{k}": (float((k + 1) * 3 + 3), 3) for k in range(40)
+    }
+    expect["id-0"] = (expect["id-0"][0] + 100.0, 4)
+    expect["id-39"] = (expect["id-39"][0] + 1.0, 4)
+    assert final == expect

@@ -18,9 +18,23 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+import pytest
+
 from confluent_kafka_streams_examples_spark.streaming.funnel import (
     funnel_stage_stream,
+    funnel_stage_stream_bucketed,
 )
+
+# Every contract test runs against BOTH implementations: the per-user
+# fold and the bucketed-state fast path (packed per-bucket user vector,
+# numpy min-cascade — streaming/funnel.py) are required to be
+# semantically indistinguishable; only the state layout differs.
+IMPLS = [
+    pytest.param(funnel_stage_stream, id="per_user"),
+    pytest.param(
+        lambda st: funnel_stage_stream_bucketed(st, n_buckets=8), id="bucketed"
+    ),
+]
 
 SCHEMA = StructType(
     [
@@ -37,12 +51,12 @@ def _s(n: int) -> dt.datetime:
     return T0 + dt.timedelta(seconds=n)
 
 
-def _drive(spark, tmp_path, batches):
+def _drive(spark, tmp_path, batches, impl=funnel_stage_stream):
     src = str(tmp_path / "src")
     qname = f"f{uuid.uuid4().hex[:8]}"
     spark.createDataFrame(batches[0], SCHEMA).write.mode("append").parquet(src)
     stream = spark.readStream.schema(SCHEMA).parquet(src)
-    out = funnel_stage_stream(stream)
+    out = impl(stream)
     q = (
         out.writeStream.format("memory")
         .queryName(qname)
@@ -60,7 +74,8 @@ def _drive(spark, tmp_path, batches):
     return spark.sql(f"SELECT * FROM {qname}").collect()
 
 
-def test_funnel_stream_matches_batch_on_inorder_replay(spark, tmp_path):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_funnel_stream_matches_batch_on_inorder_replay(spark, tmp_path, impl):
     """Batches arriving in event-time order: final per-user stage equals
     the batch funnel_conversion cascade on the union of all batches."""
     batches = [
@@ -79,7 +94,7 @@ def test_funnel_stream_matches_batch_on_inorder_replay(spark, tmp_path):
             (1, "purchase", _s(20)),
         ],
     ]
-    rows = _drive(spark, tmp_path, batches)
+    rows = _drive(spark, tmp_path, batches, impl)
     # latest state per user (update mode re-emits on refinement)
     final = {}
     for r in rows:
@@ -108,7 +123,8 @@ def test_funnel_stream_matches_batch_on_inorder_replay(spark, tmp_path):
     assert batch == stream_counts
 
 
-def test_funnel_stream_intra_batch_disorder_handled(spark, tmp_path):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_funnel_stream_intra_batch_disorder_handled(spark, tmp_path, impl):
     """Arrival order inside ONE micro-batch never matters (the
     vectorized min-cascade is order-independent): click-then-view
     arrival with view-before-click timestamps still reaches stage 2."""
@@ -116,52 +132,60 @@ def test_funnel_stream_intra_batch_disorder_handled(spark, tmp_path):
         spark,
         tmp_path,
         [[(7, "click", _s(5)), (7, "view", _s(1))]],
+        impl,
     )
     assert [(r["user_id"], r["stage"]) for r in rows] == [(7, 2)]
     assert rows[0]["t1_us"] < rows[0]["t2_us"]
 
 
+@pytest.mark.parametrize("impl", IMPLS)
 def test_funnel_stream_state_is_three_longs_and_silent_users_emit_nothing(
-    spark, tmp_path
+    spark, tmp_path, impl
 ):
     rows = _drive(
         spark,
         tmp_path,
         [[(9, "purchase", _s(0)), (9, "click", _s(1))]],  # no view ever
+        impl,
     )
     assert rows == []
 
 
-def test_funnel_stream_stage_never_regresses_across_batches(spark, tmp_path):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_funnel_stream_stage_never_regresses_across_batches(spark, tmp_path, impl):
     """A late earlier view refines t1 but keeps the accepted click
     (monotone refinement — the documented at-arrival semantics)."""
     batches = [
         [(5, "view", _s(10)), (5, "click", _s(20))],
         [(5, "view", _s(0))],  # late arrival, earlier than everything
     ]
-    rows = _drive(spark, tmp_path, batches)
+    rows = _drive(spark, tmp_path, batches, impl)
     per_emit = [(r["stage"], r["t1_us"]) for r in rows]
     # second emission refined t1 downward, stage stayed 2
     assert max(s for s, _ in per_emit) == 2
     assert min(t for _, t in per_emit) < max(t for _, t in per_emit)
 
 
-def test_funnel_stream_null_timestamps_dropped(spark, tmp_path):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_funnel_stream_null_timestamps_dropped(spark, tmp_path, impl):
     """A null ts must be ignored (SQL min() semantics), not poison the
     Arrow batch with NaN."""
     rows = _drive(
         spark,
         tmp_path,
         [[(11, "view", None), (11, "view", _s(1)), (11, "click", _s(2))]],
+        impl,
     )
     assert [(r["user_id"], r["stage"]) for r in rows] == [(11, 2)]
 
 
-def test_funnel_stream_state_survives_restart(spark, tmp_path):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_funnel_stream_state_survives_restart(spark, tmp_path, impl):
     """Checkpointed state recovery (the reference's persistent
     KeyValueStore + changelog restore, ProcessorApiExample.scala:74-78):
     a view folded before shutdown must admit a click arriving after a
-    cold restart from the same checkpoint."""
+    cold restart from the same checkpoint — for the bucketed variant
+    this also proves the packed blob round-trips the state store."""
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt_restart")
     out = str(tmp_path / "out")
@@ -174,7 +198,7 @@ def test_funnel_stream_state_survives_restart(spark, tmp_path):
     def _start():
         stream = spark.readStream.schema(SCHEMA).parquet(src)
         return (
-            funnel_stage_stream(stream)
+            impl(stream)
             .writeStream.foreachBatch(
                 lambda df, _eid: df.write.mode("append").parquet(out)
             )
@@ -206,12 +230,63 @@ def test_funnel_stream_state_survives_restart(spark, tmp_path):
     assert rows[0]["t1_us"] is not None and rows[0]["t1_us"] < rows[0]["t2_us"]
 
 
-def test_funnel_stream_null_user_is_poison_guarded(spark, tmp_path):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_funnel_stream_null_user_is_poison_guarded(spark, tmp_path, impl):
     """One record with a null user_id must not kill the query (int(None)
     in the state fold would fail the whole StreamingQuery)."""
     rows = _drive(
         spark,
         tmp_path,
         [[(None, "view", _s(0)), (31, "view", _s(1)), (31, "click", _s(2))]],
+        impl,
     )
     assert [(r["user_id"], r["stage"]) for r in rows] == [(31, 2)]
+
+
+def test_funnel_bucketed_equals_per_user_on_random_stream(spark, tmp_path):
+    """Differential contract: over a seeded random multi-batch stream
+    spanning many users per bucket, the bucketed fold's final per-user
+    (stage, t1, t2, t3) must equal the per-user fold's exactly — the
+    bucketing is physical layout only."""
+    import random
+
+    rng = random.Random(42)
+    batches = []
+    for _ in range(3):
+        batch = []
+        for _ in range(400):
+            batch.append(
+                (
+                    rng.randrange(60),
+                    rng.choice(["view", "click", "purchase"]),
+                    _s(rng.randrange(1000)),
+                )
+            )
+        batches.append(batch)
+
+    def final_state(rows):
+        # update-mode refinement is monotone (stage never regresses,
+        # stage times only decrease), so the final state per user is
+        # the max stage with the min observed time per stage column
+        best = {}
+        for r in rows:
+            s, t1, t2, t3 = best.get(r["user_id"], (0, None, None, None))
+            mn = lambda a, b: b if a is None else (a if b is None else min(a, b))
+            best[r["user_id"]] = (
+                max(s, r["stage"]),
+                mn(t1, r["t1_us"]),
+                mn(t2, r["t2_us"]),
+                mn(t3, r["t3_us"]),
+            )
+        return best
+
+    per_user = final_state(_drive(spark, tmp_path / "pu", batches))
+    bucketed = final_state(
+        _drive(
+            spark,
+            tmp_path / "bk",
+            batches,
+            lambda st: funnel_stage_stream_bucketed(st, n_buckets=8),
+        )
+    )
+    assert per_user == bucketed

@@ -26,12 +26,12 @@ stage is never reported EARLIER than exact, and never reported when the
 exact cascade would not have fired... with one documented exception:
 a stage time already accepted is kept even if the preceding stage's
 time later moves below it (monotone refinement, Kafka-Streams-style
-at-arrival semantics).  Exactness under arbitrary disorder requires
-retaining all per-type timestamps until the watermark — the O(events)
-trade this operator deliberately refuses; run the batch query over the
-stored stream for the audited number (the lambda-architecture split
-the reference's own examples assume: ProcessorApiExample.scala:34-72
-folds at-arrival too).
+at-arrival semantics).  Exactness under disorder requires retaining
+per-type candidate timestamps until the watermark passes them — that
+mode EXISTS here as :func:`funnel_stage_stream_exact` (horizon-bounded
+candidate retention + finality-proof compaction); this conservative
+fold remains the O(users)-state default, matching the reference's own
+at-arrival posture (ProcessorApiExample.scala:34-72).
 
 Reference analog: per-key KeyValueStore fold + downstream forward
 (ProcessorApiExample.scala:60-67); the stage cascade generalizes the
@@ -281,6 +281,177 @@ def funnel_stage_stream_bucketed(
                     "t1_us": e1,
                     "t2_us": pd.arrays.IntegerArray(e2, mask=e2 == _MAX),
                     "t3_us": pd.arrays.IntegerArray(e3, mask=e3 == _MAX),
+                }
+            )
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXACT mode (VERDICT r8 #3): watermark-horizon candidate retention.
+#
+# The conservative folds above are at-arrival: a click rejected because
+# no earlier view had arrived yet is NOT re-admitted when a late view
+# lowers t1 (it was never retained).  Exact mode retains every event
+# newer than the watermark per user, so as long as events arrive within
+# the watermark horizon — the standard streaming contract — a replay in
+# ANY order reproduces the batch `funnel_conversion` cascade exactly.
+#
+# State per user = (t1f, t2f, t3f) folded summary + the retained
+# events (code, ts) with ts >= watermark; per batch the cascade is
+# recomputed as three gated mins over summary + retained:
+#     t1 = min(t1f, retained views)
+#     t2 = min(t2f, retained clicks  with ts > t1)
+#     t3 = min(t3f, retained purchases with ts > t2)
+# and events older than the current watermark compact into the summary.
+#
+# WHY compaction is exact (the finality argument): once the watermark
+# passes an event's timestamp, every future arrival has ts >= watermark
+# >= that event's ts.  A sub-watermark click c is admitted iff some
+# view has ts < c; views that could still arrive are >= c, so c's
+# admissibility — judged against t1 over EVERYTHING known now,
+# including still-retained views — can never change.  One step down,
+# t2 only ever decreases via clicks, and future/retained clicks are
+# >= watermark >= p, so a sub-watermark purchase p's admissibility
+# (t2 < p) is equally final.  The cascade is a left fold whose
+# sub-horizon prefix is therefore frozen into (t1f, t2f, t3f), and
+# state stays O(events inside the horizon) per user — rate x delay,
+# NOT stream length (the streaming/dedup.py state shape).
+#
+# Compaction is LAZY (on-touch): a user idle since its last event
+# keeps its retained tail until the next event for that user's bucket
+# arrives.  The bound per user is still "events within the horizon as
+# of last touch"; an anti-idle sweep would need a timeout walk, which
+# the probe workload (every key touched steadily) does not exercise.
+#
+# Without a watermark (delay=None) nothing compacts and state is
+# O(events): that is the honest cost of exactness under unbounded
+# disorder — the trade the conservative mode's docstring names.  The
+# bucketed pickle layout keeps the per-group Python cost amortized
+# exactly as in funnel_stage_stream_bucketed.
+# ---------------------------------------------------------------------------
+
+
+def funnel_stage_stream_exact(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    delay: str | None = "30 seconds",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact-replay funnel: same output contract as
+    :func:`funnel_stage_stream`, but out-of-order arrivals WITHIN the
+    watermark horizon (``delay``) reproduce the batch cascade exactly —
+    a late earlier view re-admits previously rejected clicks.  State is
+    bounded by the horizon; ``delay=None`` retains everything (exact
+    under arbitrary disorder, O(events) state)."""
+    import pickle
+
+    ts_ts = F.col(ts_col).cast("timestamp")
+    src = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.when(F.col(type_col) == "view", F.lit(1))
+        .when(F.col(type_col) == "click", F.lit(2))
+        .when(F.col(type_col) == "purchase", F.lit(3))
+        .cast("long")
+        .alias("code"),
+        ts_ts.alias("ts"),
+    ).filter(
+        F.col("code").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    if delay is not None:
+        src = src.withWatermark("ts", delay)
+    # keep the event-time column in the projection: the watermark is
+    # metadata ON that attribute, and dropping it here would strip the
+    # watermark from the stateful operator's child plan
+    src = src.select(
+        "user_id", "code", "ts", F.unix_micros(F.col("ts")).alias("ts_us")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast("long")
+    )
+
+    def _mins(t1f: int, t2f: int, t3f: int, retained: list) -> tuple:
+        t1 = min([t1f] + [t for c, t in retained if c == 1])
+        t2 = min([t2f] + [t for c, t in retained if c == 2 and t > t1])
+        t3 = min([t3f] + [t for c, t in retained if c == 3 and t > t2])
+        return t1, t2, t3
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        # getCurrentWatermarkMs raises unless the stream declared a
+        # watermark; delay=None means "retain everything" (wm 0)
+        wm_us = (
+            state.getCurrentWatermarkMs() * 1000 if delay is not None else 0
+        )
+        users: dict = pickle.loads(state.get[0]) if state.exists else {}
+
+        out_rows: list[tuple] = []
+        uid_arr = pdf["user_id"].to_numpy(dtype=np.int64)
+        code_arr = pdf["code"].to_numpy(dtype=np.int64)
+        ts_arr = pdf["ts_us"].to_numpy(dtype=np.int64)
+        order = np.argsort(uid_arr, kind="stable")
+        bounds = np.searchsorted(
+            uid_arr[order], np.unique(uid_arr), side="left"
+        )
+        touched = np.unique(uid_arr)
+        for i, u in enumerate(touched.tolist()):
+            lo = bounds[i]
+            hi = bounds[i + 1] if i + 1 < len(bounds) else len(order)
+            idx = order[lo:hi]
+            t1f, t2f, t3f, retained = users.get(
+                int(u), (_MAX, _MAX, _MAX, [])
+            )
+            old = _mins(t1f, t2f, t3f, retained)
+            for c, t in zip(code_arr[idx].tolist(), ts_arr[idx].tolist()):
+                if t >= wm_us:  # watermark late-drop, exact-mode contract
+                    retained.append((c, t))
+            t1, t2, t3 = _mins(t1f, t2f, t3f, retained)
+            # compact: fold sub-watermark events into the summary
+            # (final by the argument above), keep only the horizon
+            if wm_us > 0:
+                for c, t in retained:
+                    if t < wm_us:
+                        if c == 1:
+                            t1f = min(t1f, t)
+                        elif c == 2 and t > t1:
+                            t2f = min(t2f, t)
+                        elif c == 3 and t > t2:
+                            t3f = min(t3f, t)
+                retained = [(c, t) for c, t in retained if t >= wm_us]
+            if t1 != _MAX:
+                users[int(u)] = (t1f, t2f, t3f, retained)
+                if (t1, t2, t3) != old:
+                    stage = 3 if t3 != _MAX else (2 if t2 != _MAX else 1)
+                    out_rows.append((int(u), stage, t1, t2, t3))
+            elif retained or t2f != _MAX or t3f != _MAX:
+                # no qualifying view yet, but candidates are live —
+                # keep them so a late view can still admit them
+                users[int(u)] = (t1f, t2f, t3f, retained)
+
+        state.update((pickle.dumps(users, protocol=pickle.HIGHEST_PROTOCOL),))
+        if out_rows:
+            u_, s_, t1_, t2_, t3_ = (np.array(x) for x in zip(*out_rows))
+            yield pd.DataFrame(
+                {
+                    "user_id": u_,
+                    "stage": s_,
+                    "t1_us": t1_,
+                    "t2_us": pd.arrays.IntegerArray(t2_, mask=t2_ == _MAX),
+                    "t3_us": pd.arrays.IntegerArray(t3_, mask=t3_ == _MAX),
                 }
             )
 

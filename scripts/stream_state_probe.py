@@ -159,6 +159,21 @@ def _p_funnel_bucketed(spark, path):
     return funnel_stage_stream_bucketed(src), "update"
 
 
+def _p_funnel_exact(spark, path):
+    # exact-replay funnel: retains per-user candidate events inside the
+    # 30 s watermark horizon (state ~ rate x delay on top of the
+    # per-user summaries), compacting them into the folded summary as
+    # the watermark passes — the probe checks that retention stays
+    # horizon-bounded rather than growing with stream length
+    from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        bench_stream_to_funnel_columns,
+        funnel_stage_stream_exact,
+    )
+
+    src = bench_stream_to_funnel_columns(_read(spark, path))
+    return funnel_stage_stream_exact(src, delay="30 seconds"), "update"
+
+
 PILLARS = [
     ("latest_per_key", _p_latest),
     ("running_total", _p_total),
@@ -166,6 +181,7 @@ PILLARS = [
     ("dedup_watermark", _p_dedup),
     ("funnel_stages", _p_funnel),
     ("funnel_bucketed", _p_funnel_bucketed),
+    ("funnel_exact", _p_funnel_exact),
 ]
 
 

@@ -290,3 +290,124 @@ def test_funnel_bucketed_equals_per_user_on_random_stream(spark, tmp_path):
         )
     )
     assert per_user == bucketed
+
+
+def test_funnel_exact_readmits_after_late_view_where_conservative_cannot(
+    spark, tmp_path
+):
+    """THE fixture the conservative fold fails by design: a click
+    arrives before any view (rejected at arrival), then an EARLIER view
+    arrives late.  Conservative mode never re-admits the click (it was
+    not retained) and reports stage 1; exact mode retains candidates
+    and reproduces the batch cascade: stage 2."""
+    from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        funnel_stage_stream_exact,
+    )
+
+    batches = [
+        [(50, "click", _s(5))],
+        [(50, "view", _s(1))],
+    ]
+    cons = _drive(spark, tmp_path / "cons", batches)
+    assert max(r["stage"] for r in cons) == 1  # the documented gap
+
+    rows = _drive(
+        spark,
+        tmp_path / "exact",
+        batches,
+        lambda st: funnel_stage_stream_exact(st, delay=None, n_buckets=4),
+    )
+    assert max(r["stage"] for r in rows) == 2
+    best = [r for r in rows if r["stage"] == 2][0]
+    assert (best["t1_us"] < best["t2_us"]) and best["t3_us"] is None
+
+
+def test_funnel_exact_matches_batch_under_shuffled_replay(spark, tmp_path):
+    """Exact mode's contract: ANY arrival order reproduces the batch
+    funnel_conversion cascade (delay=None retains everything).  Events
+    are generated, then dealt into batches in a seeded SHUFFLED order —
+    the adversarial replay the conservative fold only bounds."""
+    import random
+
+    from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        funnel_stage_stream_exact,
+    )
+
+    rng = random.Random(7)
+    events = []
+    for _ in range(300):
+        events.append(
+            (
+                rng.randrange(40),
+                rng.choice(["view", "click", "purchase"]),
+                _s(rng.randrange(500)),
+            )
+        )
+    rng.shuffle(events)
+    batches = [events[i::3] for i in range(3)]  # deal across 3 batches
+
+    rows = _drive(
+        spark,
+        tmp_path,
+        batches,
+        lambda st: funnel_stage_stream_exact(st, delay=None, n_buckets=8),
+    )
+    # final streamed state per user: last emission dominates, but under
+    # exact mode values can move non-monotonically between batches, so
+    # take each user's row from the LAST batch that emitted it — the
+    # memory sink appends in batch order, so the last occurrence wins.
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["stage"], r["t1_us"], r["t2_us"], r["t3_us"])
+
+    # batch cascade oracle, computed directly
+    MAXI = 2**63 - 1
+    expect = {}
+    for u in {e[0] for e in events}:
+        evs = [e for e in events if e[0] == u]
+        us = lambda d: int(d.timestamp() * 1_000_000)
+        t1 = min([us(t) for _, c, t in evs if c == "view"], default=MAXI)
+        t2 = min(
+            [us(t) for _, c, t in evs if c == "click" and us(t) > t1],
+            default=MAXI,
+        )
+        t3 = min(
+            [us(t) for _, c, t in evs if c == "purchase" and us(t) > t2],
+            default=MAXI,
+        )
+        if t1 != MAXI:
+            stage = 3 if t3 != MAXI else (2 if t2 != MAXI else 1)
+            expect[u] = (
+                stage,
+                t1,
+                None if t2 == MAXI else t2,
+                None if t3 == MAXI else t3,
+            )
+    assert final == expect
+
+
+def test_funnel_exact_watermark_drops_beyond_horizon(spark, tmp_path):
+    """With a watermark, an event older than the horizon is dropped
+    (exactness is promised only within the horizon — the standard
+    streaming contract), and sub-watermark candidates compact into the
+    folded summary without changing results."""
+    from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        funnel_stage_stream_exact,
+    )
+
+    batches = [
+        [(60, "view", _s(0)), (60, "click", _s(2)), (99, "view", _s(1000))],
+        # watermark is now ~ s(1000) - 10s; this purchase is far older
+        # and must be late-dropped, NOT admitted
+        [(60, "purchase", _s(5))],
+    ]
+    rows = _drive(
+        spark,
+        tmp_path,
+        batches,
+        lambda st: funnel_stage_stream_exact(
+            st, delay="10 seconds", n_buckets=4
+        ),
+    )
+    stages = {r["user_id"]: r["stage"] for r in rows if r["user_id"] == 60}
+    assert stages == {60: 2}  # purchase never lands

@@ -104,6 +104,93 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kafka_wire_roundtrip",
+    oracle="""
+    WITH decoded AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, event_id, event_type
+      FROM events
+      WHERE event_id % 97 != 0          -- malformed frames serde-dropped
+        AND event_id IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL
+    )
+    SELECT key,
+           to_json(struct_pack(
+             event_id := event_id,
+             event_type := upper(event_type)))::VARCHAR AS value_out
+    FROM decoded
+    WHERE event_type = 'click'
+    """,
+)
+def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 wire-parity without a broker (the connector jar has been
+    absent from this container every round): drive the EXACT engine-side
+    Kafka serde boundary over parquet-simulated wire columns.
+
+    The pipeline is byte-faithful to what ``kafka_stream`` ->
+    transform -> ``kafka_sink`` executes (sources/kafka.py): BinaryType
+    key/value in (Kafka's native frame shape), every ~97th frame
+    replaced with malformed bytes, ``deserialize_json`` drop-malformed
+    through ``from_json`` (reference serdes/circe.scala:15-23 —
+    decode failure -> record dropped), a filter + mapValues transform
+    (BasicStreams.scala:51-60), then ``to_json`` re-serialized and cast
+    through BinaryType exactly as the sink writes it
+    (BasicStreams.scala:34).  Output is the sink's (key, value) frame
+    decoded to UTF-8 so the oracle hash-compares the wire bytes'
+    content; the oracle computes the expected frames directly from the
+    table (it states WHAT survives the serde, not HOW).
+
+    Scale shape: S=0 — serialize, parse, filter, re-serialize all fuse
+    into one whole-stage-codegen'd projection over the scan; JSON
+    parsing is JVM-side Jackson, no Python anywhere.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from confluent_kafka_streams_examples_spark.functions.json_serde import (
+        deserialize_json,
+    )
+
+    payload_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_id", "event_type")
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+    )
+    # the simulated wire: binary key/value frames, ~1/97 malformed
+    wire = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-json{"))
+        .otherwise(F.to_json(F.struct("event_id", "event_type")))
+        .cast("binary")
+        .alias("value"),
+    )
+    typed = deserialize_json(wire, "value", payload_schema, keep_cols=("key",))
+    transformed = typed.filter(F.col("event_type") == "click").select(
+        "key",
+        "event_id",
+        F.upper("event_type").alias("event_type"),
+    )
+    sink_frame = transformed.select(
+        F.col("key"),
+        F.to_json(F.struct("event_id", "event_type"))
+        .cast("binary")
+        .alias("value"),
+    )
+    return sink_frame.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value_out"),
+    )
+
+
 # =====================================================================
 # KTable semantics (SURVEY §2.1 S2, §2.2 P2/P4/P7, M3)
 # =====================================================================
@@ -515,7 +602,7 @@ _VERIFY_FIRST = [
     # hand-edit; regenerate after any query/helper change and paste
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
-    "embedding_dim_stats", "zorder_layout_stats",
+    "embedding_dim_stats", "zorder_layout_stats", "kafka_wire_roundtrip",
     # Tail: oldest green first.
     "value_percentiles", "dedup_embedding_cosine", "scd2_user_history",
     "merge_upsert_balances", "similarity_ann_lsh", "embedding_centroids",
@@ -535,28 +622,28 @@ _VERIFY_FIRST = [
     "part_supplier_counts", "small_quantity_revenue",
     "disjunctive_predicate_revenue", "excess_suppliers",
     "sole_late_supplier", "dormant_customer_balance",
-    "corpus_split_assignment",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "corpus_stratified_sample", "decontaminate_train", "pii_scrub",
-    "embedding_quantize", "rolling_user_stats", "sample_n_per_group",
-    "dedup_exact_normalized", "skewed_event_rollup",
-    "dedup_incremental_persisted", "lm_unigram_score",
-    "corpus_chunk_documents", "bpe_pair_counts", "doc_winnow_fingerprints",
-    "dedup_duplicate_spans", "dedup_span_removal", "dedup_cdc_chunks",
-    "stream_stream_window_join", "ktable_latest", "stream_table_join",
-    "agg_running_total", "user_sessions", "json_props_extract",
-    "ktable_filter_extract", "agg_pricing_summary", "windowed_hopping",
-    "windowed_session", "topk_per_key", "events_json_analytics",
-    "dedup_containment", "dedup_lsh_recall_eval",
-    "pipeline_training_export", "dedup_ngram_jaccard",
-    "dedup_overlap_scores", "dedup_cluster_representatives",
-    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
-    "pipeline_clean_corpus", "similarity_ivf_pruned",
-    "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
-    "pack_sequences", "semdedup_prune", "semdedup_prune_scaled",
-    "events_concurrent_degree_salted", "events_concurrent_degree",
-    "ngram_novelty_scores", "funnel_conversion", "corpus_shard_export",
+    "corpus_split_assignment", "corpus_stratified_sample",
+    "decontaminate_train", "pii_scrub", "embedding_quantize",
+    "rolling_user_stats", "sample_n_per_group", "dedup_exact_normalized",
+    "skewed_event_rollup", "dedup_incremental_persisted",
+    "lm_unigram_score", "corpus_chunk_documents", "bpe_pair_counts",
+    "doc_winnow_fingerprints", "dedup_duplicate_spans",
+    "dedup_span_removal", "dedup_cdc_chunks", "stream_stream_window_join",
+    "ktable_latest", "stream_table_join", "agg_running_total",
+    "user_sessions", "json_props_extract", "ktable_filter_extract",
+    "agg_pricing_summary", "windowed_hopping", "windowed_session",
+    "topk_per_key", "events_json_analytics", "dedup_containment",
+    "dedup_lsh_recall_eval", "pipeline_training_export",
+    "dedup_ngram_jaccard", "dedup_overlap_scores",
+    "dedup_cluster_representatives", "dedup_clusters", "dedup_minhash_lsh",
+    "dedup_minhash_verify", "pipeline_clean_corpus",
+    "similarity_ivf_pruned", "similarity_ivf_dynamic", "similarity_pq_adc",
+    "pq_recall_eval", "pack_sequences", "semdedup_prune",
+    "semdedup_prune_scaled", "events_concurrent_degree_salted",
+    "events_concurrent_degree", "ngram_novelty_scores",
+    "funnel_conversion", "corpus_shard_export",
     "quality_histogram_threshold", "hybrid_search", "similarity_topk",
     "sketch_heavy_hitters", "dedup_bloom_prefilter",
     "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",

@@ -279,4 +279,18 @@ def materialized(
                     "concurrent builder published a valid artifact there"
                 ) from exc
         sweep_stale_artifacts()
+    else:
+        # read-refresh: restart the sweep grace clock from the LAST
+        # READ, not the publish.  Without this, an artifact that goes
+        # stale while a long-running reader holds a plan over it (e.g.
+        # another process publishes under a new engine digest) could
+        # age past the grace window and be swept mid-scan; with it, a
+        # concurrent sweeper always sees age < grace for anything read
+        # in the last GC_GRACE_SECONDS.  (spark.read is lazy — the
+        # refresh marks plan-creation time, and each re-materialize
+        # of the same artifact re-arms it.)
+        try:
+            os.utime(path)
+        except OSError:
+            pass  # raced with a sweeper; the read below surfaces it
     return spark.read.parquet(path)

@@ -136,7 +136,13 @@ def _p_funnel(spark, path):
     return funnel_stage_stream(src), "update"
 
 
-def _p_total_bucketed(spark, path):
+def _buckets_for(n_keys: int) -> int:
+    # the SCALE.md sizing rule: n_buckets ~ keys/1000 keeps each bucket
+    # blob at a rewrite-friendly ~32-60 KB while staying >> core count
+    return max(1024, n_keys // 1000)
+
+
+def _p_total_bucketed(spark, path, n_keys=BASE_KEYS):
     # bucketed-state twin (VERDICT r8 #1): same (key, total, n) output,
     # state key = hash bucket, one pickled {key: (total, n)} map per
     # bucket — Python calls per batch bounded by n_buckets, not K
@@ -144,10 +150,15 @@ def _p_total_bucketed(spark, path):
         running_total_bucketed,
     )
 
-    return running_total_bucketed(_read(spark, path), "key", "value"), "update"
+    return (
+        running_total_bucketed(
+            _read(spark, path), "key", "value", n_buckets=_buckets_for(n_keys)
+        ),
+        "update",
+    )
 
 
-def _p_funnel_bucketed(spark, path):
+def _p_funnel_bucketed(spark, path, n_keys=BASE_KEYS):
     # bucketed-state twin of funnel_stages: packed (user,t1,t2,t3)
     # vector per bucket, numpy min-cascade across the whole bucket
     from confluent_kafka_streams_examples_spark.streaming.funnel import (
@@ -156,10 +167,13 @@ def _p_funnel_bucketed(spark, path):
     )
 
     src = bench_stream_to_funnel_columns(_read(spark, path))
-    return funnel_stage_stream_bucketed(src), "update"
+    return (
+        funnel_stage_stream_bucketed(src, n_buckets=_buckets_for(n_keys)),
+        "update",
+    )
 
 
-def _p_funnel_exact(spark, path):
+def _p_funnel_exact(spark, path, n_keys=BASE_KEYS):
     # exact-replay funnel: retains per-user candidate events inside the
     # 30 s watermark horizon (state ~ rate x delay on top of the
     # per-user summaries), compacting them into the folded summary as
@@ -171,7 +185,12 @@ def _p_funnel_exact(spark, path):
     )
 
     src = bench_stream_to_funnel_columns(_read(spark, path))
-    return funnel_stage_stream_exact(src, delay="30 seconds"), "update"
+    return (
+        funnel_stage_stream_exact(
+            src, delay="30 seconds", n_buckets=_buckets_for(n_keys)
+        ),
+        "update",
+    )
 
 
 PILLARS = [
@@ -252,7 +271,14 @@ def main() -> None:
                     ROCKSDB_PROVIDER,
                 )
                 try:
-                    df, mode = factory(spark, path)
+                    import inspect
+
+                    kw = (
+                        {"n_keys": n_keys}
+                        if "n_keys" in inspect.signature(factory).parameters
+                        else {}
+                    )
+                    df, mode = factory(spark, path, **kw)
                     wall, progresses = _drain_with_progress(
                         df, f"{root}/ckpt_{name}_x{xk}", mode
                     )

@@ -311,3 +311,49 @@ def test_artifact_root_rejects_symlink_and_fixes_mode(
     os.chmod(tmp_path / name, 0o777)
     root = art.artifact_root()
     assert oct(os.lstat(root).st_mode & 0o777) == "0o700"
+
+
+def test_read_refresh_protects_just_read_artifact_from_sweep(
+    art_root, tmp_path, spark
+):
+    """GC read-refresh (VERDICT r8 #6): materialized() bumps the
+    artifact dir's mtime on the READ path, so an artifact that has
+    gone stale (old engine digest) but was just handed to a reader
+    survives a concurrent publish's sweep — the grace window counts
+    from last read, not last publish."""
+    import json
+    import time
+
+    import confluent_kafka_streams_examples_spark.artifacts as art
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+    # build a real artifact at the canonical path...
+    art.materialized(spark, str(src), "t", lambda: spark.range(3).toDF("id"))
+    path = art.artifact_path(str(src), "t")
+    # ...then make it sweep-eligible: stale manifest + aged past grace
+    meta_file = os.path.join(path, "_CKSE_META")
+    with open(meta_file, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    meta["engine"] = "0ld_d1g3"
+    with open(meta_file, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    old = time.time() - art.GC_GRACE_SECONDS - 60
+    os.utime(path, (old, old))
+    # control: prove sweep-eligibility non-destructively
+    assert time.time() - os.stat(path).st_mtime > art.GC_GRACE_SECONDS
+
+    # a reader materializes it (cache hit -> utime refresh)...
+    df = art.materialized(
+        spark, str(src), "t", lambda: (_ for _ in ()).throw(AssertionError)
+    )
+    # ...and a concurrent sweeper must now leave it alone
+    removed = art.sweep_stale_artifacts()
+    assert removed == []
+    assert os.path.exists(path)
+    assert df.count() == 3  # the plan still reads clean
+
+    # once the refresh ages out again, the sweep may retire it
+    os.utime(path, (old, old))
+    removed = art.sweep_stale_artifacts()
+    assert path in removed

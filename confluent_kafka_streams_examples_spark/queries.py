@@ -603,51 +603,51 @@ _VERIFY_FIRST = [
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
     "embedding_dim_stats", "zorder_layout_stats", "kafka_wire_roundtrip",
+    "dedup_containment", "dedup_lsh_recall_eval",
+    "pipeline_training_export", "dedup_ngram_jaccard",
+    "dedup_overlap_scores", "dedup_cluster_representatives",
+    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
+    "pipeline_clean_corpus", "similarity_ivf_pruned",
+    "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     # Tail: oldest green first.
-    "value_percentiles", "dedup_embedding_cosine", "scd2_user_history",
-    "merge_upsert_balances", "similarity_ann_lsh", "embedding_centroids",
+    "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
     "quality_repetition_signals", "shipping_priority",
-    "source_overlap_matrix", "duplicate_rate_by_source", "ann_recall_eval",
-    "embedding_kmeans_fixed", "top_terms_per_source", "boilerplate_chunks",
-    "multimodal_features", "basic_pipeline", "regional_revenue",
-    "windowed_tumbling", "dedup_exact", "dedup_incremental",
-    "dedup_simhash", "similarity_topk_batch", "bm25_search",
-    "vocab_coverage", "pivot_event_counts", "similarity_ivf_probe",
-    "local_supplier_volume", "forecast_revenue_change",
-    "primary_supplier_per_part", "late_ship_priority",
-    "nation_pair_volume", "returned_item_customers", "large_volume_orders",
-    "sql_interface", "market_share", "product_type_profit",
-    "important_part_value", "late_shipment_priority_counts",
-    "customer_order_distribution", "promo_revenue", "top_supplier",
-    "part_supplier_counts", "small_quantity_revenue",
-    "disjunctive_predicate_revenue", "excess_suppliers",
-    "sole_late_supplier", "dormant_customer_balance",
+    "source_overlap_matrix", "basic_pipeline", "windowed_tumbling",
+    "stream_stream_window_join", "ktable_latest", "scd2_user_history",
+    "boilerplate_chunks", "embedding_centroids", "top_terms_per_source",
+    "regional_revenue", "duplicate_rate_by_source",
+    "forecast_revenue_change", "rolling_user_stats", "stream_table_join",
+    "ktable_filter_extract", "merge_upsert_balances", "dedup_exact",
+    "ann_recall_eval", "bm25_search", "local_supplier_volume",
+    "multimodal_features", "sql_interface", "user_sessions", "asof_join",
+    "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
+    "vocab_coverage",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
+    "dedup_simhash", "similarity_topk_batch", "similarity_ivf_probe",
+    "primary_supplier_per_part", "late_ship_priority",
+    "nation_pair_volume", "returned_item_customers", "large_volume_orders",
+    "market_share", "product_type_profit", "important_part_value",
+    "late_shipment_priority_counts", "customer_order_distribution",
+    "promo_revenue", "top_supplier", "part_supplier_counts",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
     "corpus_split_assignment", "corpus_stratified_sample",
     "decontaminate_train", "pii_scrub", "embedding_quantize",
-    "rolling_user_stats", "sample_n_per_group", "dedup_exact_normalized",
-    "skewed_event_rollup", "dedup_incremental_persisted",
-    "lm_unigram_score", "corpus_chunk_documents", "bpe_pair_counts",
-    "doc_winnow_fingerprints", "dedup_duplicate_spans",
-    "dedup_span_removal", "dedup_cdc_chunks", "stream_stream_window_join",
-    "ktable_latest", "stream_table_join", "agg_running_total",
-    "user_sessions", "json_props_extract", "ktable_filter_extract",
-    "agg_pricing_summary", "windowed_hopping", "windowed_session",
-    "topk_per_key", "events_json_analytics", "dedup_containment",
-    "dedup_lsh_recall_eval", "pipeline_training_export",
-    "dedup_ngram_jaccard", "dedup_overlap_scores",
-    "dedup_cluster_representatives", "dedup_clusters", "dedup_minhash_lsh",
-    "dedup_minhash_verify", "pipeline_clean_corpus",
-    "similarity_ivf_pruned", "similarity_ivf_dynamic", "similarity_pq_adc",
-    "pq_recall_eval", "pack_sequences", "semdedup_prune",
+    "sample_n_per_group", "dedup_exact_normalized", "skewed_event_rollup",
+    "dedup_incremental_persisted", "lm_unigram_score",
+    "corpus_chunk_documents", "bpe_pair_counts", "doc_winnow_fingerprints",
+    "dedup_duplicate_spans", "dedup_span_removal", "dedup_cdc_chunks",
+    "agg_running_total", "json_props_extract", "agg_pricing_summary",
+    "windowed_hopping", "windowed_session", "topk_per_key",
+    "events_json_analytics", "pack_sequences", "semdedup_prune",
     "semdedup_prune_scaled", "events_concurrent_degree_salted",
     "events_concurrent_degree", "ngram_novelty_scores",
     "funnel_conversion", "corpus_shard_export",
     "quality_histogram_threshold", "hybrid_search", "similarity_topk",
     "sketch_heavy_hitters", "dedup_bloom_prefilter",
     "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
-    "lang_profile", "lang_id_heuristic", "token_frequencies", "asof_join",
+    "lang_profile", "lang_id_heuristic", "token_frequencies",
     "rollup_pricing", "cube_order_priority", "setops_users",
     "anti_join_users", "semi_join_parts", "user_running_value",
     "event_gaps", "distinct_parts_per_supplier", "user_retention_cohorts",

@@ -237,10 +237,51 @@ def latest_green_rounds() -> dict[str, int]:
     return latest
 
 
+#: operator-family classifier for the sentinel band (first match wins).
+#: Families mirror SURVEY §2's operator groups so the band exercises
+#: one of each per round — a conf-level behavioral regression (e.g. a
+#: join-strategy or window-semantics change) then surfaces within ONE
+#: round no matter which family it hits, instead of waiting for that
+#: family's stalest member to rotate into the window.
+_FAMILY_RULES: list[tuple[str, tuple[str, ...]]] = [
+    ("ktable", ("ktable_",)),
+    ("join", ("asof_join", "anti_join", "semi_join", "stream_stream",
+              "stream_table")),
+    ("window", ("windowed_", "user_sessions", "event_gaps",
+                "rolling_user_stats", "user_running_value",
+                "funnel_conversion", "user_retention")),
+    ("dedup", ("dedup_", "neardup_", "doc_fingerprint", "doc_winnow",
+               "boilerplate")),
+    ("ann", ("similarity_", "semdedup_", "ann_", "pq_", "hybrid_search",
+             "embedding_")),
+    ("text", ("lang_", "text_stats", "token_", "lm_", "vocab_", "bpe_",
+              "quality_", "ngram_", "bm25_", "top_terms")),
+    ("curation", ("corpus_", "pipeline_", "pack_", "decontaminate",
+                  "pii_", "duplicate_rate", "source_overlap",
+                  "multimodal")),
+    ("storage", ("zorder_", "merge_upsert", "scd2_", "bucketed_",
+                 "sketch_", "skewed_", "events_concurrent", "sample_",
+                 "pivot_", "rollup_", "cube_", "setops_", "distinct_",
+                 "value_percentiles", "kafka_wire")),
+    ("agg", ("agg_", "topk_", "events_json", "json_props",
+             "basic_pipeline", "sql_interface", "forecast_")),
+]
+
+
+def family(name: str) -> str:
+    for fam, prefixes in _FAMILY_RULES:
+        if any(name.startswith(p) or name == p for p in prefixes):
+            return fam
+    return "analytics"  # TPC-H shapes and anything unmatched
+
+
 def generate_order() -> tuple[list[str], list[str]]:
     """Returns (ordered names, head names).  Head = changed since the
-    baseline snapshot or never green; tail = oldest green first,
-    registration order as tie-break."""
+    baseline snapshot or never green.  The band that fills the window
+    after the head is STRATIFIED: round-robin across operator families
+    (stalest family first), oldest green first within each family —
+    diversity per round AND rotation progress per family.  Displaced
+    names fall back to global oldest-green-first."""
     from confluent_kafka_streams_examples_spark.queries import QUERIES
 
     base = Snapshot(baseline_ref())
@@ -261,7 +302,23 @@ def generate_order() -> tuple[list[str], list[str]]:
             tail.append(name)
     head.sort(key=lambda n: reg_order[n])
     tail.sort(key=lambda n: (greens[n], reg_order[n]))
-    return head + tail, head
+
+    # stratified sentinel band (tail slice that fits the window)
+    n_band = max(0, WINDOW - len(head))
+    fams: dict[str, list[str]] = {}
+    for n in tail:  # already staleness-sorted within each family
+        fams.setdefault(family(n), []).append(n)
+    fam_cycle = sorted(
+        fams, key=lambda f: (greens[fams[f][0]], reg_order[fams[f][0]])
+    )
+    band: list[str] = []
+    while len(band) < n_band and any(fams.values()):
+        for f in fam_cycle:
+            if fams[f] and len(band) < n_band:
+                band.append(fams[f].pop(0))
+    rest = [n for f in fam_cycle for n in fams[f]]
+    rest.sort(key=lambda n: (greens[n], reg_order[n]))
+    return head + band + rest, head
 
 
 def main() -> None:

@@ -149,3 +149,35 @@ def test_red_row_invalidates_older_greens(tmp_path, monkeypatch):
     assert latest["regressed"] == 0, "red check must invalidate older greens"
     assert latest["steady"] == 2
     assert latest["latecomer"] == 2, "later green must supersede an old red"
+
+
+@pytest.mark.skipif(not _git_ok(), reason="needs the git history")
+def test_sentinel_band_stratifies_across_operator_families():
+    """The band filling the window after the head must cover EVERY
+    operator family that has an unchanged-green member (diversity: a
+    family-level regression surfaces within one round), while within
+    each family the stalest green goes first (rotation progress)."""
+    import scripts.gen_verify_order as gvo
+
+    order, head = gvo.generate_order()
+    band = order[len(head): gvo.WINDOW]
+    tail = order[len(head):]
+    tail_fams = {gvo.family(n) for n in tail}
+    if len(band) < len(tail_fams):
+        pytest.skip("window too full of changed queries this round")
+    band_fams = {gvo.family(n) for n in band}
+    assert band_fams == tail_fams, (
+        f"families missing from the sentinel band: {tail_fams - band_fams}"
+    )
+    # within-family staleness order: a family's band members must be
+    # its stalest greens, in order
+    greens = gvo.latest_green_rounds()
+    for fam in band_fams:
+        fam_band = [n for n in band if gvo.family(n) == fam]
+        fam_all = sorted(
+            (n for n in tail if gvo.family(n) == fam),
+            key=lambda n: greens[n],
+        )
+        assert [greens[n] for n in fam_band] == sorted(
+            greens[n] for n in fam_all[: len(fam_band)]
+        )

@@ -186,6 +186,20 @@ def _p_funnel(spark, left, right):
     return funnel_stage_stream(src), "update"
 
 
+def _p_funnel_bucketed(spark, left, right):
+    # bucketed-state twin (packed per-bucket user vector, numpy
+    # min-cascade): the high-key-cardinality fast path whose decades
+    # scripts/stream_state_probe.py measures; tracked here too so the
+    # fixed 10k-key bench catches regressions in the vectorized fold
+    from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        bench_stream_to_funnel_columns,
+        funnel_stage_stream_bucketed,
+    )
+
+    src = bench_stream_to_funnel_columns(_read(spark, left))
+    return funnel_stage_stream_bucketed(src), "update"
+
+
 PIPELINES = [
     ("latest_per_key", _p_latest, N_ROWS),
     ("windowed_join", _p_join, N_ROWS + N_ROWS // 2),
@@ -195,6 +209,7 @@ PIPELINES = [
     ("tumbling_agg", _p_tumbling, N_ROWS),
     ("session_agg", _p_session, N_ROWS),
     ("funnel_stages", _p_funnel, N_ROWS),
+    ("funnel_bucketed", _p_funnel_bucketed, N_ROWS),
 ]
 
 

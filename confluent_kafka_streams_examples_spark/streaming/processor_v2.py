@@ -17,13 +17,25 @@ widely-deployed API (processor.py); ``transformWithState`` adds typed
 state primitives, per-state TTL, and RocksDB-only operation.  The engine
 exposes the same running-total surface on both so either can back A2-A4.
 
-Environment status (re-checked round 4): ``google.protobuf`` remains
-absent from the container and package installs are disallowed, so the
-execution tests stay plan-construction-gated
-(``transform_with_state_available``).  On any standard PySpark 4
-deployment (where protobuf ships with the Spark Connect/streaming
-extras) the gated tests run as-is — nothing here is stubbed around the
-dependency; only query START is conditional.
+Environment status (re-checked round 9, exhaustively): ``google.
+protobuf`` is absent from every Python environment on the machine
+(pyenv site-packages, miniconda, bundled wheels — searched), package
+installs are disallowed, and vendoring was evaluated and REJECTED:
+the protobuf runtime is a large third-party package whose wholesale
+copy into this repo would be exactly the kind of code import the
+project forbids, and a hand-written ``google.protobuf`` shim cannot
+satisfy the transformWithState Python runner (it loads generated
+``*_pb2`` descriptors and speaks length-prefixed protobuf frames to
+the JVM state server — not a stubbable surface).  The execution tests
+therefore stay plan-construction-gated
+(``transform_with_state_available``), and the high-key-cardinality
+throughput problem transformWithState would have addressed is solved
+instead by the BUCKETED applyInPandasWithState folds
+(streaming/funnel.py, streaming/processor.py — measured flat to 10M
+keys in SCALE.md).  On any standard PySpark 4 deployment (where
+protobuf ships with the Spark Connect/streaming extras) the gated
+tests run as-is — nothing here is stubbed around the dependency; only
+query START is conditional.
 """
 
 from __future__ import annotations

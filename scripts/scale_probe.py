@@ -314,6 +314,27 @@ def main() -> None:
                 # computation the query's consumers actually pay for.
                 from pyspark.sql import functions as F
 
+                if qname.startswith("similarity_ivf"):
+                    # the pruning claim must hold AT SCALE, not just in
+                    # the sf0.01 plan tests: the index scan carries a
+                    # list_id partition filter (static IN for _pruned,
+                    # dynamicpruning for _dynamic) at every probed
+                    # corpus size, or the "query wall ~constant" row
+                    # below would be measuring a full-index scan
+                    from confluent_kafka_streams_examples_spark.plans.describe import (
+                        explain_str,
+                    )
+
+                    pf = [
+                        ln
+                        for ln in explain_str(df).splitlines()
+                        if "PartitionFilters" in ln and "list_id" in ln
+                    ]
+                    assert any(
+                        " IN " in ln or "dynamicpruning" in ln for ln in pf
+                    ), f"{qname} x{r}: index scan lost its partition filter"
+                    print(f"  {qname} x{r}: partition-pruned scan OK",
+                          flush=True)
                 row = df.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.bit_xor(

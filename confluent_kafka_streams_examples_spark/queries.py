@@ -332,6 +332,55 @@ def stream_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(r, cond, "inner").select("user_id", "view_id", "purchase_id")
 
 
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 300 * 1000000
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 left-outer variant — the Kafka Streams DSL's stream-stream
+    ``leftJoin`` (same JoinWindows contract as JoinsExample.scala:47-56,
+    which uses the inner ``join``; leftJoin is the adjacent DSL method a
+    reference user reaches for next): every view emits, null-padded
+    when no purchase by the same user lands within ±300s.  Same
+    equi-key + time-range plan as the inner join — shuffle hash/SMJ on
+    user_id, never a cross join.  The streaming twin is
+    streaming.join.windowed_stream_join(how="leftOuter"), where the
+    null pad is emitted only once the right-side watermark passes the
+    view's window (test_windowed_join_left_outer_null_pads_expired) —
+    exactly Kafka Streams' spurious-left-result-avoidance semantics
+    (KIP-633 grace): state stays (rate x window)-bounded per side.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "event_type", "ts")
+    views = Stream(
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        ),
+        key_col="user_id",
+        ts_col="ts",
+    )
+    purchases = Stream(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"), F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        ),
+        key_col="p_user_id",
+        ts_col="p_ts",
+    )
+    l, r = views.df, purchases.df
+    cond = (l.user_id == r.p_user_id) & (
+        F.abs(epoch_us(l.ts) - epoch_us(r.p_ts)) <= F.lit(300 * 1_000_000)
+    )
+    return l.join(r, cond, "left").select("user_id", "view_id", "purchase_id")
+
+
 # =====================================================================
 # Aggregations (SURVEY §2.4, M2)
 # =====================================================================
@@ -609,6 +658,7 @@ _VERIFY_FIRST = [
     "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
+    "stream_stream_left_join", "sketch_hll_distinct",
     # Tail: oldest green first.
     "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
     "quality_repetition_signals", "shipping_priority",
@@ -620,11 +670,11 @@ _VERIFY_FIRST = [
     "ktable_filter_extract", "merge_upsert_balances", "dedup_exact",
     "ann_recall_eval", "bm25_search", "local_supplier_volume",
     "multimodal_features", "sql_interface", "user_sessions", "asof_join",
-    "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
-    "vocab_coverage",
+    "pivot_event_counts", "dedup_incremental",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "dedup_simhash", "similarity_topk_batch", "similarity_ivf_probe",
+    "embedding_kmeans_fixed", "vocab_coverage", "dedup_simhash",
+    "similarity_topk_batch", "similarity_ivf_probe",
     "primary_supplier_per_part", "late_ship_priority",
     "nation_pair_volume", "returned_item_customers", "large_volume_orders",
     "market_share", "product_type_profit", "important_part_value",

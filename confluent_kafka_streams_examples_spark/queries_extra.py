@@ -1906,3 +1906,175 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "true_n")
         .agg(F.min("c").cast("bigint").alias("est_n"))
     )
+
+
+# =====================================================================
+# HyperLogLog distinct sketch (bounded-memory COUNT(DISTINCT),
+# mergeable across groups/days/executors)
+# =====================================================================
+
+_HLL_M = 256  # registers (p=8): std error 1.04/sqrt(256) ~ 6.5%
+# Raw-estimator constant alpha_m = 0.7213/(1 + 1.079/m) kept as an exact
+# integer fraction so the estimate is integer arithmetic end to end:
+# E = alpha_m * m^2 / sum(2^-R[j])
+#   = _HLL_NUM / (_HLL_DEN * sum(2^(62-R[j])))      (scaled by 2^62)
+_HLL_NUM = 7213 * 1000 * _HLL_M * _HLL_M * _HLL_M * (2**62)  # 33 digits
+_HLL_DEN = 10000 * (1000 * _HLL_M + 1079)
+
+# rho = 1 + number of leading zero BITS of the 60-bit hash tail,
+# computed from the hex string portably: z leading '0' nibbles
+# contribute 4z zero bits; the first non-zero nibble adds its own
+# leading zeros (1 -> 3, 2-3 -> 2, 4-7 -> 1, 8-f -> 0).
+_HLL_RHO_SQL = """
+  CASE WHEN length(regexp_extract(tail, '^0*'{G})) = 15 THEN 61
+       ELSE 4 * length(regexp_extract(tail, '^0*'{G}))
+            + (CASE substr(tail, length(regexp_extract(tail, '^0*'{G})) + 1, 1)
+               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+               ELSE 0 END) + 1 END
+"""
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag AS grp, md5(CAST(l_orderkey AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    parts AS (
+      SELECT grp,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS j,
+             substr(h, 3, 15) AS tail
+      FROM h
+    ),
+    regs AS (
+      SELECT grp, j, max({_HLL_RHO_SQL.format(G='')}) AS R
+      FROM parts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.grp, r.j
+      FROM (SELECT DISTINCT grp FROM regs) g
+      CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS j) r
+    ),
+    filled AS (
+      SELECT grid.grp, grid.j, COALESCE(regs.R, 0) AS R
+      FROM grid LEFT JOIN regs ON regs.grp = grid.grp AND regs.j = grid.j
+    ),
+    allr AS (SELECT '__all__' AS grp, j, max(R) AS R FROM filled GROUP BY 2),
+    unioned AS (SELECT * FROM filled UNION ALL SELECT * FROM allr),
+    est AS (
+      SELECT grp,
+             CAST(CAST('{_HLL_NUM}' AS HUGEINT)
+                  // (CAST({_HLL_DEN} AS HUGEINT)
+                      * CAST(sum(CAST(1 AS BIGINT) << (62 - R)) AS HUGEINT))
+                  AS BIGINT) AS hll_est,
+             CAST(sum(CASE WHEN R = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_registers
+      FROM unioned GROUP BY 1
+    ),
+    truth AS (
+      SELECT l_returnflag AS grp,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS true_distinct
+      FROM lineitem GROUP BY 1
+      UNION ALL
+      SELECT '__all__', CAST(count(DISTINCT l_orderkey) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT t.grp, t.true_distinct, e.hll_est, e.zero_registers
+    FROM truth t JOIN est e ON e.grp = t.grp
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct sketch (Flajolet et al. 2007, PAPERS.md) —
+    the bounded-memory COUNT(DISTINCT) that completes the sketch triad
+    (bloom = membership, CMS = frequency, HLL = cardinality): 256
+    6-bit registers estimate distinct l_orderkey per l_returnflag to
+    ~6.5% (observed 1.6-3.8% at sf0.01), and registers MERGE by
+    per-index max — the '__all__' row is computed from the per-group
+    registers alone, never rescanning the data, which is how a 100 TB
+    job gets month-distinct from day-sketches for free.
+
+    Exactly oracle-able (unlike approx_count_distinct, whose register
+    layout is engine-private): register index = first byte of
+    md5(key), rho = 1 + leading-zero bits of the next 60, both
+    engines build bit-identical registers, and the raw estimate
+    alpha_m*m^2/sum(2^-R) is evaluated in scaled integer arithmetic
+    (exact fraction alpha, power-of-two terms as shifted BIGINTs,
+    one HUGEINT/DECIMAL(38,0) integral divide) so the estimates are
+    hash-equal, not approximately equal.  Demo stays in the raw-HLL
+    regime (n >> 2.5m, zero_registers == 0 observed); the small-range
+    linear-counting correction m*ln(m/V) needs a transcendental and is
+    deliberately out of the oracle contract — emitting zero_registers
+    makes the regime visible to the caller.
+
+    Scale shape: the register build is ONE partial-aggregated groupBy
+    over (grp, j) — the exchange carries at most tasks x groups x 256
+    partial maxima regardless of corpus size, and each group's whole
+    sketch is 256 x 6 bits.  The exact count(DISTINCT) side exists
+    only to exhibit the error (the CMS posture); production ships the
+    registers.  Reference analog: aggregate-then-inspect
+    (AggregationsExample.scala:36-44) with a fixed-size accumulator.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("grp"),
+        F.md5(F.col("l_orderkey").cast("string")).alias("h"),
+    )
+    parts = li.select(
+        "grp",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("j"),
+        F.substring("h", 3, 15).alias("tail"),
+    )
+    rho = F.expr(_HLL_RHO_SQL.format(G=", 0"))
+    regs = (
+        parts.select("grp", "j", rho.alias("rho"))
+        .groupBy("grp", "j")
+        .agg(F.max("rho").alias("R"))
+    )
+    # Materialize every register (missing -> 0) WITHOUT a cross join:
+    # explode a literal 0..m-1 sequence under each (tiny) group row.
+    grid = (
+        regs.select("grp")
+        .distinct()
+        .select(
+            "grp",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("j"),
+        )
+    )
+    filled = grid.join(F.broadcast(regs), ["grp", "j"], "left").withColumn(
+        "R", F.coalesce(F.col("R"), F.lit(0))
+    )
+    allr = (
+        filled.groupBy("j")
+        .agg(F.max("R").alias("R"))
+        .select(F.lit("__all__").alias("grp"), "j", "R")
+    )
+    unioned = filled.select("grp", "j", "R").unionByName(allr)
+    est = unioned.groupBy("grp").agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - R) AS DECIMAL(38,0))")
+        ).alias("S"),
+        F.sum((F.col("R") == 0).cast("long")).alias("zero_registers"),
+    )
+    est = est.select(
+        "grp",
+        F.expr(
+            f"CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))"
+            f" div (CAST({_HLL_DEN} AS DECIMAL(38,0)) * S) AS BIGINT)"
+        ).alias("hll_est"),
+        "zero_registers",
+    )
+    li2 = load_table(spark, "lineitem", sf_dir)
+    truth = (
+        li2.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.countDistinct("l_orderkey").cast("bigint").alias("true_distinct"))
+        .unionByName(
+            li2.agg(
+                F.countDistinct("l_orderkey").cast("bigint").alias("true_distinct")
+            ).select(F.lit("__all__").alias("grp"), "true_distinct")
+        )
+    )
+    return truth.join(F.broadcast(est), "grp").select(
+        "grp", "true_distinct", "hll_est", "zero_registers"
+    )

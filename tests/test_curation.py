@@ -152,9 +152,12 @@ def test_shard_export_single_exchange(spark):
 # -------------------------------------------------- embedding dim moments
 
 def test_embedding_dim_stats_negative_mean_floor_semantics(spark):
-    """mean_q must FLOOR (DuckDB //), not truncate toward zero (bare
-    Spark div on a negative numerator): sum=-250001 over n=2 docs
-    -> mean -125001, and the Cauchy-Schwarz variance div is exact."""
+    """Negative-numerator division parity: for INTEGER operands both
+    Spark `div` and DuckDB `//` truncate toward zero (verified:
+    `SELECT -250001 // 2` -> -125000 in DuckDB; `//` floors only for
+    FLOAT operands), so sum=-250001 over n=2 docs -> mean -125000 on
+    BOTH engines for any sign — no offset trick needed — and the
+    Cauchy-Schwarz variance div is exact."""
     import confluent_kafka_streams_examples_spark.queries_corpus as qc
 
     rows = [([-0.25, 0.25],), ([-0.000001, 0.25],)]
@@ -164,7 +167,7 @@ def test_embedding_dim_stats_negative_mean_floor_semantics(spark):
         for r in _with_table(df=df, module=qc, fn=qc.embedding_dim_stats, spark=spark)
     }
     # float32 -1e-06 quantizes to floor(-0.99999... + 0.5) = -1
-    assert out[0] == (2, -250001, -125001, 15624875000, -250000, -1)
+    assert out[0] == (2, -250001, -125000, 15624875000, -250000, -1)
     assert out[1] == (2, 500000, 250000, 0, 250000, 250000)
 
 
@@ -318,10 +321,19 @@ def test_dim_stats_oracle_matches_bruteforce(vecs):
     def f32(x):  # the float32 the parquet column would store
         return struct.unpack("f", struct.pack("f", x))[0]
 
+    def tdiv(a, b):
+        # truncate-toward-zero division: Spark's `div` and DuckDB's
+        # `//` on INTEGER operands (DuckDB floors only for floats) —
+        # the engines' shared semantics since the r9 sign fix
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
     for dim in (0, 1):
         qs = [math.floor(f32(v[dim]) * 1e6 + 0.5) for v in vecs]
         n, s = len(qs), sum(qs)
-        mean = (s + 1_000_000 * n) // n - 1_000_000
+        mean = tdiv(s, n)
+        # the variance numerator is >= 0 by Cauchy-Schwarz, so
+        # truncation and floor agree and plain // is exact here
         var = (n * sum(q * q for q in qs) - s * s) // (n * n)
         assert got[dim] == (n, s, mean, var), dim
 

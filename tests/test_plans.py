@@ -77,6 +77,28 @@ def test_windowed_join_is_keyed_join(spark):
     ), p
 
 
+def test_left_windowed_join_is_keyed_and_keeps_all_views(spark):
+    """leftJoin variant: same keyed-join plan discipline as the inner
+    join (range predicate rides as residual, never a nested loop), and
+    left-outerness — every view row survives."""
+    p = plan(spark, "stream_stream_left_join")
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
+    assert "LeftOuter" in p, p
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+    from confluent_kafka_streams_examples_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    out = QUERIES["stream_stream_left_join"](spark, SF_SMOKE)
+    n_views = (
+        load_table(spark, "events", SF_SMOKE)
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert out.select("view_id").distinct().count() == n_views
+
+
 def test_ktable_latest_single_shuffle(spark):
     """Latest-per-key is one shuffle on the key (window dedup)."""
     p = plan(spark, "ktable_latest")

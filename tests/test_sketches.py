@@ -90,3 +90,26 @@ def test_merge_associativity_across_partitionings_sf01(spark):
         assert abs(est - exact) <= max(3, 0.04 * exact), (est, exact, ests)
     # merge paths agree with each other tighter than with the truth
     assert max(ests) - min(ests) <= max(2, 0.02 * exact), ests
+
+
+def test_hll_oracle_sketch_error_and_merge(spark):
+    """The oracle-able HLL query (sketch_hll_distinct): every group's
+    raw estimate lands within 3 sigma (3 * 1.04/sqrt(256) ~ 19.5%, but
+    observed <4%), the demo stays in the raw regime (no empty
+    registers at sf0.01), and the '__all__' row is a register MERGE —
+    near the true union, far below the per-group sum (groups share
+    most orderkeys, so sum-of-counts would be ~2.2x the union)."""
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    rows = {
+        r["grp"]: r for r in QUERIES["sketch_hll_distinct"](spark, SF).collect()
+    }
+    assert set(rows) == {"A", "N", "R", "__all__"}
+    for g, r in rows.items():
+        rel = abs(r["hll_est"] - r["true_distinct"]) / r["true_distinct"]
+        assert rel < 0.195, (g, r["hll_est"], r["true_distinct"])
+        assert r["zero_registers"] == 0, (g, r["zero_registers"])
+    group_sum = sum(r["true_distinct"] for g, r in rows.items() if g != "__all__")
+    union = rows["__all__"]
+    assert union["hll_est"] < 0.8 * group_sum, (union["hll_est"], group_sum)
+    assert union["true_distinct"] < group_sum

@@ -1992,9 +1992,10 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bloom = membership, CMS = frequency, HLL = cardinality): 256
     6-bit registers estimate distinct l_orderkey per l_returnflag to
     ~6.5% (observed 1.6-3.8% at sf0.01), and registers MERGE by
-    per-index max — the '__all__' row is computed from the per-group
-    registers alone, never rescanning the data, which is how a 100 TB
-    job gets month-distinct from day-sketches for free.
+    per-index max (max is associative) — the '__all__' row is the
+    merged register set, obtained in the same single-pass aggregation
+    that builds the group sketches, which is how a 100 TB job gets
+    month-distinct from day-sketches for free.
 
     Exactly oracle-able (unlike approx_count_distinct, whose register
     layout is engine-private): register index = first byte of
@@ -2009,13 +2010,15 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately out of the oracle contract — emitting zero_registers
     makes the regime visible to the caller.
 
-    Scale shape: the register build is ONE partial-aggregated groupBy
-    over (grp, j) — the exchange carries at most tasks x groups x 256
-    partial maxima regardless of corpus size, and each group's whole
-    sketch is 256 x 6 bits.  The exact count(DISTINCT) side exists
-    only to exhibit the error (the CMS posture); production ships the
-    registers.  Reference analog: aggregate-then-inspect
-    (AggregationsExample.scala:36-44) with a fixed-size accumulator.
+    Scale shape: exactly two corpus scans — ONE partial-aggregated
+    groupBy over (grp, j) builds every sketch including the merged
+    '__all__' (exchange <= tasks x (groups+1) x 256 maxima regardless
+    of corpus size; each sketch is 256 x 6 bits), and one rollup scan
+    computes the exact count(DISTINCT) side that exists only to
+    exhibit the error (the CMS posture) — production ships the
+    registers and drops that scan.  Reference analog:
+    aggregate-then-inspect (AggregationsExample.scala:36-44) with a
+    fixed-size accumulator.
     """
     li = load_table(spark, "lineitem", sf_dir).select(
         F.col("l_returnflag").alias("grp"),
@@ -2026,54 +2029,52 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("j"),
         F.substring("h", 3, 15).alias("tail"),
     )
+    # The '__all__' sketch IS the merge property in executable form:
+    # max is associative, so emitting each row under (grp, '__all__')
+    # and aggregating once yields exactly the per-index max of the
+    # group registers — one scan, no recomputation of the register
+    # subtree (a naive grid/fill/union DAG here cost 5 scans and 11
+    # exchanges before this was flattened).  Map-side partial max
+    # keeps the exchange at tasks x (groups+1) x 256 maxima.
     rho = F.expr(_HLL_RHO_SQL.format(G=", 0"))
     regs = (
-        parts.select("grp", "j", rho.alias("rho"))
+        parts.select(
+            F.explode(F.array(F.col("grp"), F.lit("__all__"))).alias("grp"),
+            "j",
+            rho.alias("rho"),
+        )
         .groupBy("grp", "j")
         .agg(F.max("rho").alias("R"))
     )
-    # Materialize every register (missing -> 0) WITHOUT a cross join:
-    # explode a literal 0..m-1 sequence under each (tiny) group row.
-    grid = (
-        regs.select("grp")
-        .distinct()
-        .select(
-            "grp",
-            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("j"),
-        )
-    )
-    filled = grid.join(F.broadcast(regs), ["grp", "j"], "left").withColumn(
-        "R", F.coalesce(F.col("R"), F.lit(0))
-    )
-    allr = (
-        filled.groupBy("j")
-        .agg(F.max("R").alias("R"))
-        .select(F.lit("__all__").alias("grp"), "j", "R")
-    )
-    unioned = filled.select("grp", "j", "R").unionByName(allr)
-    est = unioned.groupBy("grp").agg(
+    # No grid fill needed: an absent register j means R[j] = 0, which
+    # contributes exactly 2^62 to S and one zero register — both
+    # recoverable from n_present alone (present registers have R >= 1
+    # since rho >= 1, so zero_registers == m - n_present).
+    est = regs.groupBy("grp").agg(
         F.sum(
             F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - R) AS DECIMAL(38,0))")
-        ).alias("S"),
-        F.sum((F.col("R") == 0).cast("long")).alias("zero_registers"),
+        ).alias("S_present"),
+        F.count(F.lit(1)).alias("n_present"),
     )
     est = est.select(
         "grp",
         F.expr(
             f"CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))"
-            f" div (CAST({_HLL_DEN} AS DECIMAL(38,0)) * S) AS BIGINT)"
+            f" div (CAST({_HLL_DEN} AS DECIMAL(38,0))"
+            f" * (S_present + CAST(({_HLL_M} - n_present) AS DECIMAL(38,0))"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), 62) AS DECIMAL(38,0))))"
+            f" AS BIGINT)"
         ).alias("hll_est"),
-        "zero_registers",
+        F.expr(f"CAST({_HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
     )
-    li2 = load_table(spark, "lineitem", sf_dir)
+    # One rollup scan serves both truth levels (per-flag + overall)
+    # instead of scanning lineitem twice; l_returnflag is never null in
+    # TPC-H so the grand-total row is unambiguously the NULL grp.
     truth = (
-        li2.groupBy(F.col("l_returnflag").alias("grp"))
+        load_table(spark, "lineitem", sf_dir)
+        .rollup(F.col("l_returnflag").alias("grp"))
         .agg(F.countDistinct("l_orderkey").cast("bigint").alias("true_distinct"))
-        .unionByName(
-            li2.agg(
-                F.countDistinct("l_orderkey").cast("bigint").alias("true_distinct")
-            ).select(F.lit("__all__").alias("grp"), "true_distinct")
-        )
+        .select(F.coalesce("grp", F.lit("__all__")).alias("grp"), "true_distinct")
     )
     return truth.join(F.broadcast(est), "grp").select(
         "grp", "true_distinct", "hll_est", "zero_registers"

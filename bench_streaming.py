@@ -117,6 +117,23 @@ def _p_join_grace(spark, left, right):
     return _p_join(spark, left, right, grace=30)
 
 
+def _p_join_left(spark, left, right):
+    # DSL leftJoin: unmatched left rows are retained in state until the
+    # right watermark passes their window, then emitted null-padded —
+    # the cost delta vs windowed_join prices that retention + second
+    # emission path (left rows in this bench mostly DO match, so the
+    # delta is bookkeeping, not extra output volume)
+    from confluent_kafka_streams_examples_spark.streaming.join import (
+        windowed_stream_join,
+    )
+
+    df = windowed_stream_join(
+        _read(spark, left), _read(spark, right), "key", "ts", "ts",
+        window_seconds=5, grace_seconds=0, how="leftOuter",
+    ).select("key", "value", "r_value")
+    return df, "append"
+
+
 def _p_total(spark, left, right):
     from confluent_kafka_streams_examples_spark.streaming.processor import (
         running_total_with_emission,
@@ -204,6 +221,7 @@ PIPELINES = [
     ("latest_per_key", _p_latest, N_ROWS),
     ("windowed_join", _p_join, N_ROWS + N_ROWS // 2),
     ("windowed_join_grace", _p_join_grace, N_ROWS + N_ROWS // 2),
+    ("windowed_join_left", _p_join_left, N_ROWS + N_ROWS // 2),
     ("running_total", _p_total, N_ROWS),
     ("dedup_within_watermark", _p_dedup, N_ROWS),
     ("tumbling_agg", _p_tumbling, N_ROWS),

@@ -381,6 +381,56 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(r, cond, "left").select("user_id", "view_id", "purchase_id")
 
 
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 300 * 1000000
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 full-outer variant — the DSL's stream-stream ``outerJoin``,
+    completing the join/leftJoin/outerJoin triple (same JoinWindows
+    contract as JoinsExample.scala:47-56): unmatched rows on EITHER
+    side emit null-padded.  Still a keyed join (SMJ/shuffled-hash —
+    broadcast can't serve FullOuter) with the ±300s range as residual;
+    the streaming twin is windowed_stream_join(how="fullOuter"), where
+    each side's null pad waits for the OTHER side's watermark, so
+    state stays (rate x window)-bounded per side exactly as in the
+    inner case.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "event_type", "ts")
+    views = Stream(
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        ),
+        key_col="user_id",
+        ts_col="ts",
+    )
+    purchases = Stream(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"), F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        ),
+        key_col="p_user_id",
+        ts_col="p_ts",
+    )
+    l, r = views.df, purchases.df
+    cond = (l.user_id == r.p_user_id) & (
+        F.abs(epoch_us(l.ts) - epoch_us(r.p_ts)) <= F.lit(300 * 1_000_000)
+    )
+    return l.join(r, cond, "full").select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+    )
+
+
 # =====================================================================
 # Aggregations (SURVEY §2.4, M2)
 # =====================================================================
@@ -659,6 +709,7 @@ _VERIFY_FIRST = [
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     "stream_stream_left_join", "sketch_hll_distinct",
+    "stream_stream_outer_join",
     # Tail: oldest green first.
     "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
     "quality_repetition_signals", "shipping_priority",
@@ -670,11 +721,11 @@ _VERIFY_FIRST = [
     "ktable_filter_extract", "merge_upsert_balances", "dedup_exact",
     "ann_recall_eval", "bm25_search", "local_supplier_volume",
     "multimodal_features", "sql_interface", "user_sessions", "asof_join",
-    "pivot_event_counts", "dedup_incremental",
+    "pivot_event_counts",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "embedding_kmeans_fixed", "vocab_coverage", "dedup_simhash",
-    "similarity_topk_batch", "similarity_ivf_probe",
+    "dedup_incremental", "embedding_kmeans_fixed", "vocab_coverage",
+    "dedup_simhash", "similarity_topk_batch", "similarity_ivf_probe",
     "primary_supplier_per_part", "late_ship_priority",
     "nation_pair_volume", "returned_item_customers", "large_volume_orders",
     "market_share", "product_type_profit", "important_part_value",

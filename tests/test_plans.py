@@ -99,6 +99,14 @@ def test_left_windowed_join_is_keyed_and_keeps_all_views(spark):
     assert out.select("view_id").distinct().count() == n_views
 
 
+def test_outer_windowed_join_is_keyed_join(spark):
+    """outerJoin variant: FullOuter forbids broadcast, so the plan must
+    be a keyed SMJ/shuffled-hash — still never a nested loop."""
+    p = plan(spark, "stream_stream_outer_join")
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+    assert "FullOuter" in p, p
+
+
 def test_ktable_latest_single_shuffle(spark):
     """Latest-per-key is one shuffle on the key (window dedup)."""
     p = plan(spark, "ktable_latest")

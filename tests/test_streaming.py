@@ -166,6 +166,45 @@ def test_windowed_join_left_outer_null_pads_expired(spark, tmp_path):
     assert len(u1) == 1 and u1[0]["value"] == 1.0 and u1[0]["r_value"] is None
 
 
+def test_windowed_join_full_outer_pads_both_sides(spark, tmp_path):
+    """Full-outer windowed stream-stream join (the DSL's outerJoin,
+    completing join/leftJoin/outerJoin): unmatched records on EITHER
+    side emit null-padded once the opposite side's watermark proves no
+    match can still arrive."""
+    left_p, right_p = str(tmp_path / "l"), str(tmp_path / "r")
+    # u1 only on the left, u2 only on the right; wm* records advance
+    # both watermarks past their windows
+    write_batch(spark, left_p, [("u1", 1.0, ts(100)), ("wml", 0.0, ts(300))])
+    write_batch(spark, right_p, [("u2", 2.0, ts(100)), ("wmr", 0.0, ts(300))])
+
+    left = spark.readStream.schema(EVENT_SCHEMA).parquet(left_p)
+    right = spark.readStream.schema(EVENT_SCHEMA).parquet(right_p)
+    joined = windowed_stream_join(
+        left, right, "key", "ts", "ts", window_seconds=5, how="full_outer"
+    ).select("key", "value", "r_key", "r_value")
+
+    qname = f"fo{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(spark, left_p, [("wml2", 0.0, ts(400))])
+        write_batch(spark, right_p, [("wmr2", 0.0, ts(400))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    u1 = [r for r in rows if r["key"] == "u1"]
+    u2 = [r for r in rows if r["r_key"] == "u2"]
+    assert len(u1) == 1 and u1[0]["value"] == 1.0 and u1[0]["r_value"] is None
+    assert len(u2) == 1 and u2[0]["r_value"] == 2.0 and u2[0]["key"] is None
+
+
 def test_running_total_with_emission(spark, tmp_path):
     """A2/A3 (reference AggregationsExample.scala:83-92 generator: a few
     keys x 4 orders): per-key fold through the managed state store."""

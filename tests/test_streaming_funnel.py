@@ -54,7 +54,15 @@ def _s(n: int) -> dt.datetime:
 def _drive(spark, tmp_path, batches, impl=funnel_stage_stream):
     src = str(tmp_path / "src")
     qname = f"f{uuid.uuid4().hex[:8]}"
-    spark.createDataFrame(batches[0], SCHEMA).write.mode("append").parquet(src)
+    # coalesce(1): one part file per logical batch, atomically renamed —
+    # a multi-file append can be LISTED PARTIALLY by the continuously
+    # triggering query between processAllAvailable calls, splitting one
+    # logical batch across two microbatches at a random point; the
+    # at-arrival folds are batch-boundary-sensitive, so that race made
+    # the per-user/bucketed differential flake (~1 in 3 under load)
+    spark.createDataFrame(batches[0], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     out = impl(stream)
     q = (
@@ -67,7 +75,9 @@ def _drive(spark, tmp_path, batches, impl=funnel_stage_stream):
     try:
         q.processAllAvailable()
         for b in batches[1:]:
-            spark.createDataFrame(b, SCHEMA).write.mode("append").parquet(src)
+            spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
             q.processAllAvailable()
     finally:
         q.stop()

@@ -73,3 +73,102 @@ def quantile_estimates(
             value_col, F.array(*[F.lit(q) for q in quantiles]), F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable (engine-checkable) HyperLogLog registers.
+#
+# Unlike approx_count_distinct / hll_sketch_agg above, whose register
+# layouts are engine-private, this build is specified down to the bit:
+# register index = first byte of md5(key), rho = 1 + leading-zero bits
+# of the next 60 — so ANY engine (the DuckDB oracle, a future reader)
+# reproduces the registers exactly, and estimates computed from them in
+# integer arithmetic are hash-comparable.  Used by the
+# `sketch_hll_distinct` oracle query and its streaming twin.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers (p=8): std error 1.04/sqrt(256) ~ 6.5%
+# Raw-estimator constant alpha_m = 0.7213/(1 + 1.079/m) as an exact
+# integer fraction: E = HLL_NUM / (HLL_DEN * sum(2^(62-R[j])))
+HLL_NUM = 7213 * 1000 * HLL_M * HLL_M * HLL_M * (2**62)  # 33 digits
+HLL_DEN = 10000 * (1000 * HLL_M + 1079)
+
+# rho from the hex tail, portable SQL: z leading '0' nibbles = 4z zero
+# bits; the first non-zero nibble adds its own (1 -> 3, 2-3 -> 2,
+# 4-7 -> 1, 8-f -> 0).  {G} is ", 0" for Spark's regexp_extract
+# (explicit group) and "" for DuckDB's.
+HLL_RHO_SQL = """
+  CASE WHEN length(regexp_extract(tail, '^0*'{G})) = 15 THEN 61
+       ELSE 4 * length(regexp_extract(tail, '^0*'{G}))
+            + (CASE substr(tail, length(regexp_extract(tail, '^0*'{G})) + 1, 1)
+               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+               ELSE 0 END) + 1 END
+"""
+
+
+def hll_portable_registers(
+    df: DataFrame,
+    grp_col: str,
+    key_col: str,
+    all_label: str | None = "__all__",
+) -> DataFrame:
+    """(grp, j, R) register maxima of the portable HLL over ``key_col``.
+
+    Because max is associative, each row is emitted under both its own
+    group and ``all_label`` BEFORE the aggregation, so the merged
+    all-groups sketch falls out of the same single pass — the register
+    merge property executed, not simulated.  Works identically on a
+    STREAMING DataFrame: groupBy + max is a built-in streaming
+    aggregate, so the registers refine monotonically per micro-batch
+    with fixed (groups+1) x 256 state and no Python in the loop.
+
+    Scale: one partial-aggregated exchange of at most
+    tasks x (groups+1) x 256 maxima regardless of corpus size.
+    """
+    hashed = df.select(
+        F.col(grp_col).alias("grp"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    )
+    parts = hashed.select(
+        "grp",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("j"),
+        F.substring("h", 3, 15).alias("tail"),
+    )
+    grp_out = (
+        F.explode(F.array(F.col("grp"), F.lit(all_label)))
+        if all_label is not None
+        else F.col("grp")
+    )
+    rho = F.expr(HLL_RHO_SQL.format(G=", 0"))
+    return (
+        parts.select(grp_out.alias("grp"), "j", rho.alias("rho"))
+        .groupBy("grp", "j")
+        .agg(F.max("rho").alias("R"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(grp, hll_est, zero_registers) from a (grp, j, R) register set,
+    in scaled integer arithmetic (exact alpha fraction, shifted-BIGINT
+    power terms, one DECIMAL(38,0) integral divide) so two engines'
+    estimates are hash-equal.  Absent registers need no grid fill:
+    each contributes exactly 2^62 to S and one zero register,
+    recoverable from n_present (present registers have R >= 1)."""
+    est = regs.groupBy("grp").agg(
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - R) AS DECIMAL(38,0))")
+        ).alias("S_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    return est.select(
+        "grp",
+        F.expr(
+            f"CAST(CAST('{HLL_NUM}' AS DECIMAL(38,0))"
+            f" div (CAST({HLL_DEN} AS DECIMAL(38,0))"
+            f" * (S_present + CAST(({HLL_M} - n_present) AS DECIMAL(38,0))"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), 62) AS DECIMAL(38,0))))"
+            f" AS BIGINT)"
+        ).alias("hll_est"),
+        F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
+    )

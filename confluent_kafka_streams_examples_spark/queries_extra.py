@@ -1913,27 +1913,14 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mergeable across groups/days/executors)
 # =====================================================================
 
-_HLL_M = 256  # registers (p=8): std error 1.04/sqrt(256) ~ 6.5%
-# Raw-estimator constant alpha_m = 0.7213/(1 + 1.079/m) kept as an exact
-# integer fraction so the estimate is integer arithmetic end to end:
-# E = alpha_m * m^2 / sum(2^-R[j])
-#   = _HLL_NUM / (_HLL_DEN * sum(2^(62-R[j])))      (scaled by 2^62)
-_HLL_NUM = 7213 * 1000 * _HLL_M * _HLL_M * _HLL_M * (2**62)  # 33 digits
-_HLL_DEN = 10000 * (1000 * _HLL_M + 1079)
-
-# rho = 1 + number of leading zero BITS of the 60-bit hash tail,
-# computed from the hex string portably: z leading '0' nibbles
-# contribute 4z zero bits; the first non-zero nibble adds its own
-# leading zeros (1 -> 3, 2-3 -> 2, 4-7 -> 1, 8-f -> 0).
-_HLL_RHO_SQL = """
-  CASE WHEN length(regexp_extract(tail, '^0*'{G})) = 15 THEN 61
-       ELSE 4 * length(regexp_extract(tail, '^0*'{G}))
-            + (CASE substr(tail, length(regexp_extract(tail, '^0*'{G})) + 1, 1)
-               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
-               ELSE 0 END) + 1 END
-"""
-
+from confluent_kafka_streams_examples_spark.operators.sketches import (
+    HLL_DEN as _HLL_DEN,
+    HLL_M as _HLL_M,
+    HLL_NUM as _HLL_NUM,
+    HLL_RHO_SQL as _HLL_RHO_SQL,
+    hll_estimate_from_registers,
+    hll_portable_registers,
+)
 
 @query(
     "sketch_hll_distinct",
@@ -2020,53 +2007,19 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-inspect (AggregationsExample.scala:36-44) with a
     fixed-size accumulator.
     """
-    li = load_table(spark, "lineitem", sf_dir).select(
-        F.col("l_returnflag").alias("grp"),
-        F.md5(F.col("l_orderkey").cast("string")).alias("h"),
+    # The '__all__' sketch IS the merge property in executable form
+    # (max is associative — one pass builds group + merged registers;
+    # a naive grid/fill/union DAG here cost 5 scans and 11 exchanges
+    # before being flattened into the shared helper).  The same
+    # hll_portable_registers powers the streaming twin (built-in
+    # groupBy-max refinement per micro-batch, no Python state) —
+    # tests/test_streaming_agg.py asserts register parity.
+    regs = hll_portable_registers(
+        load_table(spark, "lineitem", sf_dir),
+        grp_col="l_returnflag",
+        key_col="l_orderkey",
     )
-    parts = li.select(
-        "grp",
-        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("j"),
-        F.substring("h", 3, 15).alias("tail"),
-    )
-    # The '__all__' sketch IS the merge property in executable form:
-    # max is associative, so emitting each row under (grp, '__all__')
-    # and aggregating once yields exactly the per-index max of the
-    # group registers — one scan, no recomputation of the register
-    # subtree (a naive grid/fill/union DAG here cost 5 scans and 11
-    # exchanges before this was flattened).  Map-side partial max
-    # keeps the exchange at tasks x (groups+1) x 256 maxima.
-    rho = F.expr(_HLL_RHO_SQL.format(G=", 0"))
-    regs = (
-        parts.select(
-            F.explode(F.array(F.col("grp"), F.lit("__all__"))).alias("grp"),
-            "j",
-            rho.alias("rho"),
-        )
-        .groupBy("grp", "j")
-        .agg(F.max("rho").alias("R"))
-    )
-    # No grid fill needed: an absent register j means R[j] = 0, which
-    # contributes exactly 2^62 to S and one zero register — both
-    # recoverable from n_present alone (present registers have R >= 1
-    # since rho >= 1, so zero_registers == m - n_present).
-    est = regs.groupBy("grp").agg(
-        F.sum(
-            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - R) AS DECIMAL(38,0))")
-        ).alias("S_present"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
-    est = est.select(
-        "grp",
-        F.expr(
-            f"CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))"
-            f" div (CAST({_HLL_DEN} AS DECIMAL(38,0))"
-            f" * (S_present + CAST(({_HLL_M} - n_present) AS DECIMAL(38,0))"
-            f" * CAST(shiftleft(CAST(1 AS BIGINT), 62) AS DECIMAL(38,0))))"
-            f" AS BIGINT)"
-        ).alias("hll_est"),
-        F.expr(f"CAST({_HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
-    )
+    est = hll_estimate_from_registers(regs)
     # Truth side: dedup (grp, key) pairs FIRST — map-side partial dedup
     # bounds that exchange to the unique-pair count, not the row count —
     # then rollup-countDistinct over the tiny pair set for both truth

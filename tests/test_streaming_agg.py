@@ -259,3 +259,61 @@ def test_idempotent_sink_end_to_end_stream(spark, tmp_path):
     second = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert first == list(range(200))
     assert second == first
+
+
+def test_hll_registers_stream_matches_batch(spark, tmp_path):
+    """The portable-HLL register build runs UNCHANGED on a stream:
+    groupBy(grp, j).max(rho) is a built-in streaming aggregate, so
+    registers refine monotonically per micro-batch with fixed
+    (groups+1) x 256 state and zero Python.  Final refinement must
+    equal the batch build over the union of all batches — the sketch's
+    merge property across arbitrary arrival slicing."""
+    from confluent_kafka_streams_examples_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_portable_registers,
+    )
+
+    rows1 = [(f"s{u % 3}", float(u), ts(u % 50)) for u in range(0, 400)]
+    rows2 = [(f"s{u % 3}", float(u), ts(u % 50)) for u in range(300, 900)]
+    src = str(tmp_path / "src")
+    write_batch(spark, src, rows1)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    # key = value (distinct floats); grp = key column of EVENT_SCHEMA
+    regs_s = hll_portable_registers(stream, grp_col="key", key_col="value")
+    qname = f"h{uuid.uuid4().hex[:8]}"
+    q = (
+        regs_s.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(spark, src, rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final: dict = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        k = (r["grp"], r["j"])
+        final[k] = max(final.get(k, 0), r["R"])  # update-mode refinements
+
+    batch_df = spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
+    expect = {
+        (r["grp"], r["j"]): r["R"]
+        for r in hll_portable_registers(
+            batch_df, grp_col="key", key_col="value"
+        ).collect()
+    }
+    assert final == expect
+    # and the integer estimator over those registers is usable: 3 grps
+    # + __all__, each within the raw-regime error bound
+    reg_rows = [(g, j, R) for (g, j), R in final.items()]
+    est_df = hll_estimate_from_registers(
+        spark.createDataFrame(reg_rows, "grp string, j int, R long")
+    )
+    ests = {r["grp"]: r["hll_est"] for r in est_df.collect()}
+    assert set(ests) == {"s0", "s1", "s2", "__all__"}
+    assert abs(ests["__all__"] - 900) / 900 < 0.3  # m=256 on n=900

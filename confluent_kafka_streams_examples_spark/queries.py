@@ -709,7 +709,7 @@ _VERIFY_FIRST = [
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     "stream_stream_left_join", "sketch_hll_distinct",
-    "stream_stream_outer_join",
+    "stream_stream_outer_join", "sketch_hll_incremental",
     # Tail: oldest green first.
     "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
     "quality_repetition_signals", "shipping_priority",
@@ -721,18 +721,18 @@ _VERIFY_FIRST = [
     "ktable_filter_extract", "merge_upsert_balances", "dedup_exact",
     "ann_recall_eval", "bm25_search", "local_supplier_volume",
     "multimodal_features", "sql_interface", "user_sessions", "asof_join",
-    "pivot_event_counts",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "dedup_incremental", "embedding_kmeans_fixed", "vocab_coverage",
-    "dedup_simhash", "similarity_topk_batch", "similarity_ivf_probe",
-    "primary_supplier_per_part", "late_ship_priority",
-    "nation_pair_volume", "returned_item_customers", "large_volume_orders",
-    "market_share", "product_type_profit", "important_part_value",
-    "late_shipment_priority_counts", "customer_order_distribution",
-    "promo_revenue", "top_supplier", "part_supplier_counts",
-    "small_quantity_revenue", "disjunctive_predicate_revenue",
-    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
+    "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
+    "vocab_coverage", "dedup_simhash", "similarity_topk_batch",
+    "similarity_ivf_probe", "primary_supplier_per_part",
+    "late_ship_priority", "nation_pair_volume", "returned_item_customers",
+    "large_volume_orders", "market_share", "product_type_profit",
+    "important_part_value", "late_shipment_priority_counts",
+    "customer_order_distribution", "promo_revenue", "top_supplier",
+    "part_supplier_counts", "small_quantity_revenue",
+    "disjunctive_predicate_revenue", "excess_suppliers",
+    "sole_late_supplier", "dormant_customer_balance",
     "corpus_split_assignment", "corpus_stratified_sample",
     "decontaminate_train", "pii_scrub", "embedding_quantize",
     "sample_n_per_group", "dedup_exact_normalized", "skewed_event_rollup",

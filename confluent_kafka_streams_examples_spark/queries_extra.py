@@ -2038,3 +2038,84 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(F.broadcast(est), "grp").select(
         "grp", "true_distinct", "hll_est", "zero_registers"
     )
+
+
+def _hll_reg_path(sf_dir: str) -> str:
+    """Deterministic scratch location for the persisted HLL register
+    table of one sf directory (overwritten per run; /tmp — never the
+    repo or the read-only testdata)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"ckse_hll_regs_{tag}")
+
+
+@query(
+    "sketch_hll_incremental",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag AS grp, md5(CAST(l_orderkey AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    parts AS (
+      SELECT grp,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS j,
+             substr(h, 3, 15) AS tail
+      FROM h
+    ),
+    doubled AS (
+      SELECT grp, j, tail FROM parts
+      UNION ALL
+      SELECT '__all__' AS grp, j, tail FROM parts
+    ),
+    regs AS (
+      SELECT grp, j, max({_HLL_RHO_SQL.format(G='')}) AS R
+      FROM doubled GROUP BY 1, 2
+    )
+    SELECT grp,
+           CAST(CAST('{_HLL_NUM}' AS HUGEINT)
+                // (CAST({_HLL_DEN} AS HUGEINT)
+                    * (CAST(sum(CAST(1 AS BIGINT) << (62 - R)) AS HUGEINT)
+                       + CAST({_HLL_M} - count(*) AS HUGEINT)
+                         * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT)))
+                AS BIGINT) AS hll_est,
+           CAST({_HLL_M} - count(*) AS BIGINT) AS zero_registers
+    FROM regs GROUP BY grp
+    """,
+)
+def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-once / merge-forever, run the way ingest runs it: the
+    corpus's HLL registers are WRITTEN TO PARQUET once (a
+    (groups+1) x 256-row table — bytes independent of corpus size),
+    and the daily batch scans ONLY its own rows, max-merges its
+    registers with the stored table, and re-estimates — the corpus is
+    never rescanned (plan-asserted: exactly one lineitem scan in the
+    returned plan, belonging to the new batch).  Register max-merge is
+    exact, so the incremental estimate is bit-identical to sketching
+    corpus+batch from scratch — which is precisely what the oracle
+    computes over the union.  The dedup analog is
+    dedup_incremental_persisted (stored signature table); reference
+    analog: a compacted changelog restoring a state store instead of
+    replaying the source (KTableExample.scala:52-56).
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_orderkey"
+    )
+    is_new = F.pmod(F.col("l_orderkey"), F.lit(10)) == 0
+    path = _hll_reg_path(sf_dir)
+    hll_portable_registers(
+        li.filter(~is_new), grp_col="l_returnflag", key_col="l_orderkey"
+    ).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    new_regs = hll_portable_registers(
+        li.filter(is_new), grp_col="l_returnflag", key_col="l_orderkey"
+    )
+    merged = (
+        stored.unionByName(new_regs)
+        .groupBy("grp", "j")
+        .agg(F.max("R").alias("R"))
+    )
+    return hll_estimate_from_registers(merged)

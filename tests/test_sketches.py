@@ -113,3 +113,30 @@ def test_hll_oracle_sketch_error_and_merge(spark):
     union = rows["__all__"]
     assert union["hll_est"] < 0.8 * group_sum, (union["hll_est"], group_sum)
     assert union["true_distinct"] < group_sum
+
+
+def test_hll_incremental_never_rescans_corpus(spark):
+    """The incremental-persisted HLL's returned plan reads the stored
+    register parquet plus ONE lineitem scan (the new batch) — the
+    corpus is never rescanned on the daily path; and the merged
+    estimates are bit-identical to the from-scratch sketch."""
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    df = QUERIES["sketch_hll_incremental"](spark, SF)
+    p = explain_str(df, "formatted")
+    import re
+
+    locs = []
+    for m in re.finditer(r"\(\d+\) Scan parquet\s*\n(.*?)(?=\n\(|\Z)", p, re.S):
+        locs += [ln for ln in m.group(1).splitlines() if "Location" in ln]
+    li = [ln for ln in locs if "lineitem" in ln]
+    regs = [ln for ln in locs if "ckse_hll_regs" in ln]
+    assert len(li) == 1 and len(regs) == 1, locs
+
+    inc = {r["grp"]: (r["hll_est"], r["zero_registers"]) for r in df.collect()}
+    full = {
+        r["grp"]: (r["hll_est"], r["zero_registers"])
+        for r in QUERIES["sketch_hll_distinct"](spark, SF).collect()
+    }
+    assert inc == full

@@ -172,3 +172,40 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
         ).alias("hll_est"),
         F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch cells (same portability contract as the HLL
+# registers above: md5-derived hash rows, bit-identical in any engine).
+# ---------------------------------------------------------------------------
+
+CMS_ROWS = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(row_col: Column, key_col: Column) -> Column:
+    """Count-min bucket of ``key`` in hash row ``row``: 16-bit md5
+    prefix of 'r:key', mod width — deterministic and engine-portable."""
+    h = F.md5(F.concat(row_col.cast("string"), F.lit(":"), key_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")) % CMS_WIDTH
+
+
+def cms_portable_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """(r, bucket, c) cells of the portable CMS over ``key_col``.
+
+    Cell counts are ADDITIVE, so — like the HLL registers — the same
+    build runs unchanged on a STREAMING DataFrame: groupBy + count is
+    a built-in streaming aggregate whose update-mode refinements sum
+    per micro-batch into exactly the batch cells
+    (tests/test_streaming_agg.py::test_cms_cells_stream_match_batch).
+    One partial-aggregated exchange of at most
+    tasks x CMS_ROWS x CMS_WIDTH partials regardless of corpus size;
+    the whole sketch is 1,024 integers.
+    """
+    r = F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("r")
+    return (
+        df.select(F.col(key_col), r)
+        .select("r", cms_bucket(F.col("r"), F.col(key_col)).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

@@ -710,6 +710,7 @@ _VERIFY_FIRST = [
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     "stream_stream_left_join", "sketch_hll_distinct",
     "stream_stream_outer_join", "sketch_hll_incremental",
+    "sketch_heavy_hitters",
     # Tail: oldest green first.
     "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
     "quality_repetition_signals", "shipping_priority",
@@ -720,7 +721,7 @@ _VERIFY_FIRST = [
     "forecast_revenue_change", "rolling_user_stats", "stream_table_join",
     "ktable_filter_extract", "merge_upsert_balances", "dedup_exact",
     "ann_recall_eval", "bm25_search", "local_supplier_volume",
-    "multimodal_features", "sql_interface", "user_sessions", "asof_join",
+    "multimodal_features", "sql_interface", "user_sessions",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
     "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
@@ -741,19 +742,19 @@ _VERIFY_FIRST = [
     "dedup_duplicate_spans", "dedup_span_removal", "dedup_cdc_chunks",
     "agg_running_total", "json_props_extract", "agg_pricing_summary",
     "windowed_hopping", "windowed_session", "topk_per_key",
-    "events_json_analytics", "pack_sequences", "semdedup_prune",
-    "semdedup_prune_scaled", "events_concurrent_degree_salted",
-    "events_concurrent_degree", "ngram_novelty_scores",
-    "funnel_conversion", "corpus_shard_export",
+    "events_json_analytics", "asof_join", "pack_sequences",
+    "semdedup_prune", "semdedup_prune_scaled",
+    "events_concurrent_degree_salted", "events_concurrent_degree",
+    "ngram_novelty_scores", "funnel_conversion", "corpus_shard_export",
     "quality_histogram_threshold", "hybrid_search", "similarity_topk",
-    "sketch_heavy_hitters", "dedup_bloom_prefilter",
-    "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
-    "lang_profile", "lang_id_heuristic", "token_frequencies",
-    "rollup_pricing", "cube_order_priority", "setops_users",
-    "anti_join_users", "semi_join_parts", "user_running_value",
-    "event_gaps", "distinct_parts_per_supplier", "user_retention_cohorts",
-    "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
-    "dedup_simhash64", "corpus_mixture_sample", "distinct_daily_users",
+    "dedup_bloom_prefilter", "similarity_pairs_label", "text_stats",
+    "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
+    "token_frequencies", "rollup_pricing", "cube_order_priority",
+    "setops_users", "anti_join_users", "semi_join_parts",
+    "user_running_value", "event_gaps", "distinct_parts_per_supplier",
+    "user_retention_cohorts", "bucketed_revenue_by_priority",
+    "neardup_verify_levenshtein", "dedup_simhash64",
+    "corpus_mixture_sample", "distinct_daily_users",
 ]
 
 

@@ -1875,21 +1875,16 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the aggregate-then-inspect pattern
     (AggregationsExample.scala:36-44) with a fixed-size aggregate.
     """
-    ev = load_table(spark, "events", sf_dir).select("user_id")
-    r = F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("r")
-
-    def bucket(row_col, key_col):
-        h = F.md5(
-            F.concat(row_col.cast("string"), F.lit(":"), key_col.cast("string"))
-        )
-        return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")) % _CMS_WIDTH
-
-    cells = (
-        ev.select("user_id", r)
-        .select("r", bucket(F.col("r"), F.col("user_id")).alias("bucket"))
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    from confluent_kafka_streams_examples_spark.operators.sketches import (
+        cms_bucket,
+        cms_portable_cells,
     )
+
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    # the shared helper also runs on a streaming frame (counts are
+    # additive — update-mode sum refinement; parity pytest in
+    # tests/test_streaming_agg.py)
+    cells = cms_portable_cells(ev, "user_id")
     truth = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
@@ -1899,7 +1894,7 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = truth.select(
         "user_id", "true_n", F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("r")
     ).select(
-        "user_id", "true_n", "r", bucket(F.col("r"), F.col("user_id")).alias("bucket")
+        "user_id", "true_n", "r", cms_bucket(F.col("r"), F.col("user_id")).alias("bucket")
     )
     return (
         probes.join(F.broadcast(cells), ["r", "bucket"])

@@ -317,3 +317,48 @@ def test_hll_registers_stream_matches_batch(spark, tmp_path):
     ests = {r["grp"]: r["hll_est"] for r in est_df.collect()}
     assert set(ests) == {"s0", "s1", "s2", "__all__"}
     assert abs(ests["__all__"] - 900) / 900 < 0.3  # m=256 on n=900
+
+
+def test_cms_cells_stream_match_batch(spark, tmp_path):
+    """The portable-CMS cell build runs UNCHANGED on a stream: cell
+    counts are additive, so groupBy(r, bucket).count's update-mode
+    refinements converge to exactly the batch cells over the union of
+    all batches — the second leg (after HLL) of 'the sketch triad
+    streams with built-in aggregation, no Python state'."""
+    from confluent_kafka_streams_examples_spark.operators.sketches import (
+        cms_portable_cells,
+    )
+
+    rows1 = [(f"u{u % 40}", 1.0, ts(u % 50)) for u in range(0, 500)]
+    rows2 = [(f"u{u % 40}", 1.0, ts(u % 50)) for u in range(0, 700)]
+    src = str(tmp_path / "src")
+    write_batch(spark, src, rows1)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    cells_s = cms_portable_cells(stream, "key")
+    qname = f"c{uuid.uuid4().hex[:8]}"
+    q = (
+        cells_s.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(spark, src, rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final: dict = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        k = (r["r"], r["bucket"])
+        final[k] = max(final.get(k, 0), r["c"])  # counts only grow
+
+    expect = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_portable_cells(
+            spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA), "key"
+        ).collect()
+    }
+    assert final == expect

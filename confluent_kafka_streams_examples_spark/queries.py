@@ -710,7 +710,7 @@ _VERIFY_FIRST = [
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     "stream_stream_left_join", "sketch_hll_distinct",
     "stream_stream_outer_join", "sketch_hll_incremental",
-    "sketch_heavy_hitters",
+    "sketch_heavy_hitters", "events_profile",
     # Tail: oldest green first.
     "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
     "quality_repetition_signals", "shipping_priority",
@@ -721,12 +721,12 @@ _VERIFY_FIRST = [
     "forecast_revenue_change", "rolling_user_stats", "stream_table_join",
     "ktable_filter_extract", "merge_upsert_balances", "dedup_exact",
     "ann_recall_eval", "bm25_search", "local_supplier_volume",
-    "multimodal_features", "sql_interface", "user_sessions",
+    "multimodal_features", "sql_interface",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
     "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
     "vocab_coverage", "dedup_simhash", "similarity_topk_batch",
-    "similarity_ivf_probe", "primary_supplier_per_part",
+    "similarity_ivf_probe", "user_sessions", "primary_supplier_per_part",
     "late_ship_priority", "nation_pair_volume", "returned_item_customers",
     "large_volume_orders", "market_share", "product_type_profit",
     "important_part_value", "late_shipment_priority_counts",

@@ -2114,3 +2114,132 @@ def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("R").alias("R"))
     )
     return hll_estimate_from_registers(merged)
+
+
+@query(
+    "events_profile",
+    oracle=f"""
+    WITH stacked AS (
+      SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val FROM events
+      UNION ALL SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL SELECT 'event_type', event_type FROM events
+      UNION ALL SELECT 'value',
+        CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM events
+      UNION ALL SELECT 'props', props FROM events
+    ),
+    counts AS (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null
+      FROM stacked GROUP BY 1
+    ),
+    h AS (
+      SELECT col_name AS grp, md5(val) AS h FROM stacked WHERE val IS NOT NULL
+    ),
+    parts AS (
+      SELECT grp,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS j,
+             substr(h, 3, 15) AS tail
+      FROM h
+    ),
+    regs AS (
+      SELECT grp, j, max({_HLL_RHO_SQL.format(G='')}) AS R
+      FROM parts GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT grp,
+             CAST(CAST('{_HLL_NUM}' AS HUGEINT)
+                  // (CAST({_HLL_DEN} AS HUGEINT)
+                      * (CAST(sum(CAST(1 AS BIGINT) << (62 - R)) AS HUGEINT)
+                         + CAST({_HLL_M} - count(*) AS HUGEINT)
+                           * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT)))
+                  AS BIGINT) AS distinct_est,
+             CAST({_HLL_M} - count(*) AS BIGINT) AS zero_registers
+      FROM regs GROUP BY 1
+    )
+    SELECT c.col_name, c.n_rows, c.n_null, e.distinct_est, e.zero_registers
+    FROM counts c JOIN est e ON e.grp = c.col_name
+    """,
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler — the data-platform utility every new
+    dataset gets pointed at first: per column, row count, null count,
+    and a portable-HLL distinct estimate.  Built the only way that
+    holds at 100 TB: the columns STACK into (col_name, val) rows
+    inside the scan projection (values canonicalized to strings with
+    integer-portable casts — timestamps via epoch micros, doubles via
+    cent-quantization — so both engines hash identical bytes), and ONE
+    two-level aggregation computes null/row counts and the portable-HLL
+    registers together (nulls park in register -1, so everything rides
+    a single exchange of <= n_cols x 257 partials; plan-asserted single
+    scan).  No per-column countDistinct expansion (Spark would Expand
+    the scan n_distinct-agg times), no second scan.  zero_registers exposes the estimator regime per
+    column: low-cardinality columns (event_type: 5 values) sit deep in
+    the linear-counting range where production applies m*ln(m/V) —
+    kept out of the oracle contract as documented in
+    sketch_hll_distinct.  Reference analog: aggregate-then-inspect
+    (AggregationsExample.scala:36-44) generalized across columns.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    stacked = ev.select(
+        F.expr(
+            "stack(6,"
+            " 'event_id', CAST(event_id AS STRING),"
+            " 'ts', CAST(unix_micros(ts) AS STRING),"
+            " 'user_id', CAST(user_id AS STRING),"
+            " 'event_type', event_type,"
+            " 'value', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),"
+            " 'props', props) AS (col_name, val)"
+        )
+    )
+    # Counts and registers fuse into ONE two-level aggregation over the
+    # single stacked scan (a counts-join-registers DAG would recompute
+    # the scan per branch): level 1 groups by (col_name, register) —
+    # null values park in register -1 so the null count rides the same
+    # exchange — level 2 folds the <= n_cols x 257 partials into the
+    # profile row.
+    h = stacked.select("col_name", F.col("val"), F.md5("val").alias("h"))
+    parts = h.select(
+        "col_name",
+        F.when(F.col("h").isNull(), F.lit(-1))
+        .otherwise(F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+        .alias("j"),
+        F.substring("h", 3, 15).alias("tail"),
+    )
+    rho = F.expr(_HLL_RHO_SQL.format(G=", 0"))
+    lvl1 = (
+        parts.select("col_name", "j", rho.alias("rho"))
+        .groupBy("col_name", "j")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("rho").alias("R"))
+    )
+    prof = lvl1.groupBy("col_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("j") == -1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_null"),
+        F.sum(
+            F.when(
+                F.col("j") >= 0,
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 62 - R) AS DECIMAL(38,0))"
+                ),
+            )
+        ).alias("S_present"),
+        F.sum((F.col("j") >= 0).cast("long")).alias("n_present"),
+    )
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.expr(
+            f"CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))"
+            f" div (CAST({_HLL_DEN} AS DECIMAL(38,0))"
+            f" * (coalesce(S_present, CAST(0 AS DECIMAL(38,0)))"
+            f" + CAST(({_HLL_M} - n_present) AS DECIMAL(38,0))"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), 62) AS DECIMAL(38,0))))"
+            f" AS BIGINT)"
+        ).alias("distinct_est"),
+        F.expr(f"CAST({_HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
+    )

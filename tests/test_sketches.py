@@ -140,3 +140,31 @@ def test_hll_incremental_never_rescans_corpus(spark):
         for r in QUERIES["sketch_hll_distinct"](spark, SF).collect()
     }
     assert inc == full
+
+
+def test_events_profile_single_scan_and_sane(spark):
+    """The profiler reads the table EXACTLY once (stack + two-level
+    agg; a counts-join-registers DAG would scan per branch), estimates
+    high-cardinality columns within 2 sigma, and flags low-cardinality
+    columns via zero_registers (the linear-counting regime)."""
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    df = QUERIES["events_profile"](spark, SF)
+    p = explain_str(df, "formatted")
+    assert (
+        sum(
+            1
+            for ln in p.splitlines()
+            if ln.strip().startswith("(") and "Scan parquet" in ln
+        )
+        == 1
+    ), p
+    prof = {r["col_name"]: r for r in df.collect()}
+    assert set(prof) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    n = prof["event_id"]["n_rows"]
+    assert all(r["n_rows"] == n for r in prof.values())
+    # event_id is unique: estimate within 2 sigma (2 * 6.5%)
+    assert abs(prof["event_id"]["distinct_est"] - n) / n < 0.13
+    # event_type has a handful of values: deep in linear-counting range
+    assert prof["event_type"]["zero_registers"] > 200

@@ -168,3 +168,37 @@ def test_events_profile_single_scan_and_sane(spark):
     assert abs(prof["event_id"]["distinct_est"] - n) / n < 0.13
     # event_type has a handful of values: deep in linear-counting range
     assert prof["event_type"]["zero_registers"] > 200
+
+
+def test_hll_register_spec_matches_python_reference(spark):
+    """Pin the portable-HLL bit spec against a THIRD implementation:
+    pure-Python md5 + leading-zero-bit count.  Spark and the DuckDB
+    oracle share the SQL formulation, so agreement between them can't
+    catch a shared mistake in the nibble arithmetic — this can."""
+    import hashlib
+
+    def py_register(key: str) -> tuple:
+        h = hashlib.md5(key.encode()).hexdigest()
+        j = int(h[:2], 16)
+        tail_bits = bin(int(h[2:17], 16))[2:].zfill(60)
+        rho = 61 if set(tail_bits) == {"0"} else tail_bits.index("1") + 1
+        return j, rho
+
+    keys = [str(k) for k in range(5000)]  # plenty of low-rho + some high
+    expect = {}
+    for k in keys:
+        j, rho = py_register(k)
+        expect[j] = max(expect.get(j, 0), rho)
+
+    from confluent_kafka_streams_examples_spark.operators.sketches import (
+        hll_portable_registers,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["j"]: r["R"]
+        for r in hll_portable_registers(
+            df.selectExpr("'g' AS grp", "k"), "grp", "k", all_label=None
+        ).collect()
+    }
+    assert got == expect

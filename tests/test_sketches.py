@@ -202,3 +202,30 @@ def test_hll_register_spec_matches_python_reference(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_cms_cell_spec_matches_python_reference(spark):
+    """Same third-implementation pin for the CMS: pure-Python md5
+    16-bit prefix mod width must reproduce every cell count."""
+    import hashlib
+    from collections import Counter
+
+    from confluent_kafka_streams_examples_spark.operators.sketches import (
+        CMS_ROWS,
+        CMS_WIDTH,
+        cms_portable_cells,
+    )
+
+    keys = [str(k % 700) for k in range(4000)]  # repeats -> real counts
+    expect: Counter = Counter()
+    for k in keys:
+        for r in range(CMS_ROWS):
+            h = hashlib.md5(f"{r}:{k}".encode()).hexdigest()
+            expect[(r, int(h[:4], 16) % CMS_WIDTH)] += 1
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_portable_cells(df, "k").collect()
+    }
+    assert got == dict(expect)

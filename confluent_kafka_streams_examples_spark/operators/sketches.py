@@ -118,7 +118,9 @@ def hll_portable_registers(
     Because max is associative, each row is emitted under both its own
     group and ``all_label`` BEFORE the aggregation, so the merged
     all-groups sketch falls out of the same single pass — the register
-    merge property executed, not simulated.  Works identically on a
+    merge property executed, not simulated.  The caller must pick an
+    ``all_label`` that cannot collide with a real group value (or pass
+    None to skip the merged sketch).  Works identically on a
     STREAMING DataFrame: groupBy + max is a built-in streaming
     aggregate, so the registers refine monotonically per micro-batch
     with fixed (groups+1) x 256 state and no Python in the loop.

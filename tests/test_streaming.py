@@ -520,3 +520,68 @@ def test_running_total_bucketed_matches_per_key(spark, tmp_path):
     expect["id-0"] = (expect["id-0"][0] + 100.0, 4)
     expect["id-39"] = (expect["id-39"][0] + 1.0, 4)
     assert final == expect
+
+
+def test_windowed_join_random_stream_matches_batch(spark, tmp_path):
+    """Differential contract for J1: over a seeded random stream whose
+    batches arrive in nondecreasing event time (nothing late, so the
+    watermark never drops a row), the streaming interval join's append
+    output must equal the batch equi+range join over the union of all
+    batches — row multiset, not just counts."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    l_batches, r_batches, t = [], [], 0
+    for _ in range(3):
+        lb, rb = [], []
+        for _ in range(120):
+            t += rng.randrange(3)  # nondecreasing across ALL batches
+            (lb if rng.random() < 0.5 else rb).append(
+                (f"u{rng.randrange(12)}", float(t), ts(t))
+            )
+        l_batches.append(lb)
+        r_batches.append(rb)
+
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_batch(spark, lp, l_batches[0] or [("wm", 0.0, ts(0))])
+    write_batch(spark, rp, r_batches[0] or [("wm", 0.0, ts(0))])
+    left = spark.readStream.schema(EVENT_SCHEMA).parquet(lp)
+    right = spark.readStream.schema(EVENT_SCHEMA).parquet(rp)
+    joined = windowed_stream_join(
+        left, right, "key", "ts", "ts", window_seconds=5
+    ).select("key", "value", "r_value")
+    qname = f"dj{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for lb, rb in zip(l_batches[1:], r_batches[1:]):
+            write_batch(spark, lp, lb or [("wm", 0.0, ts(t))])
+            write_batch(spark, rp, rb or [("wm", 0.0, ts(t))])
+            q.processAllAvailable()
+        # final empty-ish advance so every in-window pair has been
+        # emitted before we compare (inner-join emission needs no
+        # watermark, but keep the drain deterministic)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = Counter(
+        (r["key"], r["value"], r["r_value"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    )
+
+    all_l = [r for b in l_batches for r in b]
+    all_r = [r for b in r_batches for r in b]
+    expect = Counter(
+        (lk, lv, rv)
+        for lk, lv, lt in all_l
+        for rk, rv, rt in all_r
+        if lk == rk and abs((lt - rt).total_seconds()) <= 5
+    )
+    assert got == expect

@@ -596,7 +596,7 @@ def windowed_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -617,7 +617,10 @@ def windowed_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def windowed_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W — session windows, 30 min inactivity gap, per user.  Batch uses
     Spark's session_window; the oracle is the gaps-and-islands rewrite.
-    Session end = last event + gap (Spark semantics)."""
+    Session end = last event + gap, and the gap boundary is INCLUSIVE:
+    an event at exactly last_ts + gap still merges (pinned empirically
+    by test_session_window_random_stream_matches_python_reference,
+    which caught the oracle's original >= split)."""
     ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
     return W.session_agg(
         ev, "ts", "30 minutes", ["user_id"],
@@ -710,7 +713,7 @@ _VERIFY_FIRST = [
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
     "stream_stream_left_join", "sketch_hll_distinct",
     "stream_stream_outer_join", "sketch_hll_incremental",
-    "sketch_heavy_hitters", "events_profile",
+    "sketch_heavy_hitters", "events_profile", "windowed_session",
     # Tail: oldest green first.
     "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
     "quality_repetition_signals", "shipping_priority",
@@ -721,19 +724,19 @@ _VERIFY_FIRST = [
     "forecast_revenue_change", "rolling_user_stats", "stream_table_join",
     "ktable_filter_extract", "merge_upsert_balances", "dedup_exact",
     "ann_recall_eval", "bm25_search", "local_supplier_volume",
-    "multimodal_features", "sql_interface",
+    "multimodal_features",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
     "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
     "vocab_coverage", "dedup_simhash", "similarity_topk_batch",
-    "similarity_ivf_probe", "user_sessions", "primary_supplier_per_part",
-    "late_ship_priority", "nation_pair_volume", "returned_item_customers",
-    "large_volume_orders", "market_share", "product_type_profit",
-    "important_part_value", "late_shipment_priority_counts",
-    "customer_order_distribution", "promo_revenue", "top_supplier",
-    "part_supplier_counts", "small_quantity_revenue",
-    "disjunctive_predicate_revenue", "excess_suppliers",
-    "sole_late_supplier", "dormant_customer_balance",
+    "similarity_ivf_probe", "sql_interface", "user_sessions",
+    "primary_supplier_per_part", "late_ship_priority",
+    "nation_pair_volume", "returned_item_customers", "large_volume_orders",
+    "market_share", "product_type_profit", "important_part_value",
+    "late_shipment_priority_counts", "customer_order_distribution",
+    "promo_revenue", "top_supplier", "part_supplier_counts",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
     "corpus_split_assignment", "corpus_stratified_sample",
     "decontaminate_train", "pii_scrub", "embedding_quantize",
     "sample_n_per_group", "dedup_exact_normalized", "skewed_event_rollup",
@@ -741,11 +744,11 @@ _VERIFY_FIRST = [
     "corpus_chunk_documents", "bpe_pair_counts", "doc_winnow_fingerprints",
     "dedup_duplicate_spans", "dedup_span_removal", "dedup_cdc_chunks",
     "agg_running_total", "json_props_extract", "agg_pricing_summary",
-    "windowed_hopping", "windowed_session", "topk_per_key",
-    "events_json_analytics", "asof_join", "pack_sequences",
-    "semdedup_prune", "semdedup_prune_scaled",
-    "events_concurrent_degree_salted", "events_concurrent_degree",
-    "ngram_novelty_scores", "funnel_conversion", "corpus_shard_export",
+    "windowed_hopping", "topk_per_key", "events_json_analytics",
+    "asof_join", "pack_sequences", "semdedup_prune",
+    "semdedup_prune_scaled", "events_concurrent_degree_salted",
+    "events_concurrent_degree", "ngram_novelty_scores",
+    "funnel_conversion", "corpus_shard_export",
     "quality_histogram_threshold", "hybrid_search", "similarity_topk",
     "dedup_bloom_prefilter", "similarity_pairs_label", "text_stats",
     "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",

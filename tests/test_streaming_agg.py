@@ -362,3 +362,124 @@ def test_cms_cells_stream_match_batch(spark, tmp_path):
         ).collect()
     }
     assert final == expect
+
+
+def test_session_window_random_stream_matches_python_reference(spark, tmp_path):
+    """Differential for merging session state: over a seeded random
+    in-order stream, the closed sessions that streaming
+    F.session_window emits (append mode) must equal an independent
+    Python gap-sessionizer — start, sum, and count per session.
+    Semantics pinned (the differential CAUGHT this): Spark's boundary
+    is INCLUSIVE — an event at exactly last_ts + gap still merges into
+    the session (merge iff t <= prev_end); only t > prev_end starts a
+    new one."""
+    import random
+    from pyspark.sql import functions as F
+
+    GAP = 60
+    rng = random.Random(11)
+    batches, t = [], 0
+    for _ in range(3):
+        b = []
+        for _ in range(150):
+            t += rng.randrange(0, 50)  # some gaps exceed 60s
+            b.append((f"k{rng.randrange(6)}", 1.0 + (t % 7), ts(t)))
+        batches.append(b)
+    horizon = ts(t + 10_000)
+
+    src = str(tmp_path / "src")
+    write_batch(spark, src, batches[0])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", f"{GAP} seconds").alias("win"), "key")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "key", "total", "n")
+    )
+    qname = f"sd{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            write_batch(spark, src, b)
+            q.processAllAvailable()
+        # far-future row closes every session (global watermark)
+        write_batch(spark, src, [("wm", 0.0, horizon)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["key"], r["ws"]): (r["total"], r["n"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        if r["key"] != "wm"
+    }
+
+    per_key: dict = {}
+    for b in batches:
+        for k, v, tt in b:
+            per_key.setdefault(k, []).append((tt, v))
+    expect = {}
+    for k, evs in per_key.items():
+        evs.sort()
+        start, total, n, end = None, 0.0, 0, None
+        for tt, v in evs:
+            if start is not None and tt > end:
+                expect[(k, start)] = (total, n)
+                start = None
+            if start is None:
+                start, total, n = tt, 0.0, 0
+            total += v
+            n += 1
+            end = tt + dt.timedelta(seconds=GAP)
+        expect[(k, start)] = (total, n)
+    assert got == expect
+
+
+def test_windowed_session_exact_boundary_matches_oracle(spark, tmp_path):
+    """The sf0.01 testdata's microsecond timestamps never produce an
+    exact 30-minute gap, so the driver compare can't exercise the
+    boundary — this fixture does: an event at exactly last_ts + gap
+    must MERGE (Spark session_window inclusive semantics) on BOTH
+    engines.  Guards the oracle's > (not >=) split condition."""
+    import duckdb
+
+    from confluent_kafka_streams_examples_spark.queries import ORACLES, QUERIES
+
+    rows = [
+        # u1: exact 30-min gap -> ONE session of 2 events
+        (1, ts(0), 1, "view", 1.0, "{}"),
+        (2, ts(1800), 1, "view", 2.0, "{}"),
+        # u2: 30 min + 1 s -> TWO sessions
+        (3, ts(0), 2, "view", 4.0, "{}"),
+        (4, ts(1801), 2, "view", 8.0, "{}"),
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = sorted(
+        (r["user_id"], r["cnt"], r["total"])
+        for r in QUERIES["windowed_session"](spark, sf).collect()
+    )
+    assert got == [(1, 2, 3.0), (2, 1, 4.0), (2, 1, 8.0)]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        (r[0], r[3], r[4])
+        for r in con.execute(ORACLES["windowed_session"]).fetchall()
+    )
+    assert oracle == got

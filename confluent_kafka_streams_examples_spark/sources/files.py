@@ -35,7 +35,7 @@ def batch_read(
     mode: str = "PERMISSIVE",
     corrupt_col: str | None = None,
 ) -> DataFrame:
-    """Batch file source for parquet / csv / json(l).
+    """Batch file source for parquet / orc / csv / json(l).
 
     Always pass an explicit ``schema`` for csv/json in production:
     schema inference is a full extra pass over the data (fatal at
@@ -48,8 +48,14 @@ def batch_read(
     reference ErrorHandlingExample.scala:32-47): same
     skip/collect/fail triad, expressed as reader options.
     """
-    if fmt == "parquet":
-        return spark.read.schema(schema).parquet(path) if schema else spark.read.parquet(path)
+    if fmt in ("parquet", "orc"):
+        # both are self-describing columnar formats: schema optional,
+        # no malformed-record policy (corruption is a read error, not a
+        # row-level event), predicate pushdown + column pruning apply
+        reader = spark.read.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path)
     if fmt not in ("csv", "json"):
         raise ValueError(f"unsupported format: {fmt}")
     reader = spark.read.format(fmt).option("mode", mode)

@@ -97,3 +97,42 @@ def test_write_sized_small_target_splits_files(spark, tmp_path):
     assert "PartitionFilters" in plan
     # advisory conf restored
     assert spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None) in (None, "64MB", "64m")
+
+
+def test_orc_roundtrip_with_pushdown_and_streaming(spark, tmp_path):
+    """ORC as a first-class columnar source beside parquet: batch
+    round-trip preserves values, a filter reaches the ORC scan as a
+    pushed predicate with pruned columns, and the same directory reads
+    as a STREAM (one microbatch per file set) — S1's source surface is
+    format-plural, not parquet-only."""
+    import uuid
+
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+    from confluent_kafka_streams_examples_spark.sources.files import file_stream
+
+    rows = [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+    p = str(tmp_path / "data_orc")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.format("orc").save(p)
+
+    df = batch_read(spark, p, SCHEMA, fmt="orc")
+    assert sorted(tuple(r) for r in df.collect()) == sorted(rows)
+
+    plan = explain_str(df.filter(F.col("id") > 1).select("name"), "formatted")
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan, plan
+    assert "ReadSchema: struct<id:bigint,name:string>" in plan, plan
+
+    stream = file_stream(spark, p, SCHEMA, fmt="orc")
+    qname = f"orc{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_orc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {qname}").collect())
+    assert got == sorted(rows)

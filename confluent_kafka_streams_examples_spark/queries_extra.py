@@ -2190,64 +2190,25 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch_hll_distinct.  Reference analog: aggregate-then-inspect
     (AggregationsExample.scala:36-44) generalized across columns.
     """
+    from confluent_kafka_streams_examples_spark.operators.profile import (
+        canonical,
+        profile_table,
+    )
+
     ev = load_table(spark, "events", sf_dir)
-    stacked = ev.select(
-        F.expr(
-            "stack(6,"
-            " 'event_id', CAST(event_id AS STRING),"
-            " 'ts', CAST(unix_micros(ts) AS STRING),"
-            " 'user_id', CAST(user_id AS STRING),"
-            " 'event_type', event_type,"
-            " 'value', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),"
-            " 'props', props) AS (col_name, val)"
-        )
-    )
-    # Counts and registers fuse into ONE two-level aggregation over the
-    # single stacked scan (a counts-join-registers DAG would recompute
-    # the scan per branch): level 1 groups by (col_name, register) —
-    # null values park in register -1 so the null count rides the same
-    # exchange — level 2 folds the <= n_cols x 257 partials into the
-    # profile row.
-    h = stacked.select("col_name", F.col("val"), F.md5("val").alias("h"))
-    parts = h.select(
-        "col_name",
-        F.when(F.col("h").isNull(), F.lit(-1))
-        .otherwise(F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
-        .alias("j"),
-        F.substring("h", 3, 15).alias("tail"),
-    )
-    rho = F.expr(_HLL_RHO_SQL.format(G=", 0"))
-    lvl1 = (
-        parts.select("col_name", "j", rho.alias("rho"))
-        .groupBy("col_name", "j")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.max("rho").alias("R"))
-    )
-    prof = lvl1.groupBy("col_name").agg(
-        F.sum("cnt").cast("bigint").alias("n_rows"),
-        F.sum(F.when(F.col("j") == -1, F.col("cnt")).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("n_null"),
-        F.sum(
-            F.when(
-                F.col("j") >= 0,
-                F.expr(
-                    "CAST(shiftleft(CAST(1 AS BIGINT), 62 - R) AS DECIMAL(38,0))"
-                ),
-            )
-        ).alias("S_present"),
-        F.sum((F.col("j") >= 0).cast("long")).alias("n_present"),
-    )
-    return prof.select(
-        "col_name",
-        "n_rows",
-        "n_null",
-        F.expr(
-            f"CAST(CAST('{_HLL_NUM}' AS DECIMAL(38,0))"
-            f" div (CAST({_HLL_DEN} AS DECIMAL(38,0))"
-            f" * (coalesce(S_present, CAST(0 AS DECIMAL(38,0)))"
-            f" + CAST(({_HLL_M} - n_present) AS DECIMAL(38,0))"
-            f" * CAST(shiftleft(CAST(1 AS BIGINT), 62) AS DECIMAL(38,0))))"
-            f" AS BIGINT)"
-        ).alias("distinct_est"),
-        F.expr(f"CAST({_HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
+    return profile_table(
+        ev,
+        {
+            "event_id": canonical(F.col("event_id")),
+            # timestamps and doubles need integer-portable
+            # canonicalization (engines disagree on TEXT rendering,
+            # not on values): epoch micros / quantized cents
+            "ts": F.unix_micros(F.col("ts")).cast("string"),
+            "user_id": canonical(F.col("user_id")),
+            "event_type": canonical(F.col("event_type")),
+            "value": F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            "props": canonical(F.col("props")),
+        },
     )

@@ -229,3 +229,37 @@ def test_cms_cell_spec_matches_python_reference(spark):
         for r in cms_portable_cells(df, "k").collect()
     }
     assert got == dict(expect)
+
+
+def test_profile_table_generic_on_documents(spark):
+    """profile_table is table-generic (events_profile is just its
+    oracle-checked demo): pointing it at documents yields sane counts
+    and estimates in one scan."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.operators.profile import (
+        canonical,
+        profile_table,
+    )
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    docs = load_table(spark, "documents", SF)
+    out = profile_table(
+        docs,
+        {c: canonical(F.col(c)) for c in ("doc_id", "text", "lang", "source")},
+    )
+    p = explain_str(out, "formatted")
+    assert (
+        sum(
+            1
+            for ln in p.splitlines()
+            if ln.strip().startswith("(") and "Scan parquet" in ln
+        )
+        == 1
+    ), p
+    prof = {r["col_name"]: r for r in out.collect()}
+    n = prof["doc_id"]["n_rows"]
+    assert n == docs.count()
+    assert abs(prof["doc_id"]["distinct_est"] - n) / n < 0.13  # unique ids
+    assert prof["lang"]["zero_registers"] > 200  # tiny lang set

@@ -585,3 +585,57 @@ def test_windowed_join_random_stream_matches_batch(spark, tmp_path):
         if lk == rk and abs((lt - rt).total_seconds()) <= 5
     )
     assert got == expect
+
+
+def test_latest_per_key_random_stream_matches_batch(spark, tmp_path):
+    """Differential for the KTable pillar: over a seeded random stream
+    with STRICTLY increasing timestamps (ties excluded — the streaming
+    twin breaks them by value ordering, the batch Table by an explicit
+    tiebreak column), the final update-mode refinement per key must
+    equal the batch latest-per-key over the union."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(23)
+    batches, t = [], 0
+    for _ in range(3):
+        b = []
+        for _ in range(150):
+            t += 1 + rng.randrange(4)  # strictly increasing: no ties
+            b.append((f"k{rng.randrange(15)}", float(rng.randrange(1000)), ts(t)))
+        batches.append(b)
+
+    src = str(tmp_path / "src")
+    write_batch(spark, src, batches[0])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    table = latest_per_key_stream(stream, "key", "ts", ["value"])
+    qname = f"lk{uuid.uuid4().hex[:8]}"
+    q = (
+        table.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            write_batch(spark, src, b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    final: dict = {}
+    latest_ts: dict = defaultdict(lambda: None)
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        if latest_ts[r["key"]] is None or r["ts"] > latest_ts[r["key"]]:
+            latest_ts[r["key"]] = r["ts"]
+            final[r["key"]] = r["value"]
+
+    expect: dict = {}
+    seen_ts: dict = {}
+    for b in batches:
+        for k, v, tt in b:
+            if k not in seen_ts or tt > seen_ts[k]:
+                seen_ts[k] = tt
+                expect[k] = v
+    assert final == expect

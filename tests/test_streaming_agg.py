@@ -483,3 +483,63 @@ def test_windowed_session_exact_boundary_matches_oracle(spark, tmp_path):
         for r in con.execute(ORACLES["windowed_session"]).fetchall()
     )
     assert oracle == got
+
+
+def test_tumbling_agg_random_stream_matches_batch(spark, tmp_path):
+    """Differential for the tumbling pillar: a seeded random in-order
+    stream's closed windows (append mode) must equal the batch
+    groupBy(window) aggregation over the union — totals and counts per
+    (window_start, key)."""
+    import random
+
+    rng = random.Random(17)
+    batches, t = [], 0
+    for _ in range(3):
+        b = []
+        for _ in range(200):
+            t += rng.randrange(3)
+            b.append((f"k{rng.randrange(8)}", float(1 + t % 5), ts(t)))
+        batches.append(b)
+    horizon = ts(t + 10_000)
+
+    src = str(tmp_path / "src")
+    write_batch(spark, src, batches[0])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "60 seconds").alias("win"), "key")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "key", "total", "n")
+    )
+    qname = f"ta{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            write_batch(spark, src, b)
+            q.processAllAvailable()
+        write_batch(spark, src, [("wm", 0.0, horizon)])  # close all
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["ws"], r["key"]): (r["total"], r["n"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        if r["key"] != "wm"
+    }
+
+    union = spark.createDataFrame([r for b in batches for r in b], EVENT_SCHEMA)
+    expect = {
+        (r["ws"], r["key"]): (r["total"], r["n"])
+        for r in union.groupBy(F.window("ts", "60 seconds").alias("win"), "key")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "key", "total", "n")
+        .collect()
+    }
+    assert got == expect

@@ -122,3 +122,51 @@ def test_foreachbatch_merge_maintains_snapshot(spark, tmp_path):
     final = spark.read.parquet(str(snap_root / versions[-1]))
     got = {r["key"]: r["value"] for r in final.collect()}
     assert got == {"a": 11.0, "b": 20.0, "c": 30.0}
+
+
+def test_dedup_random_stream_matches_batch_distinct(spark, tmp_path):
+    """Differential for the dedup pillar: a seeded random in-order
+    stream with heavy re-delivery (every key drawn from a small pool,
+    re-deliveries inside the watermark horizon) must emit exactly the
+    batch DISTINCT of the union — each business key once, regardless
+    of how arrivals slice into micro-batches."""
+    import random
+    import uuid
+
+    from tests.test_streaming import EVENT_SCHEMA, ts, write_batch
+
+    rng = random.Random(13)
+    batches, t = [], 0
+    for _ in range(3):
+        b = []
+        for _ in range(200):
+            t += rng.randrange(2)  # slow clock: all dups in-horizon
+            b.append((f"k{rng.randrange(40)}", 1.0, ts(t)))
+        batches.append(b)
+
+    src = str(tmp_path / "src")
+    write_batch(spark, src, batches[0])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    from confluent_kafka_streams_examples_spark.streaming.dedup import (
+        dedup_within_watermark,
+    )
+
+    deduped = dedup_within_watermark(stream, ["key"], "ts", delay="1 hour")
+    qname = f"dd{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            write_batch(spark, src, b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r["key"] for r in spark.sql(f"SELECT key FROM {qname}").collect()]
+    expect = {k for b in batches for k, _, _ in b}
+    assert sorted(got) == sorted(expect)  # once each, no omissions

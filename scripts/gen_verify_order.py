@@ -50,6 +50,24 @@ sys.path.insert(0, REPO)
 PKG = "confluent_kafka_streams_examples_spark"
 WINDOW = 50
 
+#: the Spark conf block IS behavior (timezone, broadcast threshold, AQE
+#: flags change results and plans) but queries never call get_spark —
+#: they receive a live session and call load_table — so session.py's
+#: conf code is invisible to every query's own AST closure.  It is
+#: folded into every digest as a global salt instead (VERDICT r9 #1).
+SESSION_REL = f"{PKG}/session.py"
+SALT_FUNC = "get_spark"
+#: committed salt-epoch record: {"salt": <hex>, "epoch_round": N}.
+#: A conf change invalidates ALL greens at once — far more than the
+#: 50-entry window can re-verify in one round — so instead of head
+#: placement (which would trip the soundness abort) the change starts a
+#: new EPOCH: every green older than epoch_round ranks as stale-0 and
+#: the stratified band rotates the full registry through the next
+#: ceil(N/WINDOW) rounds.  The epoch lives in a committed file because
+#: the baseline ref advances each round: without persistence the salt
+#: change would be forgotten after one round with most greens unverified.
+SALT_FILE = os.path.join(REPO, "VERIFY_SALT.json")
+
 
 def baseline_ref() -> str:
     """The driver's latest `round N: verdict/...` commit: it snapshots
@@ -124,6 +142,18 @@ class Snapshot:
     def __init__(self, ref: str | None):
         self.ref = ref
         self._modules: dict[str, ModuleIndex | None] = {}
+        self._conf_salt: str | None = None
+
+    def conf_salt(self) -> str:
+        """Digest of ``get_spark``'s AST closure in this snapshot — the
+        global salt folded into every query digest, covering the Spark
+        conf block no query's own closure can reach."""
+        if self._conf_salt is None:
+            self._conf_salt = (
+                self._closure_digest_unsalted(SESSION_REL, SALT_FUNC)
+                or "absent"
+            )
+        return self._conf_salt
 
     def module(self, rel_path: str) -> ModuleIndex | None:
         if rel_path not in self._modules:
@@ -142,6 +172,19 @@ class Snapshot:
         return self._modules[rel_path]
 
     def closure_digest(self, rel_path: str, func_name: str) -> str | None:
+        """Salted digest: the function's own AST closure hashed together
+        with the session conf salt, so a ``get_spark`` conf edit flips
+        EVERY query to changed even though no query calls it."""
+        body = self._closure_digest_unsalted(rel_path, func_name)
+        if body is None:
+            return None
+        return hashlib.sha256(
+            f"{body}|conf:{self.conf_salt()}".encode()
+        ).hexdigest()
+
+    def _closure_digest_unsalted(
+        self, rel_path: str, func_name: str
+    ) -> str | None:
         """sha256 over the sorted ast.dump of the transitive closure of
         (functions + referenced module constants) reachable from one
         function.  None if the function does not exist in this
@@ -275,9 +318,49 @@ def family(name: str) -> str:
     return "analytics"  # TPC-H shapes and anything unmatched
 
 
+def salt_epoch(cur_salt: str, update: bool = True) -> int:
+    """The round from which the CURRENT conf salt is in effect.  Greens
+    earlier than this were verified under a different Spark conf and
+    rank as stale-0 for rotation (but NOT as head: a conf change
+    invalidates the whole registry at once, which only the band
+    rotation can re-verify soundly across rounds).  Persisted in
+    VERIFY_SALT.json because the baseline ref advances every round —
+    without the file the change would be forgotten after one round.
+    When ``update`` and the salt differs from the stored one, a new
+    epoch (= next round to be verified) is written."""
+    stored: dict = {}
+    try:
+        with open(SALT_FILE, encoding="utf-8") as fh:
+            stored = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    if stored.get("salt") == cur_salt:
+        return int(stored.get("epoch_round", 0))
+    next_round = 1 + max(
+        [
+            int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        ]
+        or [0]
+    )
+    if update:
+        with open(SALT_FILE, "w", encoding="utf-8") as fh:
+            json.dump({"salt": cur_salt, "epoch_round": next_round}, fh)
+            fh.write("\n")
+        print(
+            f"# conf salt changed -> new epoch r{next_round} written to "
+            f"{os.path.basename(SALT_FILE)} (commit it); all greens "
+            "older than the epoch now rotate as stale",
+            file=sys.stderr,
+        )
+    return next_round
+
+
 def generate_order() -> tuple[list[str], list[str]]:
-    """Returns (ordered names, head names).  Head = changed since the
-    baseline snapshot or never green.  The band that fills the window
+    """Returns (ordered names, head names).  Head = body-changed since
+    the baseline snapshot or never green.  Conf-salt changes
+    (session.py's get_spark) rank every pre-epoch green as stale-0 in
+    the tail instead — see `salt_epoch`.  The band that fills the window
     after the head is STRATIFIED: round-robin across operator families
     (stalest family first), oldest green first within each family —
     diversity per round AND rotation progress per family.  Displaced
@@ -288,20 +371,25 @@ def generate_order() -> tuple[list[str], list[str]]:
     cur = Snapshot(None)
     locs = query_locations()
     greens = latest_green_rounds()
+    epoch = salt_epoch(cur.conf_salt())
+    # pre-epoch greens were verified under a different Spark conf:
+    # rotation-stale, oldest-first (rank 0 sorts before any real round)
+    eff = {n: (g if g >= epoch else 0) for n, g in greens.items()}
     reg_order = {n: i for i, n in enumerate(QUERIES)}
 
     head, tail = [], []
     for name in QUERIES:
         rel, fname = locs[name]
-        changed = cur.closure_digest(rel, fname) != base.closure_digest(
+        changed = cur._closure_digest_unsalted(
             rel, fname
-        )
+        ) != base._closure_digest_unsalted(rel, fname)
         if changed or greens.get(name, 0) == 0:
             head.append(name)
         else:
             tail.append(name)
     head.sort(key=lambda n: reg_order[n])
-    tail.sort(key=lambda n: (greens[n], reg_order[n]))
+    tail.sort(key=lambda n: (eff[n], reg_order[n]))
+    greens = eff
 
     # stratified sentinel band (tail slice that fits the window)
     n_band = max(0, WINDOW - len(head))
@@ -333,8 +421,11 @@ def main() -> None:
         print("\n".join(order))
         return
     displaced = order[WINDOW:]
+    cur = Snapshot(None)
     print(f"# generated by scripts/gen_verify_order.py — head={len(head)} "
-          f"changed/never-green, window={WINDOW}")
+          f"changed/never-green, window={WINDOW}, "
+          f"conf-salt={cur.conf_salt()[:8]} "
+          f"epoch=r{salt_epoch(cur.conf_salt(), update=False)}")
     print("_VERIFY_FIRST = [")
     for i, name in enumerate(order):
         marker = ""

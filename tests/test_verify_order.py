@@ -181,3 +181,70 @@ def test_sentinel_band_stratifies_across_operator_families():
         assert [greens[n] for n in fam_band] == sorted(
             greens[n] for n in fam_all[: len(fam_band)]
         )
+
+
+@pytest.mark.skipif(not _git_ok(), reason="needs the git history")
+def test_conf_salt_flips_every_query_digest():
+    """session.py's get_spark conf block is behavior (timezone,
+    broadcast threshold, AQE flags) but is unreachable from any query's
+    own AST closure — queries only call load_table.  The generator
+    therefore folds get_spark's AST into every digest as a global salt:
+    mutating one conf line must flip EVERY query's salted digest while
+    leaving every unsalted body digest unchanged (VERDICT r9 #1)."""
+    import os
+
+    import scripts.gen_verify_order as gvo
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(gvo.__file__)))
+    src = open(os.path.join(repo, gvo.SESSION_REL), encoding="utf-8").read()
+    needle = 'str(64 * 1024 * 1024)'
+    assert needle in src, "conf line moved; update the test needle"
+    mutated_src = src.replace(needle, 'str(10 * 1024 * 1024)')
+
+    cur = gvo.Snapshot(None)
+    mut = gvo.Snapshot(None)
+    # Snapshot.module consults its cache first: planting the mutated
+    # session module simulates the conf edit without touching the tree
+    mut._modules[gvo.SESSION_REL] = gvo.ModuleIndex(
+        mutated_src, gvo.SESSION_REL
+    )
+    assert mut.conf_salt() != cur.conf_salt()
+
+    locs = gvo.query_locations()
+    sample = list(locs.items())[::17] or list(locs.items())
+    for name, (rel, fname) in sample:
+        assert cur.closure_digest(rel, fname) != mut.closure_digest(
+            rel, fname
+        ), f"{name}: salted digest did not flip on a conf edit"
+        assert cur._closure_digest_unsalted(
+            rel, fname
+        ) == mut._closure_digest_unsalted(rel, fname), (
+            f"{name}: body digest must not depend on the salt"
+        )
+
+
+@pytest.mark.skipif(not _git_ok(), reason="needs the git history")
+def test_verify_salt_file_fresh_at_head():
+    """VERIFY_SALT.json must record the WORKTREE's current conf salt —
+    a conf edit without regenerating (and committing) the epoch file
+    would leave pre-edit greens ranked as verified.  Also pins the
+    epoch semantics: greens older than epoch_round rank stale-0."""
+    import json
+
+    import scripts.gen_verify_order as gvo
+
+    with open(gvo.SALT_FILE, encoding="utf-8") as fh:
+        stored = json.load(fh)
+    cur_salt = gvo.Snapshot(None).conf_salt()
+    assert stored["salt"] == cur_salt, (
+        "VERIFY_SALT.json is stale: session.py's get_spark changed — "
+        "rerun scripts/gen_verify_order.py and commit the updated file"
+    )
+    # epoch semantics (no file IO: exercised via salt_epoch's return)
+    assert gvo.salt_epoch(cur_salt, update=False) == stored["epoch_round"]
+    # a DIFFERENT salt must map to a FUTURE epoch (> every recorded
+    # green round) without updating the file when update=False
+    future = gvo.salt_epoch("deadbeef", update=False)
+    greens = gvo.latest_green_rounds()
+    assert greens and future > max(greens.values())
+    assert json.load(open(gvo.SALT_FILE))["salt"] == cur_salt

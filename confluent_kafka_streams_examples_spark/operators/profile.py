@@ -23,6 +23,7 @@ from confluent_kafka_streams_examples_spark.operators.sketches import (
     HLL_M,
     HLL_NUM,
     HLL_RHO_SQL,
+    hll_est_sql,
 )
 
 
@@ -41,9 +42,12 @@ def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     """Profile ``cols`` (name -> canonicalized string Column) in one
     scan: (col_name, n_rows, n_null, distinct_est, zero_registers).
 
-    ``distinct_est`` is the portable-HLL raw estimate (~6.5% sigma at
-    m=256); ``zero_registers`` > 0 flags the small-cardinality regime
-    where production would apply linear counting m*ln(m/V) instead.
+    ``distinct_est`` is the portable-HLL estimate (~6.5% sigma at
+    m=256) with the small-range linear-counting correction m*ln(m/V)
+    applied when the raw estimate <= 2.5m and V > 0 — so
+    low-cardinality columns (enums, flags: the most common real-table
+    case) come out near-exact instead of biased.  ``zero_registers``
+    still exposes the regime (V > 0 = linear-counting range).
     """
     pairs: list[Column] = []
     for name, col in cols.items():
@@ -80,7 +84,7 @@ def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         ).alias("S_present"),
         F.sum((F.col("j") >= 0).cast("long")).alias("n_present"),
     )
-    return prof.select(
+    raw = prof.select(
         "col_name",
         "n_rows",
         "n_null",
@@ -91,6 +95,15 @@ def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             f" + CAST(({HLL_M} - n_present) AS DECIMAL(38,0))"
             f" * CAST(shiftleft(CAST(1 AS BIGINT), 62) AS DECIMAL(38,0))))"
             f" AS BIGINT)"
-        ).alias("distinct_est"),
+        ).alias("raw_est"),
         F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
+    )
+    return raw.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.expr(hll_est_sql("raw_est", "zero_registers", "div")).alias(
+            "distinct_est"
+        ),
+        "zero_registers",
     )

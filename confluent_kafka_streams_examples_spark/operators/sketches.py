@@ -93,6 +93,36 @@ HLL_M = 256  # registers (p=8): std error 1.04/sqrt(256) ~ 6.5%
 HLL_NUM = 7213 * 1000 * HLL_M * HLL_M * HLL_M * (2**62)  # 33 digits
 HLL_DEN = 10000 * (1000 * HLL_M + 1079)
 
+# Small-range (linear counting) correction, Flajolet et al. 2007 §4:
+# when the raw estimate E <= 2.5m and V (zero registers) > 0, the
+# ball-in-bins estimate m*ln(m/V) is far more accurate — without it,
+# low-cardinality columns (enums, flags, countries: the most common
+# real-table case) are knowingly biased.  ln is transcendental, so to
+# keep the estimate hash-exact across engines the 256 possible values
+# are PRECOMPUTED once here (scaled by 1e6, 10 fixed digits each) and
+# both engines extract entry V with the same substring arithmetic —
+# integer in, integer out, no float ever crosses an engine boundary.
+HLL_LC_THRESHOLD = 5 * HLL_M // 2  # 2.5m, exact in integers
+import math as _math
+
+HLL_LC_TABLE_STR = "".join(
+    f"{round(HLL_M * _math.log(HLL_M / V) * 1_000_000):010d}"
+    for V in range(1, HLL_M + 1)
+)
+
+
+def hll_est_sql(raw: str, zero: str, div: str) -> str:
+    """Portable SQL for the corrected estimate from a raw-estimate
+    expression and a zero-register-count expression.  ``div`` is the
+    engine's integer-division operator ('div' Spark, '//' DuckDB) —
+    the only dialect difference."""
+    return (
+        f"CASE WHEN {zero} > 0 AND {raw} <= {HLL_LC_THRESHOLD} "
+        f"THEN CAST(substr('{HLL_LC_TABLE_STR}', "
+        f"(CAST({zero} AS INT) - 1) * 10 + 1, 10) AS BIGINT) {div} 1000000 "
+        f"ELSE {raw} END"
+    )
+
 # rho from the hex tail, portable SQL: z leading '0' nibbles = 4z zero
 # bits; the first non-zero nibble adds its own (1 -> 3, 2-3 -> 2,
 # 4-7 -> 1, 8-f -> 0).  {G} is ", 0" for Spark's regexp_extract
@@ -127,8 +157,15 @@ def hll_portable_registers(
 
     Scale: one partial-aggregated exchange of at most
     tasks x (groups+1) x 256 maxima regardless of corpus size.
+
+    Null keys are FILTERED (a null contributes nothing to a distinct
+    count): without the filter a null key would emit a (grp, j=NULL,
+    R=NULL) row that hll_estimate_from_registers counts in n_present
+    while null-skipping its S term — biasing the estimate high by one
+    register.  Callers that need a null count alongside the sketch
+    track it separately (profile.py parks nulls in register -1).
     """
-    hashed = df.select(
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
         F.col(grp_col).alias("grp"),
         F.md5(F.col(key_col).cast("string")).alias("h"),
     )
@@ -156,14 +193,17 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
     power terms, one DECIMAL(38,0) integral divide) so two engines'
     estimates are hash-equal.  Absent registers need no grid fill:
     each contributes exactly 2^62 to S and one zero register,
-    recoverable from n_present (present registers have R >= 1)."""
+    recoverable from n_present (present registers have R >= 1).
+    The small-range linear-counting correction m*ln(m/V) applies when
+    the raw estimate <= 2.5m and V > 0 (Flajolet §4), via the
+    precomputed integer table — hash-exact in both engines."""
     est = regs.groupBy("grp").agg(
         F.sum(
             F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - R) AS DECIMAL(38,0))")
         ).alias("S_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    return est.select(
+    raw = est.select(
         "grp",
         F.expr(
             f"CAST(CAST('{HLL_NUM}' AS DECIMAL(38,0))"
@@ -171,8 +211,13 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
             f" * (S_present + CAST(({HLL_M} - n_present) AS DECIMAL(38,0))"
             f" * CAST(shiftleft(CAST(1 AS BIGINT), 62) AS DECIMAL(38,0))))"
             f" AS BIGINT)"
-        ).alias("hll_est"),
+        ).alias("raw_est"),
         F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
+    )
+    return raw.select(
+        "grp",
+        F.expr(hll_est_sql("raw_est", "zero_registers", "div")).alias("hll_est"),
+        "zero_registers",
     )
 
 

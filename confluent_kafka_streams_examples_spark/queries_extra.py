@@ -1913,17 +1913,41 @@ from confluent_kafka_streams_examples_spark.operators.sketches import (
     HLL_M as _HLL_M,
     HLL_NUM as _HLL_NUM,
     HLL_RHO_SQL as _HLL_RHO_SQL,
+    hll_est_sql as _hll_est_sql,
     hll_estimate_from_registers,
     hll_portable_registers,
 )
 
+#: DuckDB-dialect raw-estimate + zero-register SELECT body over a
+#: (grp, j, R) `regs` relation — shared by every HLL oracle below.
+_HLL_RAW_SQL = f"""
+      SELECT grp,
+             CAST(CAST('{_HLL_NUM}' AS HUGEINT)
+                  // (CAST({_HLL_DEN} AS HUGEINT)
+                      * (CAST(sum(CAST(1 AS BIGINT) << (62 - R)) AS HUGEINT)
+                         + CAST({_HLL_M} - count(*) AS HUGEINT)
+                           * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT)))
+                  AS BIGINT) AS raw_est,
+             CAST({_HLL_M} - count(*) AS BIGINT) AS zero_registers
+      FROM regs GROUP BY grp
+"""
+
 @query(
     "sketch_hll_distinct",
     oracle=f"""
-    WITH h AS (
-      SELECT l_returnflag AS grp, md5(CAST(l_orderkey AS VARCHAR)) AS h
+    WITH stacked AS (
+      SELECT l_returnflag AS rf, 'l_orderkey' AS col_name,
+             CAST(l_orderkey AS VARCHAR) AS key FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_linenumber', CAST(l_linenumber AS VARCHAR)
       FROM lineitem
     ),
+    labeled AS (
+      SELECT col_name || ':' || rf AS grp, key FROM stacked
+      UNION ALL
+      SELECT col_name || ':__all__' AS grp, key FROM stacked
+    ),
+    h AS (SELECT grp, md5(key) AS h FROM labeled WHERE key IS NOT NULL),
     parts AS (
       SELECT grp,
              (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
@@ -1935,116 +1959,159 @@ from confluent_kafka_streams_examples_spark.operators.sketches import (
       SELECT grp, j, max({_HLL_RHO_SQL.format(G='')}) AS R
       FROM parts GROUP BY 1, 2
     ),
-    grid AS (
-      SELECT g.grp, r.j
-      FROM (SELECT DISTINCT grp FROM regs) g
-      CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS j) r
-    ),
-    filled AS (
-      SELECT grid.grp, grid.j, COALESCE(regs.R, 0) AS R
-      FROM grid LEFT JOIN regs ON regs.grp = grid.grp AND regs.j = grid.j
-    ),
-    allr AS (SELECT '__all__' AS grp, j, max(R) AS R FROM filled GROUP BY 2),
-    unioned AS (SELECT * FROM filled UNION ALL SELECT * FROM allr),
-    est AS (
-      SELECT grp,
-             CAST(CAST('{_HLL_NUM}' AS HUGEINT)
-                  // (CAST({_HLL_DEN} AS HUGEINT)
-                      * CAST(sum(CAST(1 AS BIGINT) << (62 - R)) AS HUGEINT))
-                  AS BIGINT) AS hll_est,
-             CAST(sum(CASE WHEN R = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS zero_registers
-      FROM unioned GROUP BY 1
-    ),
-    truth AS (
-      SELECT l_returnflag AS grp,
-             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS true_distinct
-      FROM lineitem GROUP BY 1
-      UNION ALL
-      SELECT '__all__', CAST(count(DISTINCT l_orderkey) AS BIGINT)
-      FROM lineitem
-    )
-    SELECT t.grp, t.true_distinct, e.hll_est, e.zero_registers
-    FROM truth t JOIN est e ON e.grp = t.grp
+    rawest AS ({_HLL_RAW_SQL})
+    SELECT grp,
+           {_hll_est_sql('raw_est', 'zero_registers', '//')} AS hll_est,
+           zero_registers
+    FROM rawest
     """,
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct sketch (Flajolet et al. 2007, PAPERS.md) —
     the bounded-memory COUNT(DISTINCT) that completes the sketch triad
-    (bloom = membership, CMS = frequency, HLL = cardinality): 256
-    6-bit registers estimate distinct l_orderkey per l_returnflag to
-    ~6.5% (observed 1.6-3.8% at sf0.01), and registers MERGE by
-    per-index max (max is associative) — the '__all__' row is the
-    merged register set, obtained in the same single-pass aggregation
-    that builds the group sketches, which is how a 100 TB job gets
-    month-distinct from day-sketches for free.
+    (bloom = membership, CMS = frequency, HLL = cardinality), in its
+    SHIPPABLE form: one corpus scan, registers + estimates out, no
+    exact-truth side (that comparison lives in `sketch_hll_eval`,
+    mirroring the *_recall_eval convention).  Two key columns ride the
+    same scan STACKED — l_orderkey (n >> 2.5m: raw-HLL regime) and
+    l_linenumber (7 values: deep linear-counting regime) — so both
+    estimator branches are exercised and oracle-checked; registers
+    MERGE by per-index max (max is associative), so each key's
+    ':__all__' row is the merged register set obtained in the same
+    single-pass aggregation that builds the per-flag sketches, which
+    is how a 100 TB job gets month-distinct from day-sketches for
+    free.
 
     Exactly oracle-able (unlike approx_count_distinct, whose register
     layout is engine-private): register index = first byte of
     md5(key), rho = 1 + leading-zero bits of the next 60, both
-    engines build bit-identical registers, and the raw estimate
-    alpha_m*m^2/sum(2^-R) is evaluated in scaled integer arithmetic
-    (exact fraction alpha, power-of-two terms as shifted BIGINTs,
-    one HUGEINT/DECIMAL(38,0) integral divide) so the estimates are
-    hash-equal, not approximately equal.  Demo stays in the raw-HLL
-    regime (n >> 2.5m, zero_registers == 0 observed); the small-range
-    linear-counting correction m*ln(m/V) needs a transcendental and is
-    deliberately out of the oracle contract — emitting zero_registers
-    makes the regime visible to the caller.
+    engines build bit-identical registers; the raw estimate
+    alpha_m*m^2/sum(2^-R) is evaluated in scaled integer arithmetic,
+    and the small-range correction m*ln(m/V) (raw <= 2.5m, V > 0)
+    comes from a precomputed integer table — so estimates are
+    hash-equal across engines in BOTH regimes, never approximately
+    equal.
 
-    Scale shape: exactly two corpus scans — ONE partial-aggregated
-    groupBy over (grp, j) builds every sketch including the merged
-    '__all__' (exchange <= tasks x (groups+1) x 256 maxima regardless
-    of corpus size; each sketch is 256 x 6 bits), and one rollup scan
-    computes the exact count(DISTINCT) side that exists only to
-    exhibit the error (the CMS posture) — production ships the
-    registers and drops that scan.  Reference analog:
-    aggregate-then-inspect (AggregationsExample.scala:36-44) with a
-    fixed-size accumulator.
+    Scale shape: ONE corpus scan; the stack doubles rows inside the
+    projection (cheap, map-side) and the partial-aggregated groupBy
+    over (grp, j) exchanges at most tasks x (keys x (flags+1)) x 256
+    maxima regardless of corpus size — each sketch is 256 x 6 bits.
+    Reference analog: aggregate-then-inspect
+    (AggregationsExample.scala:36-44) with a fixed-size accumulator.
     """
-    # The '__all__' sketch IS the merge property in executable form
-    # (max is associative — one pass builds group + merged registers;
-    # a naive grid/fill/union DAG here cost 5 scans and 11 exchanges
-    # before being flattened into the shared helper).  The same
-    # hll_portable_registers powers the streaming twin (built-in
-    # groupBy-max refinement per micro-batch, no Python state) —
-    # tests/test_streaming_agg.py asserts register parity.
-    regs = hll_portable_registers(
-        load_table(spark, "lineitem", sf_dir),
-        grp_col="l_returnflag",
-        key_col="l_orderkey",
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
     )
-    est = hll_estimate_from_registers(regs)
-    # Truth side: dedup (grp, key) pairs FIRST — map-side partial dedup
-    # bounds that exchange to the unique-pair count, not the row count —
-    # then rollup-countDistinct over the tiny pair set for both truth
-    # levels in one lineage.  (Rollup directly on the corpus looks
-    # tidier but its Expand doubles every row before the distinct
-    # shuffle: 642 MiB shuffle / 9.8 GiB spill at x100 in the probe;
-    # here Expand doubles only the ~3 x distinct-keys pairs.)
-    truth = (
-        load_table(spark, "lineitem", sf_dir)
-        .select(F.col("l_returnflag").alias("grp"), "l_orderkey")
-        .distinct()
-        .rollup("grp")
-        .agg(F.countDistinct("l_orderkey").cast("bigint").alias("true_distinct"))
-        .select(F.coalesce("grp", F.lit("__all__")).alias("grp"), "true_distinct")
+    stacked = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.stack(
+            F.lit(2),
+            F.lit("l_orderkey"), F.col("l_orderkey").cast("string"),
+            F.lit("l_linenumber"), F.col("l_linenumber").cast("string"),
+        ).alias("col_name", "key"),
     )
+    # per-flag label + per-key merged ':__all__' label in one explode —
+    # the same associative-max trick hll_portable_registers' all_label
+    # plays, but scoped per stacked key column
+    labeled = stacked.select(
+        F.explode(
+            F.array(
+                F.concat(F.col("col_name"), F.lit(":"), F.col("rf")),
+                F.concat(F.col("col_name"), F.lit(":__all__")),
+            )
+        ).alias("grp"),
+        "key",
+    )
+    regs = hll_portable_registers(labeled, "grp", "key", all_label=None)
+    return hll_estimate_from_registers(regs)
+
+
+@query(
+    "sketch_hll_eval",
+    oracle=f"""
+    WITH stacked AS (
+      SELECT l_returnflag AS rf, 'l_orderkey' AS col_name,
+             CAST(l_orderkey AS VARCHAR) AS key FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_linenumber', CAST(l_linenumber AS VARCHAR)
+      FROM lineitem
+    ),
+    labeled AS (
+      SELECT col_name || ':' || rf AS grp, key FROM stacked
+      UNION ALL
+      SELECT col_name || ':__all__' AS grp, key FROM stacked
+    ),
+    h AS (SELECT grp, md5(key) AS h FROM labeled WHERE key IS NOT NULL),
+    parts AS (
+      SELECT grp,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS j,
+             substr(h, 3, 15) AS tail
+      FROM h
+    ),
+    regs AS (
+      SELECT grp, j, max({_HLL_RHO_SQL.format(G='')}) AS R
+      FROM parts GROUP BY 1, 2
+    ),
+    rawest AS ({_HLL_RAW_SQL}),
+    est AS (
+      SELECT grp,
+             {_hll_est_sql('raw_est', 'zero_registers', '//')} AS hll_est,
+             zero_registers
+      FROM rawest
+    ),
+    truth AS (
+      SELECT grp, CAST(count(DISTINCT key) AS BIGINT) AS true_distinct
+      FROM labeled GROUP BY 1
+    )
+    SELECT t.grp, t.true_distinct, e.hll_est, e.zero_registers,
+           CAST(abs(e.hll_est - t.true_distinct) * 1000000
+                // t.true_distinct AS BIGINT) AS err_ppm
+    FROM truth t JOIN est e ON e.grp = t.grp
+    """,
+)
+def sketch_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy harness for `sketch_hll_distinct` (the *_recall_eval
+    convention): joins the production estimates against the exact
+    count(DISTINCT) truth and reports integer-exact error ppm.  The
+    exact side — deliberately NOT in the production query — dedups
+    (grp, key) pairs FIRST (map-side partial dedup bounds that
+    exchange to the unique-pair count, not the row count) and then
+    rollup-counts both truth levels in one lineage; rollup directly on
+    the corpus would Expand every row before the distinct shuffle
+    (642 MiB shuffle / 9.8 GiB spill at x100 in the probe).  Observed
+    at sf0.01: l_orderkey groups within ~4% (raw regime), l_linenumber
+    exact to the value (linear counting m*ln(m/V): 7 of 7)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
+
+    def truth_for(col: str) -> DataFrame:
+        return (
+            li.select(F.col("l_returnflag").alias("rf"), F.col(col).alias("k"))
+            .distinct()
+            .rollup("rf")
+            .agg(F.countDistinct("k").cast("bigint").alias("true_distinct"))
+            .select(
+                F.concat(
+                    F.lit(col + ":"), F.coalesce("rf", F.lit("__all__"))
+                ).alias("grp"),
+                "true_distinct",
+            )
+        )
+
+    truth = truth_for("l_orderkey").unionByName(truth_for("l_linenumber"))
+    est = sketch_hll_distinct(spark, sf_dir)
     return truth.join(F.broadcast(est), "grp").select(
-        "grp", "true_distinct", "hll_est", "zero_registers"
+        "grp",
+        "true_distinct",
+        "hll_est",
+        "zero_registers",
+        F.expr(
+            "CAST(abs(hll_est - true_distinct) * 1000000"
+            " div true_distinct AS BIGINT)"
+        ).alias("err_ppm"),
     )
-
-
-def _hll_reg_path(sf_dir: str) -> str:
-    """Deterministic scratch location for the persisted HLL register
-    table of one sf directory (overwritten per run; /tmp — never the
-    repo or the read-only testdata)."""
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"ckse_hll_regs_{tag}")
 
 
 @query(
@@ -2069,50 +2136,53 @@ def _hll_reg_path(sf_dir: str) -> str:
     regs AS (
       SELECT grp, j, max({_HLL_RHO_SQL.format(G='')}) AS R
       FROM doubled GROUP BY 1, 2
-    )
+    ),
+    rawest AS ({_HLL_RAW_SQL})
     SELECT grp,
-           CAST(CAST('{_HLL_NUM}' AS HUGEINT)
-                // (CAST({_HLL_DEN} AS HUGEINT)
-                    * (CAST(sum(CAST(1 AS BIGINT) << (62 - R)) AS HUGEINT)
-                       + CAST({_HLL_M} - count(*) AS HUGEINT)
-                         * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT)))
-                AS BIGINT) AS hll_est,
-           CAST({_HLL_M} - count(*) AS BIGINT) AS zero_registers
-    FROM regs GROUP BY grp
+           {_hll_est_sql('raw_est', 'zero_registers', '//')} AS hll_est,
+           zero_registers
+    FROM rawest
     """,
 )
 def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-once / merge-forever, run the way ingest runs it: the
-    corpus's HLL registers are WRITTEN TO PARQUET once (a
-    (groups+1) x 256-row table — bytes independent of corpus size),
-    and the daily batch scans ONLY its own rows, max-merges its
+    corpus's HLL registers are a MATERIALIZED ARTIFACT (a
+    (groups+1) x 256-row parquet table — bytes independent of corpus
+    size), and the daily batch scans ONLY its own rows, max-merges its
     registers with the stored table, and re-estimates — the corpus is
     never rescanned (plan-asserted: exactly one lineitem scan in the
     returned plan, belonging to the new batch).  Register max-merge is
     exact, so the incremental estimate is bit-identical to sketching
     corpus+batch from scratch — which is precisely what the oracle
-    computes over the union.  The dedup analog is
-    dedup_incremental_persisted (stored signature table); reference
-    analog: a compacted changelog restoring a state store instead of
-    replaying the source (KTableExample.scala:52-56).
+    computes over the union.
+
+    The stored table rides `artifacts.materialized`, not a bare /tmp
+    path: the artifact NAME carries the source file's mtime+size, the
+    semantic tag, and the package-source digest, so a regenerated
+    corpus or a changed HLL spec silently builds a fresh table instead
+    of max-merging a stale one into the estimate; the per-uid 0700
+    root and atomic staging/rename close the squat and torn-write
+    windows a predictable world-readable path leaves open.  The dedup
+    analog is dedup_incremental_persisted (stored signature table);
+    reference analog: a compacted changelog restoring a state store
+    instead of replaying the source (KTableExample.scala:52-56).
     """
+    import os
+
+    from confluent_kafka_streams_examples_spark.artifacts import materialized
+
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_returnflag", "l_orderkey"
     )
     is_new = F.pmod(F.col("l_orderkey"), F.lit(10)) == 0
-    path = _hll_reg_path(sf_dir)
-    import os
-
-    # The register content is a deterministic function of sf_dir (md5
-    # spec, fixed split), so an existing table IS the corpus build —
-    # skipping the rewrite makes a repeat invocation measure what
-    # production repeats: the daily path alone (scan new batch, merge
-    # 1,028 rows), not the once-per-corpus build.
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        hll_portable_registers(
+    stored = materialized(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        "hll_regs|l_returnflag|l_orderkey|corpus90",
+        lambda: hll_portable_registers(
             li.filter(~is_new), grp_col="l_returnflag", key_col="l_orderkey"
-        ).write.mode("overwrite").parquet(path)
-    stored = spark.read.parquet(path)
+        ),
+    )
     new_regs = hll_portable_registers(
         li.filter(is_new), grp_col="l_returnflag", key_col="l_orderkey"
     )
@@ -2156,16 +2226,13 @@ def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT grp, j, max({_HLL_RHO_SQL.format(G='')}) AS R
       FROM parts GROUP BY 1, 2
     ),
+    rawest AS ({_HLL_RAW_SQL}),
     est AS (
       SELECT grp,
-             CAST(CAST('{_HLL_NUM}' AS HUGEINT)
-                  // (CAST({_HLL_DEN} AS HUGEINT)
-                      * (CAST(sum(CAST(1 AS BIGINT) << (62 - R)) AS HUGEINT)
-                         + CAST({_HLL_M} - count(*) AS HUGEINT)
-                           * CAST(CAST(1 AS BIGINT) << 62 AS HUGEINT)))
-                  AS BIGINT) AS distinct_est,
-             CAST({_HLL_M} - count(*) AS BIGINT) AS zero_registers
-      FROM regs GROUP BY 1
+             {_hll_est_sql('raw_est', 'zero_registers', '//')}
+               AS distinct_est,
+             zero_registers
+      FROM rawest
     )
     SELECT c.col_name, c.n_rows, c.n_null, e.distinct_est, e.zero_registers
     FROM counts c JOIN est e ON e.grp = c.col_name
@@ -2183,11 +2250,12 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers together (nulls park in register -1, so everything rides
     a single exchange of <= n_cols x 257 partials; plan-asserted single
     scan).  No per-column countDistinct expansion (Spark would Expand
-    the scan n_distinct-agg times), no second scan.  zero_registers exposes the estimator regime per
-    column: low-cardinality columns (event_type: 5 values) sit deep in
-    the linear-counting range where production applies m*ln(m/V) —
-    kept out of the oracle contract as documented in
-    sketch_hll_distinct.  Reference analog: aggregate-then-inspect
+    the scan n_distinct-agg times), no second scan.  Low-cardinality
+    columns (event_type: 5 values) sit deep in the linear-counting
+    range, where the m*ln(m/V) correction applies via the precomputed
+    integer table — inside the oracle contract, so the corrected
+    estimates are hash-checked too; zero_registers still exposes the
+    regime per column.  Reference analog: aggregate-then-inspect
     (AggregationsExample.scala:36-44) generalized across columns.
     """
     from confluent_kafka_streams_examples_spark.operators.profile import (

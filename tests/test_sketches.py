@@ -93,26 +93,88 @@ def test_merge_associativity_across_partitionings_sf01(spark):
 
 
 def test_hll_oracle_sketch_error_and_merge(spark):
-    """The oracle-able HLL query (sketch_hll_distinct): every group's
-    raw estimate lands within 3 sigma (3 * 1.04/sqrt(256) ~ 19.5%, but
-    observed <4%), the demo stays in the raw regime (no empty
-    registers at sf0.01), and the '__all__' row is a register MERGE —
-    near the true union, far below the per-group sum (groups share
-    most orderkeys, so sum-of-counts would be ~2.2x the union)."""
+    """The HLL eval query (sketch_hll_eval): every l_orderkey group's
+    estimate lands within 3 sigma (3 * 1.04/sqrt(256) ~ 19.5%, but
+    observed <4%) in the raw regime (no empty registers at sf0.01);
+    every l_linenumber group (7 values, deep linear-counting regime)
+    is estimated via m*ln(m/V) — near-exact; and each key's ':__all__'
+    row is a register MERGE — near the true union, far below the
+    per-group sum (groups share most orderkeys, so sum-of-counts
+    would be ~2.2x the union)."""
     from confluent_kafka_streams_examples_spark.queries import QUERIES
 
     rows = {
-        r["grp"]: r for r in QUERIES["sketch_hll_distinct"](spark, SF).collect()
+        r["grp"]: r for r in QUERIES["sketch_hll_eval"](spark, SF).collect()
     }
-    assert set(rows) == {"A", "N", "R", "__all__"}
-    for g, r in rows.items():
+    flags = ("A", "N", "R", "__all__")
+    assert set(rows) == {
+        f"{k}:{g}" for k in ("l_orderkey", "l_linenumber") for g in flags
+    }
+    for g in flags:
+        r = rows[f"l_orderkey:{g}"]
         rel = abs(r["hll_est"] - r["true_distinct"]) / r["true_distinct"]
         assert rel < 0.195, (g, r["hll_est"], r["true_distinct"])
         assert r["zero_registers"] == 0, (g, r["zero_registers"])
-    group_sum = sum(r["true_distinct"] for g, r in rows.items() if g != "__all__")
-    union = rows["__all__"]
+        lo = rows[f"l_linenumber:{g}"]
+        # linear counting: 7 true values, correction lands within 1
+        assert lo["zero_registers"] > 200, (g, lo["zero_registers"])
+        assert abs(lo["hll_est"] - lo["true_distinct"]) <= 1, (
+            g, lo["hll_est"], lo["true_distinct"],
+        )
+    group_sum = sum(
+        rows[f"l_orderkey:{g}"]["true_distinct"] for g in ("A", "N", "R")
+    )
+    union = rows["l_orderkey:__all__"]
     assert union["hll_est"] < 0.8 * group_sum, (union["hll_est"], group_sum)
     assert union["true_distinct"] < group_sum
+
+
+def test_hll_linear_counting_table_and_null_keys(spark):
+    """Pins the linear-counting branch against a pure-Python third
+    implementation (m*ln(m/V) over float math must agree with the
+    integer table to the unit), and the null-key contract: null keys
+    contribute NOTHING — same registers and estimate as the dataset
+    with the nulls removed (ADVICE r9: an unfiltered null key inflated
+    n_present by a (j=NULL, R=NULL) row)."""
+    import math
+
+    from confluent_kafka_streams_examples_spark.operators.sketches import (
+        HLL_LC_TABLE_STR,
+        HLL_M,
+        hll_estimate_from_registers,
+        hll_portable_registers,
+    )
+
+    for V in (1, 7, 100, 249, 255, 256):
+        entry = int(HLL_LC_TABLE_STR[(V - 1) * 10 : V * 10])
+        assert abs(entry / 1e6 - HLL_M * math.log(HLL_M / V)) < 1e-5, V
+
+    keys = [(f"k{i}",) for i in range(40)] + [(None,)] * 25
+    df = spark.createDataFrame(keys, "k string").selectExpr(
+        "'g' AS grp", "k"
+    )
+    clean = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "k string"
+    ).selectExpr("'g' AS grp", "k")
+    got = {
+        (r["grp"], r["j"]): r["R"]
+        for r in hll_portable_registers(df, "grp", "k").collect()
+    }
+    expect = {
+        (r["grp"], r["j"]): r["R"]
+        for r in hll_portable_registers(clean, "grp", "k").collect()
+    }
+    assert got == expect
+    assert all(j is not None for (_, j) in got)
+    est = {
+        r["grp"]: r["hll_est"]
+        for r in hll_estimate_from_registers(
+            hll_portable_registers(df, "grp", "k")
+        ).collect()
+    }
+    # 40 distinct, V ~ 220: linear counting is near-exact
+    assert abs(est["g"] - 40) <= 2, est
+    assert abs(est["__all__"] - 40) <= 2, est
 
 
 def test_hll_incremental_never_rescans_corpus(spark):
@@ -131,13 +193,17 @@ def test_hll_incremental_never_rescans_corpus(spark):
     for m in re.finditer(r"\(\d+\) Scan parquet\s*\n(.*?)(?=\n\(|\Z)", p, re.S):
         locs += [ln for ln in m.group(1).splitlines() if "Location" in ln]
     li = [ln for ln in locs if "lineitem" in ln]
-    regs = [ln for ln in locs if "ckse_hll_regs" in ln]
+    regs = [ln for ln in locs if "ckse_art_" in ln]
     assert len(li) == 1 and len(regs) == 1, locs
 
     inc = {r["grp"]: (r["hll_est"], r["zero_registers"]) for r in df.collect()}
+    # from-scratch reference: the production query's l_orderkey groups
+    # (its grp labels are 'l_orderkey:<flag>'; incremental uses bare
+    # flags — same registers, so bit-identical estimates)
     full = {
-        r["grp"]: (r["hll_est"], r["zero_registers"])
+        r["grp"].split(":", 1)[1]: (r["hll_est"], r["zero_registers"])
         for r in QUERIES["sketch_hll_distinct"](spark, SF).collect()
+        if r["grp"].startswith("l_orderkey:")
     }
     assert inc == full
 
@@ -166,8 +232,15 @@ def test_events_profile_single_scan_and_sane(spark):
     assert all(r["n_rows"] == n for r in prof.values())
     # event_id is unique: estimate within 2 sigma (2 * 6.5%)
     assert abs(prof["event_id"]["distinct_est"] - n) / n < 0.13
-    # event_type has a handful of values: deep in linear-counting range
+    # event_type has a handful of values: deep in linear-counting range,
+    # where the m*ln(m/V) correction makes the estimate near-exact
     assert prof["event_type"]["zero_registers"] > 200
+    n_types = (
+        load_table(spark, "events", SF).select("event_type").distinct().count()
+    )
+    assert abs(prof["event_type"]["distinct_est"] - n_types) <= 1, (
+        prof["event_type"]["distinct_est"], n_types,
+    )
 
 
 def test_hll_register_spec_matches_python_reference(spark):

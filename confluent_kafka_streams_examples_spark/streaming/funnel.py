@@ -441,6 +441,15 @@ def funnel_stage_stream_exact(
                 # no qualifying view yet, but candidates are live —
                 # keep them so a late view can still admit them
                 users[int(u)] = (t1f, t2f, t3f, retained)
+            else:
+                # view-less user whose candidates all expired past the
+                # watermark: no future view can admit them (a view now
+                # arrives with t1 >= wm > t_candidate), so the entry is
+                # dead — DELETE it, or the stale un-compacted retained
+                # list (appended in place above) pickles into the
+                # bucket blob forever and state never shrinks under
+                # churn (ADVICE r9)
+                users.pop(int(u), None)
 
         state.update((pickle.dumps(users, protocol=pickle.HIGHEST_PROTOCOL),))
         if out_rows:

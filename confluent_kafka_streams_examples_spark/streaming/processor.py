@@ -64,11 +64,20 @@ def running_total_with_emission(
 
     Returns an update-mode streaming DataFrame (key, total, n).
 
+    Null-key records are DROPPED before the fold — the reference
+    semantics: Kafka Streams' groupByKey discards null-key records
+    ahead of any aggregation (KGroupedStream contract;
+    AggregationsExample.scala's groupBy upstream of :36-44), and the
+    JVM-side filter keeps the guarantee identical between this per-key
+    variant and :func:`running_total_bucketed` (whose pandas groupby
+    would otherwise silently drop them on its own — ADVICE r9).
+
     CAUTION: with ``emit_every_ms`` set, armed timers continuously
     schedule micro-batches, so ``query.processAllAvailable()`` never
     settles — drive such queries with sink polling or awaitTermination
     (see tests/test_examples.py::test_processor_pipeline_punctuate_reemission).
     """
+    stream = stream.filter(F.col(key_col).isNotNull())
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -140,9 +149,16 @@ def running_total_bucketed(
     """Per-key running sum with per-BUCKET state: identical update-mode
     (key, total, n) output to :func:`running_total_with_emission`
     (without the punctuator), vectorized across every key in a hash
-    bucket per micro-batch."""
+    bucket per micro-batch.
+
+    Null keys are dropped JVM-side before bucketing — the same
+    groupByKey null-drop guard as the per-key variant (reference
+    semantics), made EXPLICIT here because the pandas groupby inside
+    the fold would otherwise drop them silently (dropna default) while
+    claiming output parity."""
     import pickle
 
+    stream = stream.filter(F.col(key_col).isNotNull())
     src = stream.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("value"),

@@ -480,7 +480,9 @@ def test_running_total_bucketed_matches_per_key(spark, tmp_path):
     high-cardinality fast path): identical (key, total, n) results to
     the per-key fold across multi-batch refinement, with keys spread
     over many buckets — plus the pickled bucket map must survive the
-    state-store round trip between batches."""
+    state-store round trip between batches.  Null-key rows are mixed
+    in and must be DROPPED (the groupByKey null-drop guard both
+    variants share — ADVICE r9), not folded or emitted as 'None'."""
     from confluent_kafka_streams_examples_spark.streaming.processor import (
         running_total_bucketed,
     )
@@ -490,6 +492,7 @@ def test_running_total_bucketed_matches_per_key(spark, tmp_path):
     for k in range(40):
         for i in range(3):
             rows.append((f"id-{k}", float(k + 1) + i, ts(i)))
+    rows += [(None, 999.0, ts(1)), (None, 1.0, ts(2))]
     write_batch(spark, src, rows)
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
     totals = running_total_bucketed(stream, "key", "value", n_buckets=8)
@@ -519,7 +522,7 @@ def test_running_total_bucketed_matches_per_key(spark, tmp_path):
     }
     expect["id-0"] = (expect["id-0"][0] + 100.0, 4)
     expect["id-39"] = (expect["id-39"][0] + 1.0, 4)
-    assert final == expect
+    assert final == expect  # no 'None'/null key row, nulls not folded
 
 
 def test_windowed_join_random_stream_matches_batch(spark, tmp_path):

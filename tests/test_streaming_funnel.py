@@ -421,3 +421,46 @@ def test_funnel_exact_watermark_drops_beyond_horizon(spark, tmp_path):
     )
     stages = {r["user_id"]: r["stage"] for r in rows if r["user_id"] == 60}
     assert stages == {60: 2}  # purchase never lands
+
+
+def test_funnel_exact_reclaims_dead_viewless_users(spark, tmp_path):
+    """State reclamation (ADVICE r9): a view-less user whose retained
+    candidates all expire past the watermark can never be admitted (a
+    future view arrives with t1 >= wm > t_candidate), so their entry
+    must be DELETED from the bucket blob — read back through the state
+    store reader, user 70 must be gone while live users remain."""
+    import glob
+    import pickle
+
+    from confluent_kafka_streams_examples_spark.streaming.funnel import (
+        funnel_stage_stream_exact,
+    )
+
+    batches = [
+        # user 70: click only (no view) at s(2); user 99 drives the
+        # watermark far forward; both land in every-bucket reach via
+        # n_buckets=1 so one blob holds all users
+        [(70, "click", _s(2)), (99, "view", _s(1000))],
+        # wm is now ~ s(990): this click is late-dropped, compaction
+        # empties user 70's retained list -> dead entry -> reclaimed
+        [(70, "click", _s(3)), (99, "click", _s(1001))],
+    ]
+    rows = _drive(
+        spark,
+        tmp_path,
+        batches,
+        lambda st: funnel_stage_stream_exact(
+            st, delay="10 seconds", n_buckets=1
+        ),
+    )
+    assert {r["user_id"] for r in rows} == {99}
+    ckpts = glob.glob(str(tmp_path / "ckpt_*"))
+    assert len(ckpts) == 1
+    state = (
+        spark.read.format("statestore").load(ckpts[0]).collect()
+    )
+    users: set[int] = set()
+    for r in state:
+        users |= set(pickle.loads(r["value"]["groupState"]["blob"]))
+    assert 99 in users  # live user retained
+    assert 70 not in users  # dead view-less user reclaimed

@@ -128,12 +128,20 @@ def running_total_with_emission(
 # ~60 KB RocksDB value, rewritten per touched bucket per batch; pick
 # n_buckets ~ keys / 1000 to hold that constant (same rule as
 # funnel_stage_stream_bucketed — see streaming/funnel.py for the full
-# rationale).  The punctuator (emit_every_ms) stays on the per-key
-# variant: a bucket-level timeout would re-emit whole buckets, which
-# changes A4's per-key cadence contract.
+# rationale).
 #
-# Reference analog unchanged: per-key KeyValueStore fold
-# (ProcessorApiExample.scala:60-67); a bucket is the store partition
+# The punctuator (emit_every_ms) rides the SAME bucket blob (VERDICT
+# r9 #3): each key's NEXT-FIRE time is stored alongside its total, the
+# bucket's single processing-time timeout is armed at the MIN next-fire
+# across its keys, and a firing (or any data batch) re-emits exactly
+# the keys that are DUE — per-key cadence preserved (each key re-emits
+# emit_every_ms after its own last activity, independent of bucket
+# siblings), Python invocations still bounded by n_buckets.  A naive
+# bucket-level timeout that re-emitted whole buckets would change A4's
+# per-key cadence contract; emitting only due keys does not.
+#
+# Reference analog unchanged: per-key KeyValueStore fold + punctuator
+# (ProcessorApiExample.scala:43-67); a bucket is the store partition
 # made explicit.
 # ---------------------------------------------------------------------------
 
@@ -145,17 +153,30 @@ def running_total_bucketed(
     key_col: str,
     value_col: str,
     n_buckets: int = 1024,
+    emit_every_ms: int | None = None,
 ) -> DataFrame:
     """Per-key running sum with per-BUCKET state: identical update-mode
-    (key, total, n) output to :func:`running_total_with_emission`
-    (without the punctuator), vectorized across every key in a hash
-    bucket per micro-batch.
+    (key, total, n) output to :func:`running_total_with_emission`,
+    vectorized across every key in a hash bucket per micro-batch.
+
+    ``emit_every_ms`` is the punctuator (A4) at bucket granularity
+    with PER-KEY cadence: every key's next-fire time lives in the
+    bucket blob, the bucket's one processing-time timeout is armed at
+    the min next-fire of its keys, and a firing re-emits only the keys
+    that are due (then re-arms them) — so each key re-emits
+    emit_every_ms after its own last activity exactly as the per-key
+    punctuator does, while Python invocations per trigger stay bounded
+    by n_buckets regardless of key cardinality.
 
     Null keys are dropped JVM-side before bucketing — the same
     groupByKey null-drop guard as the per-key variant (reference
     semantics), made EXPLICIT here because the pandas groupby inside
     the fold would otherwise drop them silently (dropna default) while
-    claiming output parity."""
+    claiming output parity.
+
+    CAUTION (same as the per-key variant): an armed processing-time
+    timeout continuously schedules micro-batches, so
+    ``processAllAvailable()`` never settles — poll the sink instead."""
     import pickle
 
     stream = stream.filter(F.col(key_col).isNotNull())
@@ -170,33 +191,73 @@ def running_total_bucketed(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         chunks = [p for p in pdfs if len(p)]
-        if not chunks:
+        timed_out = (
+            state.hasTimedOut if emit_every_ms is not None else False
+        )
+        if not chunks and not timed_out:
             return
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        totals: dict[str, tuple[float, int]] = (
+        now = (
+            state.getCurrentProcessingTimeMs()
+            if emit_every_ms is not None
+            else 0
+        )
+        # entry = (total, n) plain mode; (total, n, next_fire_ms) with
+        # the punctuator — the fire time is state, so it survives
+        # checkpoint recovery like everything else in the blob
+        totals: dict[str, tuple] = (
             pickle.loads(state.get[0]) if state.exists else {}
         )
-        # one C-level groupby over the bucket's rows, then a Python
-        # loop over TOUCHED keys only (~rows/n_buckets per call)
-        g = pdf.groupby("key", sort=False)["value"].agg(["sum", "size"])
         out_k: list[str] = []
         out_t: list[float] = []
         out_n: list[int] = []
-        for k, s, c in zip(g.index, g["sum"].to_numpy(), g["size"].to_numpy()):
-            total, n = totals.get(k, (0.0, 0))
-            total += float(s)
-            n += int(c)
-            totals[k] = (total, n)
-            out_k.append(k)
-            out_t.append(total)
-            out_n.append(n)
+        emitted: set[str] = set()
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            # one C-level groupby over the bucket's rows, then a Python
+            # loop over TOUCHED keys only (~rows/n_buckets per call)
+            g = pdf.groupby("key", sort=False)["value"].agg(["sum", "size"])
+            for k, s, c in zip(
+                g.index, g["sum"].to_numpy(), g["size"].to_numpy()
+            ):
+                rec = totals.get(k)
+                total, n = (rec[0], rec[1]) if rec else (0.0, 0)
+                total += float(s)
+                n += int(c)
+                totals[k] = (
+                    (total, n)
+                    if emit_every_ms is None
+                    else (total, n, now + emit_every_ms)
+                )
+                emitted.add(k)
+                out_k.append(k)
+                out_t.append(total)
+                out_n.append(n)
+        if emit_every_ms is not None:
+            # due keys re-emit their CURRENT total (punctuate), whether
+            # this invocation carried data for bucket siblings or the
+            # bucket's timer fired with no data at all
+            for k, rec in totals.items():
+                if k not in emitted and rec[2] <= now:
+                    totals[k] = (rec[0], rec[1], now + emit_every_ms)
+                    out_k.append(k)
+                    out_t.append(rec[0])
+                    out_n.append(rec[1])
         state.update((pickle.dumps(totals, protocol=pickle.HIGHEST_PROTOCOL),))
-        yield pd.DataFrame({"key": out_k, "total": out_t, "n": out_n})
+        if emit_every_ms is not None and totals:
+            next_fire = min(rec[2] for rec in totals.values())
+            state.setTimeoutDuration(max(1, int(next_fire - now)))
+        if out_k:
+            yield pd.DataFrame({"key": out_k, "total": out_t, "n": out_n})
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if emit_every_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return src.groupBy("bucket").applyInPandasWithState(
         fold,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=BUCKET_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -193,15 +193,47 @@ def _p_funnel_exact(spark, path, n_keys=BASE_KEYS):
     )
 
 
+def _p_total_punctuated(spark, path, n_keys=BASE_KEYS):
+    # bucketed PUNCTUATOR (A4 at high K, VERDICT r9 #3): per-key
+    # next-fire times live in the bucket blob, the bucket's single
+    # processing-time timer fires at the min, and due keys re-emit
+    # their current totals — Python calls per trigger bounded by
+    # n_buckets while punctuate-emission work stays O(due keys).  The
+    # 2 s cadence is far shorter than the drain, so several punctuate
+    # rounds fire DURING ingestion and their cost lands inside the
+    # measured per-batch durations — the probe asks whether that cost
+    # bends with K the way the per-key punctuator's Python floor did.
+    from confluent_kafka_streams_examples_spark.streaming.processor import (
+        running_total_bucketed,
+    )
+
+    return (
+        running_total_bucketed(
+            _read(spark, path),
+            "key",
+            "value",
+            n_buckets=_buckets_for(n_keys),
+            emit_every_ms=2000,
+        ),
+        "update",
+    )
+
+
 PILLARS = [
     ("latest_per_key", _p_latest),
     ("running_total", _p_total),
     ("running_total_bucketed", _p_total_bucketed),
+    ("running_total_punctuated", _p_total_punctuated),
     ("dedup_watermark", _p_dedup),
     ("funnel_stages", _p_funnel),
     ("funnel_bucketed", _p_funnel_bucketed),
     ("funnel_exact", _p_funnel_exact),
 ]
+
+#: pillars whose armed processing-time timers keep scheduling
+#: micro-batches forever — processAllAvailable never settles, so the
+#: drain polls progress until every input row is processed instead
+POLL_DRAIN = {"running_total_punctuated"}
 
 
 def _drain_with_progress(out, ckpt: str, mode: str):
@@ -221,6 +253,35 @@ def _drain_with_progress(out, ckpt: str, mode: str):
     finally:
         q.stop()
     return wall, progresses
+
+
+def _drain_polling(out, ckpt: str, mode: str, n_rows: int):
+    """Drain a timer-armed query: poll merged progress (keyed by
+    batchId — recentProgress is a rolling window) until the cumulative
+    input row count reaches n_rows, then stop.  Punctuate rounds fire
+    interleaved with the file batches, so their cost is inside both
+    the wall and the per-batch durations."""
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    by_batch: dict[int, dict] = {}
+    try:
+        deadline = time.monotonic() + 3600
+        while time.monotonic() < deadline:
+            time.sleep(0.5)
+            for p in q.recentProgress:
+                p = json.loads(p) if isinstance(p, str) else p
+                by_batch[p["batchId"]] = p
+            if sum(p.get("numInputRows", 0) for p in by_batch.values()) >= n_rows:
+                break
+        wall = time.perf_counter() - t0
+    finally:
+        q.stop()
+    return wall, [by_batch[b] for b in sorted(by_batch)]
 
 
 def _state_metrics(progresses):
@@ -279,9 +340,15 @@ def main() -> None:
                         else {}
                     )
                     df, mode = factory(spark, path, **kw)
-                    wall, progresses = _drain_with_progress(
-                        df, f"{root}/ckpt_{name}_x{xk}", mode
-                    )
+                    ckpt = f"{root}/ckpt_{name}_x{xk}"
+                    if name in POLL_DRAIN:
+                        wall, progresses = _drain_polling(
+                            df, ckpt, mode, N_ROWS
+                        )
+                    else:
+                        wall, progresses = _drain_with_progress(
+                            df, ckpt, mode
+                        )
                 finally:
                     spark.stop()
                 rows, size, batch_ms = _state_metrics(progresses)

@@ -642,3 +642,63 @@ def test_latest_per_key_random_stream_matches_batch(spark, tmp_path):
                 seen_ts[k] = tt
                 expect[k] = v
     assert final == expect
+
+
+def test_running_total_bucketed_punctuator_per_key_cadence(spark, tmp_path):
+    """The bucketed punctuator (A4 at high key cardinality): with
+    emit_every_ms set, a key re-emits its CURRENT total on timeout even
+    when later batches carry no rows for it — the same contract as the
+    per-key punctuator (reference ProcessorApiExample.scala:43-58) —
+    and only DUE keys re-emit, not whole buckets: a key that just
+    received data is re-armed, not double-emitted."""
+    import time as _time
+
+    from confluent_kafka_streams_examples_spark.streaming.processor import (
+        running_total_bucketed,
+    )
+
+    src = str(tmp_path / "src")
+    write_batch(spark, src, [("a", 5.0, ts(0)), ("c", 2.0, ts(0))])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    # n_buckets=1: 'a' and 'c' share one bucket and ONE bucket timer,
+    # yet must keep independent per-key cadence
+    totals = running_total_bucketed(
+        stream, "key", "value", n_buckets=1, emit_every_ms=100
+    )
+    qname = f"bp{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+
+    def poll(cond, seconds):
+        deadline = _time.monotonic() + seconds
+        while _time.monotonic() < deadline:
+            rows = spark.sql(f"SELECT * FROM {qname}").collect()
+            if cond(rows):
+                return rows
+            _time.sleep(0.5)
+        return spark.sql(f"SELECT * FROM {qname}").collect()
+
+    rows = []
+    try:
+        rows = poll(lambda rs: any(r["key"] == "a" for r in rs), 60)
+        # data only for key b: a and c must re-emit via the bucket timer
+        write_batch(spark, src, [("b", 7.0, ts(1))])
+        rows = poll(
+            lambda rs: len([r for r in rs if r["key"] == "a"]) >= 2
+            and len([r for r in rs if r["key"] == "c"]) >= 2,
+            60,
+        )
+    finally:
+        q.stop()
+    emits_a = [r for r in rows if r["key"] == "a"]
+    emits_c = [r for r in rows if r["key"] == "c"]
+    assert len(emits_a) >= 2, rows  # initial emit + timeout re-emit
+    assert len(emits_c) >= 2, rows
+    assert all(r["total"] == 5.0 and r["n"] == 1 for r in emits_a)
+    assert all(r["total"] == 2.0 and r["n"] == 1 for r in emits_c)
+    assert all(r["total"] == 7.0 for r in rows if r["key"] == "b")

@@ -934,6 +934,278 @@ def similarity_ivf_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Incremental IVF index maintenance (VERDICT r9 #4): real corpora
+# APPEND — the index artifact must absorb a day batch without a
+# rebuild, and a drift statistic must gate when rebuild is due.
+# =====================================================================
+
+#: deterministic day-batch split (the sketch_hll_incremental pattern):
+#: vec_id % 10 == 0 is "today's append", the rest is the trained corpus
+_IVF_NEW_PRED = "vec_id % 10 = 0"
+
+
+def _ivf_codebook_corpus_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook trained on the CORPUS ONLY (the 90% split) — the
+    append path assigns new vectors to these FROZEN centroids, exactly
+    how a production IVF index absorbs a day batch (retraining the
+    codebook would re-shuffle every inverted list)."""
+    import os
+
+    from confluent_kafka_streams_examples_spark.artifacts import materialized
+
+    def build() -> DataFrame:
+        emb = load_table(spark, "embeddings", sf_dir).filter(
+            F.expr(f"NOT ({_IVF_NEW_PRED})")
+        )
+        return _ivf_codebook(emb)
+
+    return materialized(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "ivf_codebook|6dp|corpus90",
+        build,
+    )
+
+
+def _ivf_assign(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, list_id): nearest-centroid assignment of
+    ``base`` against a frozen codebook — shared by the initial index
+    build and the day-batch append."""
+    dist = _ivf_dist(base, cent)
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "label")).alias("m"))
+        .select("vec_id", F.col("m.label").alias("label"))
+    )
+    return (
+        assign.join(base.select("vec_id", "v", "nrm"), "vec_id")
+        .withColumnRenamed("label", "list_id")
+    )
+
+
+def _ivf_index_appended_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized corpus index + DAY-BATCH APPEND into the same
+    partitioned layout: the new vectors are assigned to the frozen
+    corpus codebook and their parquet files land inside the existing
+    ``list_id=`` directories (mode=append), so probes keep pruning to
+    nprobe directories and the corpus partitions are NEVER rewritten —
+    the append costs O(day batch), not O(index).  A marker file makes
+    the append idempotent per artifact version (the artifact path
+    already encodes source stamp + params + engine digest, so a corpus
+    regen or spec change starts from a fresh base).  Same
+    single-session caveat as the artifact GC: a concurrent appender
+    could race the marker; production would stage the day files and
+    rename, which parquet append does per-file anyway."""
+    import os
+
+    from confluent_kafka_streams_examples_spark.artifacts import (
+        artifact_path,
+        materialized,
+    )
+
+    src_file = os.path.join(sf_dir, "embeddings.parquet")
+    tag = "ivf_index|6dp|corpus90"
+
+    def build() -> DataFrame:
+        emb = load_table(spark, "embeddings", sf_dir).filter(
+            F.expr(f"NOT ({_IVF_NEW_PRED})")
+        )
+        return _ivf_assign(
+            _norm_bucket_base(emb), _ivf_codebook_corpus_table(spark, sf_dir)
+        )
+
+    materialized(spark, src_file, tag, build, partition_by="list_id")
+    path = artifact_path(src_file, tag)
+    marker = os.path.join(path, "_CKSE_APPENDED_batch1")
+    if not os.path.exists(marker):
+        emb = load_table(spark, "embeddings", sf_dir).filter(
+            F.expr(_IVF_NEW_PRED)
+        )
+        day = _ivf_assign(
+            _norm_bucket_base(emb), _ivf_codebook_corpus_table(spark, sf_dir)
+        )
+        day.write.mode("append").partitionBy("list_id").parquet(path)
+        with open(marker, "w", encoding="utf-8"):
+            pass
+    return spark.read.parquet(path)
+
+
+# Same probe semantics as _IVF_PROBE_SQL, but the codebook is trained
+# on the corpus split only — queries and results still span the FULL
+# table (corpus + appended day batch), which is the contract the
+# append must satisfy: new vectors are findable without a rebuild.
+_IVF_APPEND_SQL = """
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             label
+      FROM embeddings),
+    cent AS (
+      SELECT label, d, floor(avg(v[d]) * 1e6 + 0.5) / 1e6 AS c
+      FROM n, unnest(range(1, 65)) u(d)
+      WHERE NOT (vec_id % 10 = 0)
+      GROUP BY label, d),
+    cvec AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+    dist AS (
+      SELECT a.vec_id, c.label,
+             floor(list_sum(list_transform(range(1, 65),
+                     d -> (a.v[d] - c.cv[d]) * (a.v[d] - c.cv[d]))) * 1e6 + 0.5) / 1e6 AS d2
+      FROM n a CROSS JOIN cvec c),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS crn
+      FROM dist),
+    assign AS (SELECT vec_id, label FROM ranked WHERE crn = 1),
+    probe AS (SELECT vec_id AS query_id, label FROM ranked
+              WHERE vec_id < 5 AND crn <= 2),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             round(list_inner_product(c.v, q.qv) / (c.nrm * q.qnrm), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY round(list_inner_product(c.v, q.qv)
+                                               / (c.nrm * q.qnrm), 6) DESC,
+                                         a.vec_id) AS rn
+      FROM probe p
+      JOIN assign a ON a.label = p.label AND a.vec_id != p.query_id
+      JOIN n c ON c.vec_id = a.vec_id
+      JOIN q ON q.query_id = p.query_id)
+    SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 3
+    """
+
+
+@query("similarity_ivf_append", oracle=_IVF_APPEND_SQL)
+def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe over the INCREMENTALLY-MAINTAINED index: the stored
+    corpus index absorbed a day batch by assigning the new vectors to
+    the frozen corpus codebook and appending their files into the
+    existing ``list_id=`` partition directories — no rebuild, no
+    corpus-partition rewrite — and the probe (collect-free DPP router,
+    same shape as similarity_ivf_dynamic) searches corpus and new
+    vectors uniformly, still reading only the probed list directories
+    (plan-asserted: the appended index scan carries a dynamic
+    ``PartitionFilters`` on list_id).  The oracle recomputes the whole
+    thing from scratch — frozen-codebook assignment over corpus+batch —
+    so the append is verified bit-equal to a from-scratch assignment,
+    the same invariant sketch_hll_incremental pins for register
+    max-merge.  Reference analog: a compacted changelog absorbing new
+    records into a restored state store (KTableExample.scala:52-56)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qbase = _norm_bucket_base(emb).filter(F.col("vec_id") < 5)
+    dist = _ivf_dist(qbase, _ivf_codebook_corpus_table(spark, sf_dir))
+    wq = Window.partitionBy("query_id").orderBy("d2", "label")
+    probe = (
+        dist.select(F.col("vec_id").alias("query_id"), "label", "d2")
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= 2)
+        .select("query_id", F.col("label").alias("list_id"))
+    )
+    q = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    idx = _ivf_index_appended_table(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        idx.join(F.broadcast(probe), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+@query(
+    "ivf_drift_stat",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    cent AS (
+      SELECT label, d, floor(avg(v[d]) * 1e6 + 0.5) / 1e6 AS c
+      FROM n, unnest(range(1, 65)) u(d)
+      WHERE NOT (vec_id % 10 = 0)
+      GROUP BY label, d),
+    cvec AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+    dist AS (
+      SELECT a.vec_id, c.label,
+             floor(list_sum(list_transform(range(1, 65),
+                     d -> (a.v[d] - c.cv[d]) * (a.v[d] - c.cv[d]))) * 1e6 + 0.5) / 1e6 AS d2
+      FROM n a CROSS JOIN cvec c),
+    mind AS (
+      SELECT vec_id, CAST(floor(min(d2) * 1e6 + 0.5) AS BIGINT) AS d2_e6
+      FROM dist GROUP BY vec_id),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN NOT (vec_id % 10 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        CAST(sum(CASE WHEN NOT (vec_id % 10 = 0) THEN d2_e6 ELSE 0 END) AS HUGEINT) AS s_train,
+        CAST(sum(CASE WHEN vec_id % 10 = 0 THEN d2_e6 ELSE 0 END) AS HUGEINT) AS s_new
+      FROM mind)
+    SELECT n_train, n_new,
+           CAST(s_train // n_train AS BIGINT) AS train_mean_d2_e6,
+           CAST(s_new // n_new AS BIGINT) AS new_mean_d2_e6,
+           CAST((s_new * n_train * 1000000) // (s_train * n_new) AS BIGINT)
+             AS drift_ratio_e6,
+           CAST((s_new * n_train * 1000000) // (s_train * n_new) AS BIGINT)
+             > 1100000 AS rebuild_recommended
+    FROM s
+    """,
+)
+def ivf_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild gate for the incremental IVF index: mean
+    assigned-distance (each vector's distance to its nearest FROZEN
+    corpus centroid) of the appended batch vs the trained corpus, as
+    an integer-exact ppm ratio.  A batch drawn from the trained
+    distribution sits near 1.0e6; covariate shift pushes the ratio up
+    — past +10% (1.1e6) the frozen codebook is mis-binning new data
+    and ``rebuild_recommended`` flips, which is when production
+    retrains and rebuilds (the sketch_hll_incremental pattern applied
+    to ANN: cheap daily appends, statistic-gated rebuilds).
+
+    Integer-exact portability: per-vector min distances are already
+    round_det(6) doubles; converting each to BIGINT micro-units before
+    summation makes the means and the cross-ratio pure integer
+    arithmetic (one DECIMAL(38,0)/HUGEINT multiply-divide), so both
+    engines hash-match on the ratio, not approximately.  Scale: one
+    corpus scan, k-row broadcast, and a two-cell aggregate — the
+    statistic is free next to the assignment it audits."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = _norm_bucket_base(emb)
+    dist = _ivf_dist(base, _ivf_codebook_corpus_table(spark, sf_dir))
+    mind = dist.groupBy("vec_id").agg(
+        F.expr("CAST(floor(min(d2) * 1e6 + 0.5) AS BIGINT)").alias("d2_e6")
+    )
+    is_new = F.expr(_IVF_NEW_PRED)
+    s = mind.agg(
+        F.sum(F.when(~is_new, 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(~is_new, F.col("d2_e6")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s_train"),
+        F.sum(F.when(is_new, F.col("d2_e6")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s_new"),
+    )
+    ratio = (
+        "CAST((s_new * n_train * 1000000) div (s_train * n_new) AS BIGINT)"
+    )
+    return s.select(
+        "n_train",
+        "n_new",
+        F.expr("CAST(s_train div n_train AS BIGINT)").alias("train_mean_d2_e6"),
+        F.expr("CAST(s_new div n_new AS BIGINT)").alias("new_mean_d2_e6"),
+        F.expr(ratio).alias("drift_ratio_e6"),
+        F.expr(f"{ratio} > 1100000").alias("rebuild_recommended"),
+    )
+
+
+# =====================================================================
 # Gopher-style repetition / quality signals
 # =====================================================================
 

@@ -712,3 +712,39 @@ def test_no_unbounded_bigint_multiply_over_corpus_aggregates(spark):
         "unaudited BIGINT multiply above corpus aggregates (overflow "
         f"hazard at scale — guard with DECIMAL(38,0) or audit): {offenders}"
     )
+
+
+def test_ivf_append_scan_prunes_and_serves_new_vectors(spark):
+    """The incrementally-appended IVF index (VERDICT r9 #4): the
+    appended index scan must STILL carry a dynamic partition-pruning
+    filter on list_id (the append lands inside existing list_id=
+    directories, so pruning survives), the day batch's files must be
+    physically present in the artifact, and the probe must be able to
+    SERVE appended vectors — the whole point of absorbing a batch
+    without a rebuild."""
+    import glob
+    import os
+
+    from confluent_kafka_streams_examples_spark.artifacts import artifact_path
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    p = plan(spark, "similarity_ivf_append")  # builds + appends on miss
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "list_id" in ln and "dynamicpruning" in ln for ln in pf
+    ), f"appended index scan must be DPP-pruned on list_id\n{p}"
+    assert "CartesianProduct" not in p, p
+
+    index_dir = artifact_path(
+        os.path.join(SF_SMOKE, "embeddings.parquet"), "ivf_index|6dp|corpus90"
+    )
+    assert os.path.exists(os.path.join(index_dir, "_CKSE_APPENDED_batch1"))
+    # appended vectors live in the partitioned layout...
+    idx = spark.read.parquet(index_dir)
+    n_new_in_index = idx.filter("vec_id % 10 = 0").count()
+    assert n_new_in_index > 0
+    # ...and are genuinely served: with ~10% of the corpus appended and
+    # 5 queries x top-3, at least one result row is an appended vector
+    # (deterministic data, checked to hold at sf0.001 and sf0.01)
+    rows = QUERIES["similarity_ivf_append"](spark, SF_SMOKE).collect()
+    assert any(r["vec_id"] % 10 == 0 for r in rows), rows

@@ -19,10 +19,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from confluent_kafka_streams_examples_spark.operators.sketches import (
+    CMS_ROWS,
     HLL_DEN,
     HLL_M,
     HLL_NUM,
     HLL_RHO_SQL,
+    cms_bucket,
     hll_est_sql,
 )
 
@@ -106,4 +108,145 @@ def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             "distinct_est"
         ),
         "zero_registers",
+    )
+
+
+def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """The full day-one "describe extended", still in ONE scan: per
+    column, row/null counts, corrected portable-HLL distinct estimate,
+    lexicographic min/max, integer-exact average length (centi-chars),
+    and a portable-CMS heavy-hitter estimate ``top_freq_est`` — the
+    CMS upper bound on the modal value's count (min over hash rows of
+    that row's max cell), the number a platform reads to decide salt
+    factors and max_df caps before running anything else.
+
+    Shape: every stacked (col_name, val) row explodes into 1 HLL row
+    (kind=-1, register index, rho tail, and the value stats — counted
+    ONCE per source row) plus CMS_ROWS CMS rows (kind=r, bucket), and
+    a three-level aggregation cascade collapses them: (col, kind, idx)
+    -> (col, kind) -> (col).  Only the first aggregation sees data
+    volume, and its partial-agg exchange carries at most
+    tasks x n_cols x (257 + CMS_ROWS x 256 + CMS_ROWS) partials
+    regardless of corpus size; levels two and three aggregate a few
+    thousand rows.  The table is read exactly once (plan-asserted in
+    tests).
+    """
+    pairs: list[Column] = []
+    for name, col in cols.items():
+        pairs += [F.lit(name), col]
+    stacked = df.select(
+        F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val")
+    )
+    h = stacked.select("col_name", "val", F.md5("val").alias("h"))
+    kinds = [
+        F.struct(
+            F.lit(-1).alias("kind"),
+            F.when(F.col("h").isNull(), F.lit(-1))
+            .otherwise(F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+            .alias("idx"),
+            F.substring("h", 3, 15).alias("tail"),
+        )
+    ]
+    for r in range(CMS_ROWS):
+        kinds.append(
+            F.struct(
+                F.lit(r).alias("kind"),
+                cms_bucket(F.lit(r), F.col("val")).cast("int").alias("idx"),
+                F.lit(None).cast("string").alias("tail"),
+            )
+        )
+    ex = (
+        h.select("col_name", "val", F.explode(F.array(*kinds)).alias("k"))
+        .select("col_name", "val", "k.kind", "k.idx", "k.tail")
+        # null values carry no CMS rows (frequency of actual values);
+        # they still ride the HLL row at idx=-1 for the null count
+        .filter(~((F.col("kind") >= 0) & F.col("idx").isNull()))
+    )
+    is_hll = F.col("kind") == -1
+    rho = F.when(
+        is_hll & (F.col("idx") >= 0), F.expr(HLL_RHO_SQL.format(G=", 0"))
+    )
+    lvl1 = (
+        ex.select(
+            "col_name",
+            "kind",
+            "idx",
+            rho.alias("rho"),
+            F.when(is_hll, F.col("val")).alias("sval"),
+            F.when(is_hll, F.length("val")).alias("vlen"),
+        )
+        .groupBy("col_name", "kind", "idx")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("rho").alias("R"),
+            F.min("sval").alias("mn"),
+            F.max("sval").alias("mx"),
+            F.sum("vlen").alias("slen"),
+        )
+    )
+    lvl2 = lvl1.groupBy("col_name", "kind").agg(
+        F.sum("cnt").alias("n_rows_k"),
+        F.sum(F.when(F.col("idx") == -1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_null_k"
+        ),
+        F.sum(
+            F.when(
+                F.col("idx") >= 0,
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 62 - R) AS DECIMAL(38,0))"
+                ),
+            )
+        ).alias("S_k"),
+        F.sum((F.col("idx") >= 0).cast("long")).alias("n_present_k"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("slen").alias("slen_k"),
+        F.max("cnt").alias("mx_cnt"),  # per-CMS-row max cell count
+    )
+    is_hll2 = F.col("kind") == -1
+    prof = lvl2.groupBy("col_name").agg(
+        F.sum(F.when(is_hll2, F.col("n_rows_k"))).cast("bigint").alias("n_rows"),
+        F.sum(F.when(is_hll2, F.col("n_null_k"))).cast("bigint").alias("n_null"),
+        F.sum(F.when(is_hll2, F.col("S_k"))).alias("S_present"),
+        F.sum(F.when(is_hll2, F.col("n_present_k"))).alias("n_present"),
+        F.min(F.when(is_hll2, F.col("mn"))).alias("min_val"),
+        F.max(F.when(is_hll2, F.col("mx"))).alias("max_val"),
+        F.sum(F.when(is_hll2, F.col("slen_k"))).cast("bigint").alias("sum_len"),
+        F.min(F.when(~is_hll2, F.col("mx_cnt"))).cast("bigint").alias(
+            "top_freq_est"
+        ),
+    )
+    raw = prof.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.expr(
+            f"CAST(CAST('{HLL_NUM}' AS DECIMAL(38,0))"
+            f" div (CAST({HLL_DEN} AS DECIMAL(38,0))"
+            f" * (coalesce(S_present, CAST(0 AS DECIMAL(38,0)))"
+            f" + CAST(({HLL_M} - n_present) AS DECIMAL(38,0))"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), 62) AS DECIMAL(38,0))))"
+            f" AS BIGINT)"
+        ).alias("raw_est"),
+        F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
+        "min_val",
+        "max_val",
+        F.expr(
+            "CASE WHEN n_rows - n_null > 0 THEN"
+            " CAST((100 * sum_len) div (n_rows - n_null) AS BIGINT) END"
+        ).alias("avg_len_e2"),
+        "top_freq_est",
+    )
+    return raw.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.expr(hll_est_sql("raw_est", "zero_registers", "div")).alias(
+            "distinct_est"
+        ),
+        "zero_registers",
+        "min_val",
+        "max_val",
+        "avg_len_e2",
+        "top_freq_est",
     )

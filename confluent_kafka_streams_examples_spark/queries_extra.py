@@ -2552,3 +2552,114 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props": canonical(F.col("props")),
         },
     )
+
+
+#: shared stacked-events CTE body for the two profiler oracles
+_PROFILE_STACK_SQL = """
+      SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val FROM events
+      UNION ALL SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL SELECT 'event_type', event_type FROM events
+      UNION ALL SELECT 'value',
+        CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM events
+      UNION ALL SELECT 'props', props FROM events
+"""
+
+
+@query(
+    "events_profile_extended",
+    oracle=f"""
+    WITH stacked AS ({_PROFILE_STACK_SQL}),
+    counts AS (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             min(val) AS min_val, max(val) AS max_val,
+             CASE WHEN count(val) > 0 THEN
+               CAST((100 * sum(length(val))) // count(val) AS BIGINT) END
+               AS avg_len_e2
+      FROM stacked GROUP BY 1
+    ),
+    h AS (
+      SELECT col_name AS grp, md5(val) AS h FROM stacked WHERE val IS NOT NULL
+    ),
+    parts AS (
+      SELECT grp,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS j,
+             substr(h, 3, 15) AS tail
+      FROM h
+    ),
+    regs AS (
+      SELECT grp, j, max({_HLL_RHO_SQL.format(G='')}) AS R
+      FROM parts GROUP BY 1, 2
+    ),
+    rawest AS ({_HLL_RAW_SQL}),
+    est AS (
+      SELECT grp,
+             {_hll_est_sql('raw_est', 'zero_registers', '//')}
+               AS distinct_est,
+             zero_registers
+      FROM rawest
+    ),
+    rows_ AS (SELECT unnest(range(0, {_CMS_ROWS})) AS r),
+    cms AS (
+      SELECT s.col_name, r.r,
+             ({_cms_bucket_sql('r.r', 's.val')}) % {_CMS_WIDTH} AS bucket,
+             count(*) AS c
+      FROM stacked s, rows_ r WHERE s.val IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    rowmax AS (SELECT col_name, r, max(c) AS mc FROM cms GROUP BY 1, 2),
+    topf AS (
+      SELECT col_name, CAST(min(mc) AS BIGINT) AS top_freq_est
+      FROM rowmax GROUP BY 1
+    )
+    SELECT c.col_name, c.n_rows, c.n_null, e.distinct_est, e.zero_registers,
+           c.min_val, c.max_val, c.avg_len_e2, t.top_freq_est
+    FROM counts c
+    JOIN est e ON e.grp = c.col_name
+    LEFT JOIN topf t ON t.col_name = c.col_name
+    """,
+)
+def events_profile_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiler's 'describe extended' (VERDICT r9 #5): everything
+    events_profile reports PLUS lexicographic min/max, integer-exact
+    average canonical length (centi-chars), and a portable-CMS
+    heavy-hitter estimate per column — all fused into the SAME single
+    scan.  top_freq_est is the CMS upper bound on the modal value's
+    count (min over 4 hash rows of the row's max cell): the number
+    that decides salt factors (operators/skew.py) and max_df caps
+    (dedup) before any other job runs.  For a unique column it sits
+    near n/256 (uniform collision mass — large overestimate of 1,
+    correctly read as 'no heavy hitter'); for a skewed column it is
+    tight (event_type's modal share survives the sketch nearly exact,
+    CMS error ~ n/width per row).
+
+    One scan, plan-asserted: each value row explodes into 1 HLL + 4
+    CMS rows map-side, and the three-level aggregation cascade keeps
+    the only data-volume exchange at tasks x cols x ~1.3k partials —
+    the same corpus-size-independent exchange contract as
+    events_profile, with every extra statistic riding it for free.
+    Reference analog: aggregate-then-inspect
+    (AggregationsExample.scala:36-44) generalized across columns and
+    statistics."""
+    from confluent_kafka_streams_examples_spark.operators.profile import (
+        canonical,
+        profile_table_extended,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return profile_table_extended(
+        ev,
+        {
+            "event_id": canonical(F.col("event_id")),
+            "ts": F.unix_micros(F.col("ts")).cast("string"),
+            "user_id": canonical(F.col("user_id")),
+            "event_type": canonical(F.col("event_type")),
+            "value": F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            "props": canonical(F.col("props")),
+        },
+    )

@@ -336,3 +336,58 @@ def test_profile_table_generic_on_documents(spark):
     assert n == docs.count()
     assert abs(prof["doc_id"]["distinct_est"] - n) / n < 0.13  # unique ids
     assert prof["lang"]["zero_registers"] > 200  # tiny lang set
+
+
+def test_events_profile_extended_single_scan_and_sane(spark):
+    """The extended profiler keeps the one-scan contract while adding
+    min/max, avg length, and the CMS heavy-hitter estimate: exactly
+    one parquet scan in the plan; statistics behave per regime —
+    event_type's top_freq_est is TIGHT (true modal count <= est <=
+    modal + n/256 per CMS row), a unique column's est is the collision
+    mass (~n/256), and min/max/avg_len agree with exact recomputation."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.plans.describe import explain_str
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    df = QUERIES["events_profile_extended"](spark, SF)
+    p = explain_str(df, "formatted")
+    assert (
+        sum(
+            1
+            for ln in p.splitlines()
+            if ln.strip().startswith("(") and "Scan parquet" in ln
+        )
+        == 1
+    ), p
+    prof = {r["col_name"]: r for r in df.collect()}
+    ev = load_table(spark, "events", SF)
+    n = ev.count()
+    et = prof["event_type"]
+    modal = (
+        ev.groupBy("event_type").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert modal <= et["top_freq_est"] <= modal + 4 * (n // 256 + 1), (
+        et["top_freq_est"], modal,
+    )
+    assert prof["event_id"]["top_freq_est"] <= n // 64  # no heavy hitter
+    exact = ev.agg(
+        F.min(F.col("event_id").cast("string")).alias("mn"),
+        F.max(F.col("event_id").cast("string")).alias("mx"),
+        F.expr(
+            "CAST((100 * sum(length(CAST(event_id AS STRING))))"
+            " div count(event_id) AS BIGINT)"
+        ).alias("al"),
+    ).collect()[0]
+    assert prof["event_id"]["min_val"] == exact["mn"]
+    assert prof["event_id"]["max_val"] == exact["mx"]
+    assert prof["event_id"]["avg_len_e2"] == exact["al"]
+    # the base columns still match events_profile exactly
+    base = {
+        r["col_name"]: r for r in QUERIES["events_profile"](spark, SF).collect()
+    }
+    for c, r in prof.items():
+        assert (r["n_rows"], r["n_null"], r["distinct_est"]) == (
+            base[c]["n_rows"], base[c]["n_null"], base[c]["distinct_est"],
+        ), c

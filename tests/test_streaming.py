@@ -702,3 +702,94 @@ def test_running_total_bucketed_punctuator_per_key_cadence(spark, tmp_path):
     assert all(r["total"] == 5.0 and r["n"] == 1 for r in emits_a)
     assert all(r["total"] == 2.0 and r["n"] == 1 for r in emits_c)
     assert all(r["total"] == 7.0 for r in rows if r["key"] == "b")
+
+
+@pytest.mark.parametrize("how", ["left_outer", "full_outer"])
+def test_outer_windowed_join_random_stream_matches_batch(spark, tmp_path, how):
+    """Differential contract for J1b (VERDICT r9 #7): over a seeded
+    random stream arriving in nondecreasing event time, the OUTER
+    windowed join's append output must equal the batch left/full outer
+    equi+range join over the union of all batches — row multiset
+    including the null-padded rows, whose emission timing (watermark
+    expiry, not arrival) is the hard part the inner differential never
+    exercises.  Trailing watermark-advance batches flush every
+    remaining pad before the comparison."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(13 if how == "left_outer" else 29)
+    l_batches, r_batches, t = [], [], 0
+    for _ in range(3):
+        lb, rb = [], []
+        for _ in range(120):
+            t += rng.randrange(3)  # nondecreasing across ALL batches
+            (lb if rng.random() < 0.5 else rb).append(
+                (f"u{rng.randrange(12)}", float(t), ts(t))
+            )
+        l_batches.append(lb)
+        r_batches.append(rb)
+
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_batch(spark, lp, l_batches[0] or [("wml", 0.0, ts(0))])
+    write_batch(spark, rp, r_batches[0] or [("wmr", 0.0, ts(0))])
+    left = spark.readStream.schema(EVENT_SCHEMA).parquet(lp)
+    right = spark.readStream.schema(EVENT_SCHEMA).parquet(rp)
+    joined = windowed_stream_join(
+        left, right, "key", "ts", "ts", window_seconds=5, how=how
+    ).select("key", "value", "r_key", "r_value")
+    qname = f"od{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for lb, rb in zip(l_batches[1:], r_batches[1:]):
+            write_batch(spark, lp, lb or [("wml", 0.0, ts(t))])
+            write_batch(spark, rp, rb or [("wmr", 0.0, ts(t))])
+            q.processAllAvailable()
+        # two trailing advances: the first moves the watermark past
+        # every u-row's window, the second triggers the microbatch
+        # that actually emits the expired unmatched state null-padded
+        for adv in (t + 100, t + 200):
+            write_batch(spark, lp, [("wml", 0.0, ts(adv))])
+            write_batch(spark, rp, [("wmr", 0.0, ts(adv))])
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def is_u(k):
+        return k is not None and k.startswith("u")
+
+    got = Counter(
+        (r["key"], r["value"], r["r_key"], r["r_value"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        if is_u(r["key"]) or is_u(r["r_key"])
+    )
+
+    all_l = [r for b in l_batches for r in b]
+    all_r = [r for b in r_batches for r in b]
+
+    def in_window(lt, rt):
+        return abs((lt - rt).total_seconds()) <= 5
+
+    expect: Counter = Counter()
+    for lk, lv, lt in all_l:
+        matches = [
+            (rk, rv) for rk, rv, rt in all_r if rk == lk and in_window(lt, rt)
+        ]
+        if matches:
+            for rk, rv in matches:
+                expect[(lk, lv, rk, rv)] += 1
+        else:
+            expect[(lk, lv, None, None)] += 1
+    if how == "full_outer":
+        for rk, rv, rt in all_r:
+            if not any(
+                lk == rk and in_window(lt, rt) for lk, _, lt in all_l
+            ):
+                expect[(None, None, rk, rv)] += 1
+    assert got == expect

@@ -700,10 +700,48 @@ from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,
 # ---------------------------------------------------------------------
 
 _VERIFY_FIRST = [
-    # GENERATED by scripts/gen_verify_order.py (round 9) — do not
+    # GENERATED by scripts/gen_verify_order.py (round 10) — do not
     # hand-edit; regenerate after any query/helper change and paste
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
+    "sketch_hll_distinct", "sketch_hll_incremental", "events_profile",
+    "similarity_ivf_append", "ivf_drift_stat", "sketch_hll_eval",
+    "events_profile_extended",
+    # Tail: oldest green first.
+    "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
+    "vocab_coverage", "sql_interface", "user_sessions",
+    "primary_supplier_per_part", "corpus_split_assignment", "asof_join",
+    "ktable_latest", "sample_n_per_group", "dedup_simhash",
+    "similarity_topk_batch", "lm_unigram_score", "agg_running_total",
+    "windowed_hopping", "late_ship_priority", "corpus_stratified_sample",
+    "anti_join_users", "ktable_filter_extract", "skewed_event_rollup",
+    "dedup_exact_normalized", "similarity_ivf_probe", "bpe_pair_counts",
+    "json_props_extract", "funnel_conversion", "nation_pair_volume",
+    "decontaminate_train", "semi_join_parts",
+    "events_concurrent_degree_salted", "dedup_incremental_persisted",
+    "embedding_quantize", "ngram_novelty_scores", "agg_pricing_summary",
+    "user_running_value", "returned_item_customers", "pii_scrub",
+    "stream_stream_left_join", "events_concurrent_degree",
+    "doc_winnow_fingerprints", "semdedup_prune",
+    "quality_histogram_threshold", "topk_per_key",
+    # Past the 50-entry window from here: these stay green on
+    # unchanged bodies and lead the next round's rotation.
+    "large_volume_orders", "market_share", "product_type_profit",
+    "important_part_value", "late_shipment_priority_counts",
+    "customer_order_distribution", "promo_revenue", "top_supplier",
+    "part_supplier_counts", "small_quantity_revenue",
+    "disjunctive_predicate_revenue", "excess_suppliers",
+    "sole_late_supplier", "dormant_customer_balance",
+    "corpus_chunk_documents", "dedup_duplicate_spans",
+    "dedup_span_removal", "dedup_cdc_chunks", "events_json_analytics",
+    "pack_sequences", "semdedup_prune_scaled", "corpus_shard_export",
+    "hybrid_search", "similarity_topk", "dedup_bloom_prefilter",
+    "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
+    "lang_profile", "lang_id_heuristic", "token_frequencies",
+    "rollup_pricing", "cube_order_priority", "setops_users", "event_gaps",
+    "distinct_parts_per_supplier", "user_retention_cohorts",
+    "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
+    "dedup_simhash64", "corpus_mixture_sample", "distinct_daily_users",
     "embedding_dim_stats", "zorder_layout_stats", "kafka_wire_roundtrip",
     "dedup_containment", "dedup_lsh_recall_eval",
     "pipeline_training_export", "dedup_ngram_jaccard",
@@ -711,53 +749,16 @@ _VERIFY_FIRST = [
     "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
-    "stream_stream_left_join", "sketch_hll_distinct",
-    "stream_stream_outer_join", "sketch_hll_incremental",
-    "sketch_heavy_hitters", "events_profile", "windowed_session",
-    # Tail: oldest green first.
+    "stream_stream_outer_join", "sketch_heavy_hitters", "windowed_session",
     "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
     "quality_repetition_signals", "shipping_priority",
     "source_overlap_matrix", "basic_pipeline", "windowed_tumbling",
-    "stream_stream_window_join", "ktable_latest", "scd2_user_history",
-    "boilerplate_chunks", "embedding_centroids", "top_terms_per_source",
-    "regional_revenue", "duplicate_rate_by_source",
-    "forecast_revenue_change", "rolling_user_stats", "stream_table_join",
-    "ktable_filter_extract", "merge_upsert_balances", "dedup_exact",
-    "ann_recall_eval", "bm25_search", "local_supplier_volume",
-    "multimodal_features",
-    # Past the 50-entry window from here: these stay green on
-    # unchanged bodies and lead the next round's rotation.
-    "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
-    "vocab_coverage", "dedup_simhash", "similarity_topk_batch",
-    "similarity_ivf_probe", "sql_interface", "user_sessions",
-    "primary_supplier_per_part", "late_ship_priority",
-    "nation_pair_volume", "returned_item_customers", "large_volume_orders",
-    "market_share", "product_type_profit", "important_part_value",
-    "late_shipment_priority_counts", "customer_order_distribution",
-    "promo_revenue", "top_supplier", "part_supplier_counts",
-    "small_quantity_revenue", "disjunctive_predicate_revenue",
-    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
-    "corpus_split_assignment", "corpus_stratified_sample",
-    "decontaminate_train", "pii_scrub", "embedding_quantize",
-    "sample_n_per_group", "dedup_exact_normalized", "skewed_event_rollup",
-    "dedup_incremental_persisted", "lm_unigram_score",
-    "corpus_chunk_documents", "bpe_pair_counts", "doc_winnow_fingerprints",
-    "dedup_duplicate_spans", "dedup_span_removal", "dedup_cdc_chunks",
-    "agg_running_total", "json_props_extract", "agg_pricing_summary",
-    "windowed_hopping", "topk_per_key", "events_json_analytics",
-    "asof_join", "pack_sequences", "semdedup_prune",
-    "semdedup_prune_scaled", "events_concurrent_degree_salted",
-    "events_concurrent_degree", "ngram_novelty_scores",
-    "funnel_conversion", "corpus_shard_export",
-    "quality_histogram_threshold", "hybrid_search", "similarity_topk",
-    "dedup_bloom_prefilter", "similarity_pairs_label", "text_stats",
-    "doc_fingerprint_dups", "lang_profile", "lang_id_heuristic",
-    "token_frequencies", "rollup_pricing", "cube_order_priority",
-    "setops_users", "anti_join_users", "semi_join_parts",
-    "user_running_value", "event_gaps", "distinct_parts_per_supplier",
-    "user_retention_cohorts", "bucketed_revenue_by_priority",
-    "neardup_verify_levenshtein", "dedup_simhash64",
-    "corpus_mixture_sample", "distinct_daily_users",
+    "stream_stream_window_join", "scd2_user_history", "boilerplate_chunks",
+    "embedding_centroids", "top_terms_per_source", "regional_revenue",
+    "duplicate_rate_by_source", "forecast_revenue_change",
+    "rolling_user_stats", "stream_table_join", "merge_upsert_balances",
+    "dedup_exact", "ann_recall_eval", "bm25_search",
+    "local_supplier_volume", "multimodal_features",
 ]
 
 

@@ -56,7 +56,7 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def _gen(spark, path: str, n: int, n_keys: int) -> None:
+def _gen(spark, path: str, n: int, n_keys: int, n_files: int = N_FILES) -> None:
     """n events over n_keys distinct keys; event time advances 10k
     rows/s regardless of cardinality, so watermark-bounded state stays
     at rate x delay while keyed state scales with n_keys."""
@@ -78,7 +78,7 @@ def _gen(spark, path: str, n: int, n_keys: int) -> None:
         # pillars measure late-dropping, not horizon eviction (r8
         # review finding — the dedup rows recorded before this fix
         # were an artifact)
-        .repartitionByRange(N_FILES, "ts")
+        .repartitionByRange(n_files, "ts")
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -305,6 +305,107 @@ def _state_metrics(progresses):
     return rows, size, batch_ms
 
 
+def _soak(n_batches: int, n_keys: int = 100_000) -> None:
+    """Long-uptime soak (VERDICT r9 #8, the AGING axis the key-decade
+    probes don't cover): a FIXED key universe is folded for n_batches
+    micro-batches on the RocksDB provider, so state size is constant
+    after warm-up and the only thing that can move per-batch latency
+    is store aging — version churn, SST accumulation, compaction debt.
+    A healthy store shows flat per-batch duration (tail/head ~ 1) with
+    compaction work visible but amortized; a store drowning in debt
+    shows the tail bending up.  Prints one JSON line with per-decile
+    batch durations and the RocksDB SST/compaction counters from the
+    final progress."""
+    rows_per_batch = 12_500
+    n = rows_per_batch * n_batches
+    root = tempfile.mkdtemp(prefix="ckse_state_soak_")
+    try:
+        gen = get_spark("ckse-state-soak-gen")
+        gen.sparkContext.setLogLevel("ERROR")
+        path = f"{root}/in"
+        _gen(gen, path, n, n_keys, n_files=n_batches)
+        gen.stop()
+        spark = get_spark("ckse-state-soak")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        from confluent_kafka_streams_examples_spark.streaming.processor import (
+            running_total_with_emission,
+        )
+
+        df = running_total_with_emission(_read(spark, path), "key", "value")
+        t0 = time.perf_counter()
+        q = (
+            df.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        by_batch: dict[int, dict] = {}
+        try:
+            while True:
+                time.sleep(1.0)
+                for p in q.recentProgress:
+                    p = json.loads(p) if isinstance(p, str) else p
+                    by_batch[p["batchId"]] = p
+                done = sum(
+                    p.get("numInputRows", 0) for p in by_batch.values()
+                )
+                if done >= n:
+                    break
+            wall = time.perf_counter() - t0
+        finally:
+            q.stop()
+            spark.stop()
+        progresses = [by_batch[b] for b in sorted(by_batch)]
+        batch_ms = [
+            p["durationMs"]["triggerExecution"]
+            for p in progresses
+            if p.get("numInputRows", 0) > 0
+        ]
+        # skip the first batch (cold JVM/codegen) for the aging signal
+        body = batch_ms[1:]
+        dec = max(1, len(body) // 10)
+        deciles = [
+            round(sum(body[i : i + dec]) / len(body[i : i + dec]))
+            for i in range(0, dec * 10, dec)
+        ]
+        tail_over_head = round(
+            sum(body[-20:]) / len(body[-20:]) / (sum(body[:20]) / len(body[:20])),
+            2,
+        )
+        rocks = {}
+        for p in reversed(progresses):
+            ops = p.get("stateOperators", [])
+            if ops and ops[0].get("customMetrics"):
+                cm = ops[0]["customMetrics"]
+                rocks = {
+                    k: v
+                    for k, v in cm.items()
+                    if "ompaction" in k or "SstFile" in k or "ilesCopied" in k
+                }
+                rocks["numRowsTotal"] = ops[0].get("numRowsTotal")
+                break
+        print(
+            json.dumps(
+                {
+                    "mode": "soak",
+                    "pillar": "running_total",
+                    "n_keys": n_keys,
+                    "n_batches": len(batch_ms),
+                    "rows_per_sec": round(n / wall),
+                    "decile_batch_ms": deciles,
+                    "tail20_over_head20": tail_over_head,
+                    "rocksdb": rocks,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     only = None
@@ -312,6 +413,9 @@ def main() -> None:
         if a.startswith("--pillars="):
             only = set(a.split("=", 1)[1].split(","))
             args.remove(a)
+        elif a.startswith("--soak="):
+            _soak(int(a.split("=", 1)[1]))
+            return
     pillars = [(n, f) for n, f in PILLARS if only is None or n in only]
     multipliers = [int(a) for a in args] or [1, 10, 100]
     root = tempfile.mkdtemp(prefix="ckse_state_probe_")

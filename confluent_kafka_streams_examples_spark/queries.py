@@ -706,7 +706,7 @@ _VERIFY_FIRST = [
     # Head: changed since the last verified snapshot or never green.
     "sketch_hll_distinct", "sketch_hll_incremental", "events_profile",
     "similarity_ivf_append", "ivf_drift_stat", "sketch_hll_eval",
-    "events_profile_extended",
+    "events_profile_extended", "corpus_mixture_drift",
     # Tail: oldest green first.
     "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
     "vocab_coverage", "sql_interface", "user_sessions",
@@ -723,15 +723,15 @@ _VERIFY_FIRST = [
     "user_running_value", "returned_item_customers", "pii_scrub",
     "stream_stream_left_join", "events_concurrent_degree",
     "doc_winnow_fingerprints", "semdedup_prune",
-    "quality_histogram_threshold", "topk_per_key",
+    "quality_histogram_threshold",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "large_volume_orders", "market_share", "product_type_profit",
-    "important_part_value", "late_shipment_priority_counts",
-    "customer_order_distribution", "promo_revenue", "top_supplier",
-    "part_supplier_counts", "small_quantity_revenue",
-    "disjunctive_predicate_revenue", "excess_suppliers",
-    "sole_late_supplier", "dormant_customer_balance",
+    "topk_per_key", "large_volume_orders", "market_share",
+    "product_type_profit", "important_part_value",
+    "late_shipment_priority_counts", "customer_order_distribution",
+    "promo_revenue", "top_supplier", "part_supplier_counts",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
     "corpus_chunk_documents", "dedup_duplicate_spans",
     "dedup_span_removal", "dedup_cdc_chunks", "events_json_analytics",
     "pack_sequences", "semdedup_prune_scaled", "corpus_shard_export",

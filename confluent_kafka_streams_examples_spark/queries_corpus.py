@@ -1096,3 +1096,78 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n AS DECIMAL(38,0)) * n)"
         ).alias("var_q"),
     )
+
+
+@query(
+    "corpus_mixture_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, doc_id % 10 = 0 AS is_new FROM documents
+    ),
+    counts AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_cnt,
+             CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+               AS corpus_cnt
+      FROM tagged GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(new_cnt) AS BIGINT) AS n_new,
+             CAST(sum(corpus_cnt) AS BIGINT) AS n_corpus
+      FROM counts
+    )
+    SELECT c.lang,
+           CAST((c.corpus_cnt * 1000000) // t.n_corpus AS BIGINT)
+             AS corpus_share_ppm,
+           CAST((c.new_cnt * 1000000) // t.n_new AS BIGINT) AS new_share_ppm,
+           CAST(abs((c.new_cnt * 1000000) // t.n_new
+                    - (c.corpus_cnt * 1000000) // t.n_corpus) AS BIGINT)
+             AS delta_ppm,
+           abs((c.new_cnt * 1000000) // t.n_new
+               - (c.corpus_cnt * 1000000) // t.n_corpus) > 50000 AS drifted
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def corpus_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time mixture-drift gate — the statistic-gated pattern
+    (ivf_drift_stat for ANN, here for the corpus itself): per language,
+    today's batch share vs the corpus share in integer-exact ppm, with
+    a per-class drift flag at ±5 points.  A training-data pipeline
+    runs this on every ingest day BEFORE appending: a drifted mixture
+    silently reweights the training distribution (the problem
+    corpus_mixture_sample's target weights exist to control), so the
+    gate decides between auto-append and human review.
+
+    Integer-exact portability: shares are BIGINT integer divisions of
+    counts scaled to ppm — no floating shares, both engines hash-match
+    exactly.  Scale shape: ONE documents scan with conditional partial
+    aggregation (groupBy lang, two sums), a one-row total, and a
+    broadcast nested-loop join of per-lang counts against that row —
+    exchange is O(langs), corpus-size-independent.  Reference analog:
+    aggregate-then-inspect (AggregationsExample.scala:36-44) with the
+    inspection driving a routing decision."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    counts = d.groupBy("lang").agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("new_cnt"),
+        F.sum(F.when(is_new, 0).otherwise(1)).cast("bigint").alias("corpus_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("new_cnt").cast("bigint").alias("n_new"),
+        F.sum("corpus_cnt").cast("bigint").alias("n_corpus"),
+    )
+    delta = (
+        "abs((new_cnt * 1000000) div n_new"
+        " - (corpus_cnt * 1000000) div n_corpus)"
+    )
+    return counts.join(F.broadcast(tot)).select(
+        "lang",
+        F.expr("CAST((corpus_cnt * 1000000) div n_corpus AS BIGINT)").alias(
+            "corpus_share_ppm"
+        ),
+        F.expr("CAST((new_cnt * 1000000) div n_new AS BIGINT)").alias(
+            "new_share_ppm"
+        ),
+        F.expr(f"CAST({delta} AS BIGINT)").alias("delta_ppm"),
+        F.expr(f"{delta} > 50000").alias("drifted"),
+    )

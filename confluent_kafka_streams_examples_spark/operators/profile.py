@@ -231,9 +231,15 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
         "min_val",
         "max_val",
+        # DECIMAL(38,0) guard: sum_len x 100 as BIGINT would overflow
+        # past ~9.2e16 total chars (~92 PB of one column's text) —
+        # inside the design envelope, so the multiply must be exact
+        # arbitrary-precision (DuckDB's sum() already promotes to
+        # HUGEINT, giving the oracle the same guard for free)
         F.expr(
             "CASE WHEN n_rows - n_null > 0 THEN"
-            " CAST((100 * sum_len) div (n_rows - n_null) AS BIGINT) END"
+            " CAST((CAST(sum_len AS DECIMAL(38,0)) * 100)"
+            " div (n_rows - n_null) AS BIGINT) END"
         ).alias("avg_len_e2"),
         "top_freq_est",
     )

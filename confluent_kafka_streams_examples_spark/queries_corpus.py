@@ -1117,14 +1117,16 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     )
     SELECT c.lang,
-           CAST((c.corpus_cnt * 1000000) // t.n_corpus AS BIGINT)
-             AS corpus_share_ppm,
-           CAST((c.new_cnt * 1000000) // t.n_new AS BIGINT) AS new_share_ppm,
-           CAST(abs((c.new_cnt * 1000000) // t.n_new
-                    - (c.corpus_cnt * 1000000) // t.n_corpus) AS BIGINT)
-             AS delta_ppm,
-           abs((c.new_cnt * 1000000) // t.n_new
-               - (c.corpus_cnt * 1000000) // t.n_corpus) > 50000 AS drifted
+           CAST((CAST(c.corpus_cnt AS HUGEINT) * 1000000) // t.n_corpus
+                AS BIGINT) AS corpus_share_ppm,
+           CAST((CAST(c.new_cnt AS HUGEINT) * 1000000) // t.n_new AS BIGINT)
+             AS new_share_ppm,
+           CAST(abs((CAST(c.new_cnt AS HUGEINT) * 1000000) // t.n_new
+                    - (CAST(c.corpus_cnt AS HUGEINT) * 1000000) // t.n_corpus)
+                AS BIGINT) AS delta_ppm,
+           abs((CAST(c.new_cnt AS HUGEINT) * 1000000) // t.n_new
+               - (CAST(c.corpus_cnt AS HUGEINT) * 1000000) // t.n_corpus)
+             > 50000 AS drifted
     FROM counts c CROSS JOIN tot t
     """,
 )
@@ -1156,18 +1158,16 @@ def corpus_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_cnt").cast("bigint").alias("n_new"),
         F.sum("corpus_cnt").cast("bigint").alias("n_corpus"),
     )
-    delta = (
-        "abs((new_cnt * 1000000) div n_new"
-        " - (corpus_cnt * 1000000) div n_corpus)"
-    )
+    # DECIMAL(38,0) guard: cnt x 1e6 as BIGINT overflows past 9.2e12
+    # docs per class — exact arbitrary-precision keeps the ppm shares
+    # valid at any corpus size (DuckDB HUGEINT casts mirror it)
+    new_ppm = "(CAST(new_cnt AS DECIMAL(38,0)) * 1000000) div n_new"
+    corpus_ppm = "(CAST(corpus_cnt AS DECIMAL(38,0)) * 1000000) div n_corpus"
+    delta = f"abs({new_ppm} - {corpus_ppm})"
     return counts.join(F.broadcast(tot)).select(
         "lang",
-        F.expr("CAST((corpus_cnt * 1000000) div n_corpus AS BIGINT)").alias(
-            "corpus_share_ppm"
-        ),
-        F.expr("CAST((new_cnt * 1000000) div n_new AS BIGINT)").alias(
-            "new_share_ppm"
-        ),
+        F.expr(f"CAST({corpus_ppm} AS BIGINT)").alias("corpus_share_ppm"),
+        F.expr(f"CAST({new_ppm} AS BIGINT)").alias("new_share_ppm"),
         F.expr(f"CAST({delta} AS BIGINT)").alias("delta_ppm"),
         F.expr(f"{delta} > 50000").alias("drifted"),
     )

@@ -305,7 +305,12 @@ def _state_metrics(progresses):
     return rows, size, batch_ms
 
 
-def _soak(n_batches: int, n_keys: int = 100_000) -> None:
+def _soak(
+    n_batches: int,
+    n_keys: int = 100_000,
+    pillar: str = "running_total",
+    rows_per_batch: int = 12_500,
+) -> None:
     """Long-uptime soak (VERDICT r9 #8, the AGING axis the key-decade
     probes don't cover): a FIXED key universe is folded for n_batches
     micro-batches on the RocksDB provider, so state size is constant
@@ -315,8 +320,13 @@ def _soak(n_batches: int, n_keys: int = 100_000) -> None:
     compaction work visible but amortized; a store drowning in debt
     shows the tail bending up.  Prints one JSON line with per-decile
     batch durations and the RocksDB SST/compaction counters from the
-    final progress."""
-    rows_per_batch = 12_500
+    final progress.
+
+    Two useful shapes: the default (running_total, 100k keys, 12.5k
+    rows/batch) ages the PYTHON fold path; latest_per_key at 2M keys /
+    100k rows/batch builds ~100 MB of SST with every batch rewriting
+    5% of it — enough version churn to make RocksDB compaction
+    actually run, which the small-state soak never triggers."""
     n = rows_per_batch * n_batches
     root = tempfile.mkdtemp(prefix="ckse_state_soak_")
     try:
@@ -330,11 +340,22 @@ def _soak(n_batches: int, n_keys: int = 100_000) -> None:
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
-        from confluent_kafka_streams_examples_spark.streaming.processor import (
-            running_total_with_emission,
-        )
+        if pillar == "latest_per_key":
+            from confluent_kafka_streams_examples_spark.streaming.ktable import (
+                latest_per_key_stream,
+            )
 
-        df = running_total_with_emission(_read(spark, path), "key", "value")
+            df = latest_per_key_stream(
+                _read(spark, path), "key", "ts", ["value"]
+            )
+        else:
+            from confluent_kafka_streams_examples_spark.streaming.processor import (
+                running_total_with_emission,
+            )
+
+            df = running_total_with_emission(
+                _read(spark, path), "key", "value"
+            )
         t0 = time.perf_counter()
         q = (
             df.writeStream.format("noop")
@@ -375,23 +396,26 @@ def _soak(n_batches: int, n_keys: int = 100_000) -> None:
             sum(body[-20:]) / len(body[-20:]) / (sum(body[:20]) / len(body[:20])),
             2,
         )
-        rocks = {}
-        for p in reversed(progresses):
-            ops = p.get("stateOperators", [])
-            if ops and ops[0].get("customMetrics"):
-                cm = ops[0]["customMetrics"]
-                rocks = {
-                    k: v
-                    for k, v in cm.items()
-                    if "ompaction" in k or "SstFile" in k or "ilesCopied" in k
-                }
-                rocks["numRowsTotal"] = ops[0].get("numRowsTotal")
-                break
+        # compaction counters are PER-BATCH: sum them over the run
+        # (reading only the final progress hides mid-run compactions);
+        # SST size and row count are gauges: take the max
+        rocks: dict = {}
+        for p in progresses:
+            for op in p.get("stateOperators", []):
+                cm = op.get("customMetrics", {})
+                for k, v in cm.items():
+                    if "ompaction" in k or "ilesCopied" in k:
+                        rocks[k] = rocks.get(k, 0) + v
+                    elif "SstFile" in k:
+                        rocks[k] = max(rocks.get(k, 0), v)
+                rocks["numRowsTotal"] = max(
+                    rocks.get("numRowsTotal", 0), op.get("numRowsTotal", 0)
+                )
         print(
             json.dumps(
                 {
                     "mode": "soak",
-                    "pillar": "running_total",
+                    "pillar": pillar,
                     "n_keys": n_keys,
                     "n_batches": len(batch_ms),
                     "rows_per_sec": round(n / wall),
@@ -414,7 +438,15 @@ def main() -> None:
             only = set(a.split("=", 1)[1].split(","))
             args.remove(a)
         elif a.startswith("--soak="):
-            _soak(int(a.split("=", 1)[1]))
+            kw = {}
+            for b in args:
+                if b.startswith("--soak-pillar="):
+                    kw["pillar"] = b.split("=", 1)[1]
+                elif b.startswith("--soak-keys="):
+                    kw["n_keys"] = int(b.split("=", 1)[1])
+                elif b.startswith("--soak-rows="):
+                    kw["rows_per_batch"] = int(b.split("=", 1)[1])
+            _soak(int(a.split("=", 1)[1]), **kw)
             return
     pillars = [(n, f) for n, f in PILLARS if only is None or n in only]
     multipliers = [int(a) for a in args] or [1, 10, 100]

@@ -18,13 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from confluent_kafka_streams_examples_spark.session import fan_out_small_scan
 from confluent_kafka_streams_examples_spark.operators.sketches import (
     CMS_ROWS,
     HLL_DEN,
     HLL_M,
     HLL_NUM,
     HLL_RHO_SQL,
-    cms_bucket,
     hll_est_sql,
 )
 
@@ -54,8 +54,8 @@ def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     pairs: list[Column] = []
     for name, col in cols.items():
         pairs += [F.lit(name), col]
-    stacked = df.select(
-        F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val")
+    stacked = fan_out_small_scan(
+        df, df.select(F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val"))
     )
     h = stacked.select("col_name", F.md5("val").alias("h"))
     parts = h.select(
@@ -130,12 +130,23 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     regardless of corpus size; levels two and three aggregate a few
     thousand rows.  The table is read exactly once (plan-asserted in
     tests).
+
+    FUSED sketch layout — one md5 per value serves both sketches: the
+    HLL register/rho read hex chars 1-17 as always, and CMS row r's
+    bucket is the hex PAIR at chars 18+2r (18-25 overall) — bytes 9-12
+    of the same digest, independent uniform bits md5 already paid for.
+    (cms_portable_cells' row-keyed spec hashes md5('r:key') per row —
+    right for a standalone additive sketch that must merge across
+    engines/streams, but 4 extra md5 invocations per value; measured
+    ~5x the profiler's per-value hash cost at sf0.1.)  The fused
+    layout is bit-specified here and hash-checked end-to-end by the
+    events_profile_extended oracle.
     """
     pairs: list[Column] = []
     for name, col in cols.items():
         pairs += [F.lit(name), col]
-    stacked = df.select(
-        F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val")
+    stacked = fan_out_small_scan(
+        df, df.select(F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val"))
     )
     h = stacked.select("col_name", "val", F.md5("val").alias("h"))
     kinds = [
@@ -148,10 +159,14 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         )
     ]
     for r in range(CMS_ROWS):
+        # fused layout: CMS row r's bucket = hex pair at chars 18+2r of
+        # the SAME md5 the HLL already computed (see module docstring)
         kinds.append(
             F.struct(
                 F.lit(r).alias("kind"),
-                cms_bucket(F.lit(r), F.col("val")).cast("int").alias("idx"),
+                F.conv(F.substring("h", 18 + 2 * r, 2), 16, 10)
+                .cast("int")
+                .alias("idx"),
                 F.lit(None).cast("string").alias("tail"),
             )
         )

@@ -122,6 +122,43 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 
 
+def fan_out_small_scan(df: DataFrame, narrow: DataFrame) -> DataFrame:
+    """Parallelism guard for row-amplifying projections (the profiler
+    stack x explode multiplies each scanned row ~30x INSIDE the scan
+    stage): when the source's file metadata says the scan will produce
+    fewer partitions than the cluster has cores, repartition the
+    NARROW derived frame so the amplified work fans out; otherwise
+    return it untouched.
+
+    The decision is driver-side metadata only (file list + sizes vs
+    ``spark.sql.files.maxPartitionBytes``) — no job runs.  At real
+    scale a table has orders of magnitude more files than cores, the
+    estimate exceeds the core count, and this is a NO-OP: the shuffle
+    exists only in the small-file rig regime (one ~50 MB parquet file
+    = one scan partition = one core hashing a 30x explosion, measured
+    4x the whole-query cost at sf0.1), where shuffling the narrow rows
+    costs far less than serializing the amplified stage."""
+    import urllib.parse
+
+    spark = df.sparkSession
+    try:
+        files = [
+            urllib.parse.urlparse(f).path for f in df.inputFiles()
+        ]
+        total = sum(os.stat(f).st_size for f in files)
+    except Exception:
+        return narrow
+    if not files:
+        return narrow
+    maxpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    maxpb = int("".join(ch for ch in str(maxpb_raw) if ch.isdigit()) or "134217728")
+    est_partitions = max(len(files), total // maxpb + 1)
+    cores = spark.sparkContext.defaultParallelism
+    if est_partitions * 2 < cores:
+        return narrow.repartition(cores)
+    return narrow
+
+
 def release_caches(spark: SparkSession) -> None:
     """Registry-level cache teardown.
 

@@ -593,3 +593,35 @@ def test_semdedup_assignment_ties_and_hof_parity(spark):
     # ids 0,2,3 -> cid 0; ids 1,4 -> cid 1
     assert by_cid[0]["n_members"] == 3
     assert by_cid[1]["n_members"] == 2
+
+
+def test_fan_out_small_scan_metadata_guard(spark, tmp_path):
+    """fan_out_small_scan (session.py): repartitions the narrow frame
+    when file metadata says the scan cannot feed the cores, and is a
+    structural NO-OP (same plan object semantics — no added exchange)
+    when the estimated partition count is already core-scale."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.session import (
+        fan_out_small_scan,
+    )
+
+    src = str(tmp_path / "one")
+    spark.range(10_000).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    narrow = df.select(F.col("id").cast("string").alias("v"))
+    fanned = fan_out_small_scan(df, narrow)
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = fanned.select(
+        F.spark_partition_id().alias("p")
+    ).distinct().count()
+    assert n_parts == cores, (n_parts, cores)
+    # many files -> estimate >= cores -> untouched frame (no shuffle)
+    src_many = str(tmp_path / "many")
+    spark.range(100_000).repartition(3 * cores).write.parquet(src_many)
+    dfm = spark.read.parquet(src_many)
+    narrow_m = dfm.select(F.col("id").cast("string").alias("v"))
+    assert fan_out_small_scan(dfm, narrow_m) is narrow_m
+    # a non-file source (createDataFrame) must pass through untouched
+    mem = spark.createDataFrame([(1,)], "x int")
+    assert fan_out_small_scan(mem, mem) is mem

@@ -114,11 +114,22 @@ def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
 def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     """The full day-one "describe extended", still in ONE scan: per
     column, row/null counts, corrected portable-HLL distinct estimate,
-    lexicographic min/max, integer-exact average length (centi-chars),
-    and a portable-CMS heavy-hitter estimate ``top_freq_est`` — the
-    CMS upper bound on the modal value's count (min over hash rows of
-    that row's max cell), the number a platform reads to decide salt
+    numeric min/max, integer-exact average length (centi-chars), and a
+    portable-CMS heavy-hitter estimate ``top_freq_est`` — the CMS
+    upper bound on the modal value's count (min over hash rows of that
+    row's max cell), the number a platform reads to decide salt
     factors and max_df caps before running anything else.
+
+    Range stats are NUMERIC (``try_cast(val AS BIGINT)`` — exact for
+    every integer-canonicalized column: ids, epoch micros, quantized
+    cents; null for free-text columns), not lexicographic string
+    min/max.  That is a hard scale constraint, not a shortcut: Spark
+    executes min/max over STRING buffers as SortAggregate (hash
+    aggregation requires fixed-width mutable buffers), which sorts the
+    full exploded input per task — measured 18 GiB of spill at the
+    x100 probe for this one pair of aggregates, vs zero with numeric
+    buffers (and '10' < '9' lexicographically, so string ranges of
+    numeric columns were misleading anyway).
 
     Shape: every stacked (col_name, val) row explodes into 1 HLL row
     (kind=-1, register index, rho tail, and the value stats — counted
@@ -181,21 +192,23 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     rho = F.when(
         is_hll & (F.col("idx") >= 0), F.expr(HLL_RHO_SQL.format(G=", 0"))
     )
+    # numeric-only aggregation buffers (see docstring): try_cast keeps
+    # the whole cascade inside HashAggregate / whole-stage codegen
     lvl1 = (
         ex.select(
             "col_name",
             "kind",
             "idx",
             rho.alias("rho"),
-            F.when(is_hll, F.col("val")).alias("sval"),
+            F.when(is_hll, F.expr("try_cast(val AS BIGINT)")).alias("nval"),
             F.when(is_hll, F.length("val")).alias("vlen"),
         )
         .groupBy("col_name", "kind", "idx")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.max("rho").alias("R"),
-            F.min("sval").alias("mn"),
-            F.max("sval").alias("mx"),
+            F.min("nval").alias("mn"),
+            F.max("nval").alias("mx"),
             F.sum("vlen").alias("slen"),
         )
     )
@@ -224,8 +237,8 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         F.sum(F.when(is_hll2, F.col("n_null_k"))).cast("bigint").alias("n_null"),
         F.sum(F.when(is_hll2, F.col("S_k"))).alias("S_present"),
         F.sum(F.when(is_hll2, F.col("n_present_k"))).alias("n_present"),
-        F.min(F.when(is_hll2, F.col("mn"))).alias("min_val"),
-        F.max(F.when(is_hll2, F.col("mx"))).alias("max_val"),
+        F.min(F.when(is_hll2, F.col("mn"))).alias("min_num"),
+        F.max(F.when(is_hll2, F.col("mx"))).alias("max_num"),
         F.sum(F.when(is_hll2, F.col("slen_k"))).cast("bigint").alias("sum_len"),
         F.min(F.when(~is_hll2, F.col("mx_cnt"))).cast("bigint").alias(
             "top_freq_est"
@@ -244,8 +257,8 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             f" AS BIGINT)"
         ).alias("raw_est"),
         F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias("zero_registers"),
-        "min_val",
-        "max_val",
+        "min_num",
+        "max_num",
         # DECIMAL(38,0) guard: sum_len x 100 as BIGINT would overflow
         # past ~9.2e16 total chars (~92 PB of one column's text) —
         # inside the design envelope, so the multiply must be exact
@@ -266,8 +279,8 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             "distinct_est"
         ),
         "zero_registers",
-        "min_val",
-        "max_val",
+        "min_num",
+        "max_num",
         "avg_len_e2",
         "top_freq_est",
     )

@@ -2590,7 +2590,8 @@ _PROFILE_STACK_SQL = """
       SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_null,
-             min(val) AS min_val, max(val) AS max_val,
+             min(TRY_CAST(val AS BIGINT)) AS min_num,
+             max(TRY_CAST(val AS BIGINT)) AS max_num,
              CASE WHEN count(val) > 0 THEN
                CAST((100 * sum(length(val))) // count(val) AS BIGINT) END
                AS avg_len_e2
@@ -2639,7 +2640,7 @@ _PROFILE_STACK_SQL = """
       FROM rowmax GROUP BY 1
     )
     SELECT c.col_name, c.n_rows, c.n_null, e.distinct_est, e.zero_registers,
-           c.min_val, c.max_val, c.avg_len_e2, t.top_freq_est
+           c.min_num, c.max_num, c.avg_len_e2, t.top_freq_est
     FROM counts c
     JOIN est e ON e.grp = c.col_name
     LEFT JOIN topf t ON t.col_name = c.col_name
@@ -2647,7 +2648,8 @@ _PROFILE_STACK_SQL = """
 )
 def events_profile_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The profiler's 'describe extended' (VERDICT r9 #5): everything
-    events_profile reports PLUS lexicographic min/max, integer-exact
+    events_profile reports PLUS numeric min/max (exact for the four
+    integer-canonicalized columns, null for free-text), integer-exact
     average canonical length (centi-chars), and a portable-CMS
     heavy-hitter estimate per column — all fused into the SAME single
     scan.  top_freq_est is the CMS upper bound on the modal value's

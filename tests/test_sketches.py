@@ -373,16 +373,23 @@ def test_events_profile_extended_single_scan_and_sane(spark):
     )
     assert prof["event_id"]["top_freq_est"] <= n // 64  # no heavy hitter
     exact = ev.agg(
-        F.min(F.col("event_id").cast("string")).alias("mn"),
-        F.max(F.col("event_id").cast("string")).alias("mx"),
+        F.min("event_id").alias("mn"),
+        F.max("event_id").alias("mx"),
         F.expr(
             "CAST((100 * sum(length(CAST(event_id AS STRING))))"
             " div count(event_id) AS BIGINT)"
         ).alias("al"),
     ).collect()[0]
-    assert prof["event_id"]["min_val"] == exact["mn"]
-    assert prof["event_id"]["max_val"] == exact["mx"]
+    assert prof["event_id"]["min_num"] == exact["mn"]
+    assert prof["event_id"]["max_num"] == exact["mx"]
     assert prof["event_id"]["avg_len_e2"] == exact["al"]
+    # free-text columns carry no numeric range, by design
+    assert prof["event_type"]["min_num"] is None
+    # and the whole cascade must stay hash-aggregated: a string
+    # min/max here regresses to SortAggregate and sorted 900M exploded
+    # rows (18 GiB spill) at the x100 probe
+    pplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in pplan, pplan
     # the base columns still match events_profile exactly
     base = {
         r["col_name"]: r for r in QUERIES["events_profile"](spark, SF).collect()

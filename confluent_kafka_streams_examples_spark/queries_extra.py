@@ -983,19 +983,12 @@ def _ivf_assign(base: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_index_appended_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized corpus index + DAY-BATCH APPEND into the same
-    partitioned layout: the new vectors are assigned to the frozen
-    corpus codebook and their parquet files land inside the existing
-    ``list_id=`` directories (mode=append), so probes keep pruning to
-    nprobe directories and the corpus partitions are NEVER rewritten —
-    the append costs O(day batch), not O(index).  A marker file makes
-    the append idempotent per artifact version (the artifact path
-    already encodes source stamp + params + engine digest, so a corpus
-    regen or spec change starts from a fresh base).  Same
-    single-session caveat as the artifact GC: a concurrent appender
-    could race the marker; production would stage the day files and
-    rename, which parquet append does per-file anyway."""
+def _ivf_index_base_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the CORPUS index (frozen-codebook assignment of the
+    90% split, partitioned by list_id) and return its artifact path —
+    the once-per-corpus cost the append path exists to avoid paying
+    daily.  Split out from the append so the two phases are separately
+    timeable (scripts/ivf_append_probe.py measures append vs rebuild)."""
     import os
 
     from confluent_kafka_streams_examples_spark.artifacts import (
@@ -1015,7 +1008,25 @@ def _ivf_index_appended_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     materialized(spark, src_file, tag, build, partition_by="list_id")
-    path = artifact_path(src_file, tag)
+    return artifact_path(src_file, tag)
+
+
+def _ivf_index_appended_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized corpus index + DAY-BATCH APPEND into the same
+    partitioned layout: the new vectors are assigned to the frozen
+    corpus codebook and their parquet files land inside the existing
+    ``list_id=`` directories (mode=append), so probes keep pruning to
+    nprobe directories and the corpus partitions are NEVER rewritten —
+    the append costs O(day batch), not O(index).  A marker file makes
+    the append idempotent per artifact version (the artifact path
+    already encodes source stamp + params + engine digest, so a corpus
+    regen or spec change starts from a fresh base).  Same
+    single-session caveat as the artifact GC: a concurrent appender
+    could race the marker; production would stage the day files and
+    rename, which parquet append does per-file anyway."""
+    import os
+
+    path = _ivf_index_base_table(spark, sf_dir)
     marker = os.path.join(path, "_CKSE_APPENDED_batch1")
     if not os.path.exists(marker):
         emb = load_table(spark, "embeddings", sf_dir).filter(

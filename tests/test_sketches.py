@@ -398,3 +398,56 @@ def test_events_profile_extended_single_scan_and_sane(spark):
         assert (r["n_rows"], r["n_null"], r["distinct_est"]) == (
             base[c]["n_rows"], base[c]["n_null"], base[c]["distinct_est"],
         ), c
+
+
+def test_fused_profiler_layout_matches_python_reference(spark):
+    """Third-implementation pin for the extended profiler's FUSED
+    sketch layout (HLL from md5 chars 1-17, CMS row r from the hex
+    pair at chars 18+2r): a pure-Python build over the same values
+    must reproduce top_freq_est exactly, and the numeric/length stats
+    must match exact recomputation — including the all-null column
+    edge (no registers, no CMS rows, LC estimate 0)."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.operators.profile import (
+        canonical,
+        profile_table_extended,
+    )
+
+    vals = [str(i % 37) for i in range(4000)]  # skewed: 37 values
+    df = spark.createDataFrame(
+        [(v, None) for v in vals], "a string, b string"
+    )
+    out = {
+        r["col_name"]: r
+        for r in profile_table_extended(
+            df, {"a": canonical(F.col("a")), "b": canonical(F.col("b"))}
+        ).collect()
+    }
+
+    cells: Counter = Counter()
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        for r in range(4):
+            # 1-indexed SQL substr(18+2r, 2) == 0-indexed [17+2r:19+2r]
+            cells[(r, int(h[17 + 2 * r : 19 + 2 * r], 16))] += 1
+    expect_topf = min(
+        max(c for (rr, _), c in cells.items() if rr == r) for r in range(4)
+    )
+    a = out["a"]
+    assert a["top_freq_est"] == expect_topf
+    assert a["n_rows"] == 4000 and a["n_null"] == 0
+    assert a["min_num"] == 0 and a["max_num"] == 36
+    total_len = sum(len(v) for v in vals)
+    assert a["avg_len_e2"] == (100 * total_len) // 4000
+    # 37 true values, deep linear-counting regime: near-exact
+    assert abs(a["distinct_est"] - 37) <= 1
+
+    b = out["b"]
+    assert b["n_rows"] == 4000 and b["n_null"] == 4000
+    assert b["distinct_est"] == 0 and b["zero_registers"] == 256
+    assert b["min_num"] is None and b["max_num"] is None
+    assert b["avg_len_e2"] is None and b["top_freq_est"] is None

@@ -2373,33 +2373,43 @@ def sketch_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy harness for `sketch_hll_distinct` (the *_recall_eval
     convention): joins the production estimates against the exact
     count(DISTINCT) truth and reports integer-exact error ppm.  The
-    exact side — deliberately NOT in the production query — dedups
-    (grp, key) pairs FIRST (map-side partial dedup bounds that
-    exchange to the unique-pair count, not the row count) and then
-    rollup-counts both truth levels in one lineage; rollup directly on
-    the corpus would Expand every row before the distinct shuffle
-    (642 MiB shuffle / 9.8 GiB spill at x100 in the probe).  Observed
-    at sf0.01: l_orderkey groups within ~4% (raw regime), l_linenumber
-    exact to the value (linear counting m*ln(m/V): 7 of 7)."""
+    exact side — deliberately NOT in the production query — builds the
+    SAME stacked+labeled (grp, key) frame the production sketch hashes
+    (per-flag plus per-key ':__all__' labels) and dedups it before
+    counting, so ONE corpus scan serves every truth level: the
+    map-side partial dedup bounds the exchange to the unique-pair
+    count, and the per-key '__all__' labels replace what a rollup's
+    Expand would otherwise do to the raw corpus (642 MiB shuffle /
+    9.8 GiB spill at x100 in the probe — documented since r9; the
+    earlier two-pyramid form here also cost one corpus scan PER key
+    column).  Observed at sf0.01: l_orderkey groups within ~4% (raw
+    regime), l_linenumber exact to the value (linear counting
+    m*ln(m/V): 7 of 7)."""
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_returnflag", "l_orderkey", "l_linenumber"
     )
-
-    def truth_for(col: str) -> DataFrame:
-        return (
-            li.select(F.col("l_returnflag").alias("rf"), F.col(col).alias("k"))
-            .distinct()
-            .rollup("rf")
-            .agg(F.countDistinct("k").cast("bigint").alias("true_distinct"))
-            .select(
-                F.concat(
-                    F.lit(col + ":"), F.coalesce("rf", F.lit("__all__"))
-                ).alias("grp"),
-                "true_distinct",
+    stacked = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.stack(
+            F.lit(2),
+            F.lit("l_orderkey"), F.col("l_orderkey").cast("string"),
+            F.lit("l_linenumber"), F.col("l_linenumber").cast("string"),
+        ).alias("col_name", "key"),
+    ).filter(F.col("key").isNotNull())
+    labeled = stacked.select(
+        F.explode(
+            F.array(
+                F.concat(F.col("col_name"), F.lit(":"), F.col("rf")),
+                F.concat(F.col("col_name"), F.lit(":__all__")),
             )
-        )
-
-    truth = truth_for("l_orderkey").unionByName(truth_for("l_linenumber"))
+        ).alias("grp"),
+        "key",
+    )
+    truth = (
+        labeled.distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
+    )
     est = sketch_hll_distinct(spark, sf_dir)
     return truth.join(F.broadcast(est), "grp").select(
         "grp",

@@ -248,3 +248,35 @@ def test_verify_salt_file_fresh_at_head():
     greens = gvo.latest_green_rounds()
     assert greens and future > max(greens.values())
     assert json.load(open(gvo.SALT_FILE))["salt"] == cur_salt
+
+
+@pytest.mark.skipif(not _git_ok(), reason="needs the git history")
+def test_salt_epoch_resets_rotation_ranks(monkeypatch):
+    """When the conf-salt epoch moves past every recorded green (a conf
+    change just landed), every green is rotation-stale at rank 0: head
+    membership is untouched (body-diff only), but the tail's staleness
+    ordering collapses to registration order WITHIN each family — the
+    stratified band then rotates the whole registry from scratch over
+    the following rounds instead of trusting pre-conf greens."""
+    import scripts.gen_verify_order as gvo
+
+    order_before, head_before = gvo.generate_order()
+    monkeypatch.setattr(gvo, "salt_epoch", lambda s, update=True: 9999)
+    order_after, head_after = gvo.generate_order()
+
+    assert head_after == head_before
+    assert set(order_after) == set(order_before)
+    # all eff ranks equal -> per-family order must be registration order
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+    tail_after = order_after[len(head_after):]
+    last_per_family: dict = {}
+    for n in tail_after:
+        f = gvo.family(n)
+        if f in last_per_family:
+            assert reg_order[n] > last_per_family[f], (
+                f, n, "family order must be registration order under a "
+                "fresh epoch (all greens stale-0)",
+            )
+        last_per_family[f] = reg_order[n]

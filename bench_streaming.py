@@ -262,6 +262,32 @@ def _p_total_punctuated(spark, left, right):
     )
 
 
+def _p_neardup(spark, left, right):
+    # streaming MinHash-LSH candidates: per-row signing (16-permutation
+    # Carter-Wegman over word 3-grams, array HOFs) + bucketed band
+    # state within the watermark horizon.  Pseudo-text derives from the
+    # synthetic value with a small vocabulary so real band collisions
+    # occur (~docs sharing value%97 collide), exercising emission.
+    from confluent_kafka_streams_examples_spark.streaming.neardup import (
+        neardup_candidates_stream,
+    )
+
+    src = _read(spark, left).select(
+        F.expr("CAST(substring(key, 2) AS LONG)").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 9),"
+            " i -> concat('w', CAST((CAST(value AS LONG) % 97 + i * 7) % 211 AS STRING))))"
+        ).alias("text"),
+        F.col("ts"),
+    )
+    return (
+        neardup_candidates_stream(
+            src, "doc_id", "text", "ts", delay="30 seconds"
+        ),
+        "append",
+    )
+
+
 PIPELINES = [
     ("latest_per_key", _p_latest, N_ROWS),
     ("windowed_join", _p_join, N_ROWS + N_ROWS // 2),
@@ -274,6 +300,7 @@ PIPELINES = [
     ("funnel_stages", _p_funnel, N_ROWS),
     ("funnel_bucketed", _p_funnel_bucketed, N_ROWS),
     ("running_total_punctuated", _p_total_punctuated, N_ROWS),
+    ("neardup_candidates", _p_neardup, N_ROWS),
 ]
 
 #: pipelines whose armed timers never let processAllAvailable settle

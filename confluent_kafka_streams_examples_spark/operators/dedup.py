@@ -1002,3 +1002,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def minhash_signature_exprs(
+    text_col: str, num_hashes: int = 16, n: int = 3
+) -> list[Column]:
+    """Per-ROW MinHash signature columns (mh0..mhK-1) — the same
+    Carter-Wegman family as :func:`minhash_signatures` (one md5 per
+    shingle, permutation j = h1 + j*h2 over the digest's 48-bit
+    halves) computed entirely inside the row's projection with array
+    higher-order functions, no aggregation.
+
+    min() over the per-row shingle array equals min() over the grouped
+    multiset, so these columns are value-identical to the grouped
+    signature table (pinned by test_minhash_signature_exprs_match_
+    grouped) — which is what lets a STREAMING pipeline sign documents
+    at arrival: a groupBy signature would be a stateful aggregate and
+    could not precede the stateful LSH-bucket operator in one query.
+    Rows with fewer than ``n`` tokens get NULL signatures (the grouped
+    form simply has no row for them) — filter on ``mh0 IS NOT NULL``.
+    """
+    tok = F.split(F.col(text_col), " ")
+    windows = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        windows,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s), 13, 12), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
+    )
+    return [
+        F.array_min(
+            F.transform(hashes, lambda x: x["h1"] + F.lit(j) * x["h2"])
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]

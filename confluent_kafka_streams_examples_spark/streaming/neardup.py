@@ -1,0 +1,191 @@
+"""Streaming NEAR-duplicate candidate generation — MinHash-LSH at
+arrival time.
+
+The batch dedup family (operators/dedup.py) finds near-duplicates by
+banding stored MinHash signatures and equi-joining on band
+signatures.  An ingest pipeline wants the same signal BEFORE landing:
+"this incoming document collides with one we accepted minutes ago."
+This module is that operator:
+
+1. Each arriving document is SIGNED in its own row projection —
+   `minhash_signature_exprs` computes the identical Carter-Wegman
+   signature the batch path stores, with array higher-order functions
+   and no aggregation (a groupBy signature would be a second stateful
+   operator and could not precede the LSH state in one query).
+2. The signature splits into LSH bands (same layout as
+   `band_signatures`), one row per band, keyed by a hash bucket of the
+   band signature (the bucketed-state pattern of processor.py/funnel.py:
+   Python invocations per trigger bounded by n_buckets, not by the
+   band-key universe).
+3. Per bucket, `applyInPandasWithState` holds {(band_idx, band_sig):
+   [(doc_id, ts_us), ...]} for documents inside the WATERMARK HORIZON
+   and emits a candidate pair (id_a = earlier arrival, id_b = new
+   document, band_idx) for every collision; entries older than the
+   watermark are evicted on every visit, so state is bounded by
+   rate x delay exactly like dropDuplicatesWithinWatermark — the
+   near-in-time assumption is the same one the exact streaming dedup
+   already makes (re-posts, mirrored feeds, crawl revisits cluster in
+   time).
+
+Contract vs batch: over an in-order replay whose horizon spans the
+whole stream, the DISTINCT {id_a, id_b} set equals
+`minhash_lsh_pairs`' candidate set on the union of all batches
+(differential-tested); a pair colliding in several bands emits once
+per band (band_idx tells which), and consumers that need uniqueness
+apply the same `.distinct()` the batch path does.  Late documents
+(event time already behind the watermark) are dropped, not signed —
+the standard horizon trade.
+
+Reference analog: KTableExample's keyed state store consulted on every
+arrival (KTableExample.scala:52-56), with the key being the LSH band
+signature instead of the record key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from confluent_kafka_streams_examples_spark.operators.dedup import (
+    minhash_signature_exprs,
+)
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("band_idx", IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def neardup_candidates_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    delay: str = "10 minutes",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Append-mode stream of (id_a, id_b, band_idx) MinHash-LSH
+    candidate pairs, id_a arrived earlier; state bounded by the
+    watermark horizon ``delay``.  See module docstring for the batch
+    parity contract."""
+    import pickle
+
+    rows_per_band = num_hashes // bands
+    signed = (
+        stream.withWatermark(ts_col, delay)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+            F.col(ts_col).alias("__ts"),  # keep the watermark attribute
+            *minhash_signature_exprs(text_col, num_hashes, n),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("mh0").isNotNull())
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_sig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = signed.select(
+        "doc_id",
+        "ts_us",
+        "__ts",
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select(
+        "doc_id",
+        "ts_us",
+        "__ts",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_sig").alias("band_sig"),
+        F.pmod(
+            F.xxhash64(F.col("band.band_idx"), F.col("band.band_sig")),
+            F.lit(n_buckets),
+        ).cast("long").alias("bucket"),
+    )
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        store: dict = pickle.loads(state.get[0]) if state.exists else {}
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_bi: list[int] = []
+        # arrival order within the batch = frame order (stable); evict
+        # per touched key, not per batch — untouched keys age out the
+        # next time their bucket is visited, which only delays RAM
+        # reclaim, never changes emissions (expired entries can't be
+        # matched: a new doc with ts >= wm never pairs under a key
+        # whose stored docs are all < wm unless they are still listed)
+        for doc, ts_us, bi, sig in zip(
+            pdf["doc_id"].tolist(),
+            pdf["ts_us"].tolist(),
+            pdf["band_idx"].tolist(),
+            pdf["band_sig"].tolist(),
+        ):
+            if ts_us < wm_us:
+                continue  # late past the horizon: dropped, not signed
+            k = (bi, sig)
+            prev = store.get(k)
+            if prev is not None:
+                live = [(d, t) for d, t in prev if t >= wm_us]
+                for d, _t in live:
+                    if d == doc:
+                        continue  # re-delivered id: no self-pair
+                    out_a.append(d)
+                    out_b.append(doc)
+                    out_bi.append(bi)
+                live.append((doc, ts_us))
+                store[k] = live
+            else:
+                store[k] = [(doc, ts_us)]
+        # compact dead keys (all entries expired) so blobs shrink
+        for k in [k for k, v in store.items() if all(t < wm_us for _, t in v)]:
+            del store[k]
+        state.update(
+            (pickle.dumps(store, protocol=pickle.HIGHEST_PROTOCOL),)
+        )
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "band_idx": out_bi}
+            )
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,178 @@
+"""Streaming MinHash-LSH near-dup candidates vs the batch LSH family.
+
+Contracts pinned here:
+- the per-row signature expressions are value-identical to the grouped
+  `minhash_signatures` table (same Carter-Wegman spec, no aggregation);
+- over an in-order replay whose horizon spans the stream, the distinct
+  streaming candidate set equals `minhash_lsh_pairs` over the union of
+  all batches;
+- a document beyond the watermark horizon neither signs nor pairs, and
+  stored band entries age out (bounded state).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _s(n: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=n)
+
+
+def _mk_docs(seed: int, n_docs: int):
+    """Synthetic corpus with real near-dup structure: ~30% of docs are
+    light edits of an earlier doc (shared shingles => shared bands)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    docs: list[tuple[int, str]] = []
+    for i in range(n_docs):
+        if docs and rng.random() < 0.3:
+            base = rng.choice(docs)[1].split()
+            j = rng.randrange(len(base))
+            base[j] = rng.choice(vocab)
+            docs.append((i, " ".join(base)))
+        else:
+            docs.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(12)))
+            )
+    return docs
+
+
+def _drive(spark, tmp_path, batches, delay="1 hour", n_buckets=8):
+    from confluent_kafka_streams_examples_spark.streaming.neardup import (
+        neardup_candidates_stream,
+    )
+
+    src = str(tmp_path / "src")
+    qname = f"nd{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(batches[0], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = neardup_candidates_stream(
+        stream, "doc_id", "text", "ts", delay=delay, n_buckets=n_buckets
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {qname}").collect()
+
+
+def test_minhash_signature_exprs_match_grouped(spark):
+    """The per-row signature columns equal the grouped signature table
+    on real documents (sf0.001) — same md5, same Carter-Wegman
+    permutations, min-over-array == min-over-group."""
+    from confluent_kafka_streams_examples_spark.operators.dedup import (
+        minhash_signature_exprs,
+        minhash_signatures,
+    )
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    grouped = {
+        r["doc_id"]: tuple(r[f"mh{j}"] for j in range(16))
+        for r in minhash_signatures(docs, "doc_id", "text", 16, 3).collect()
+    }
+    perrow = {
+        r["doc_id"]: tuple(r[f"mh{j}"] for j in range(16))
+        for r in docs.select(
+            "doc_id", *minhash_signature_exprs("text", 16, 3)
+        )
+        .filter(F.col("mh0").isNotNull())
+        .collect()
+    }
+    assert perrow == grouped
+
+
+def test_stream_candidates_match_batch_lsh(spark, tmp_path):
+    """Differential: distinct streaming candidates over an in-order
+    3-batch replay (horizon spans the stream) == minhash_lsh_pairs
+    over the union — the batch operator's own candidate definition."""
+    from confluent_kafka_streams_examples_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = _mk_docs(seed=11, n_docs=90)
+    batches = [
+        [(i, t, _s(i)) for i, t in docs[:30]],
+        [(i, t, _s(i)) for i, t in docs[30:60]],
+        [(i, t, _s(i)) for i, t in docs[60:]],
+    ]
+    rows = _drive(spark, tmp_path, batches, delay="1 hour")
+    got = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in rows}
+    # streaming id_a must be the earlier ARRIVAL (here: smaller doc_id)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+    batch_df = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, text string"
+    )
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(batch_df, "doc_id", "text").collect()
+    }
+    assert got == expect
+    assert expect  # the corpus genuinely has candidates
+
+
+def test_stream_candidates_respect_horizon(spark, tmp_path):
+    """A near-dup arriving beyond the horizon of its twin does NOT
+    pair (state evicted), and a late row (event time behind the
+    watermark) is dropped entirely."""
+    text = "a b c d e f g h i j"
+    batches = [
+        # twin docs 1 & 2 within the horizon: pair
+        [(1, text, _s(0)), (2, text, _s(5))],
+        # watermark pusher far ahead (unique text: no collisions)
+        [(99, "zz yy xx ww vv uu tt", _s(500))],
+        # doc 3 = same text, event time now, arrives AFTER eviction of
+        # 1/2 (wm ~ 500-30 >> 5): no pair with 1 or 2
+        [(3, text, _s(501))],
+        # doc 4 = same text, LATE (event time behind watermark): dropped,
+        # so it must not pair with 3 either
+        [(4, text, _s(100)), (5, text, _s(502))],
+    ]
+    rows = _drive(spark, tmp_path, batches, delay="30 seconds")
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in pairs
+    assert not any(3 in p or 99 in p for p in pairs if p != (3, 5)), pairs
+    assert not any(4 in p for p in pairs), pairs
+    assert (3, 5) in pairs  # in-horizon twin still pairs

@@ -265,9 +265,12 @@ def _p_total_punctuated(spark, left, right):
 def _p_neardup(spark, left, right):
     # streaming MinHash-LSH candidates: per-row signing (16-permutation
     # Carter-Wegman over word 3-grams, array HOFs) + bucketed band
-    # state within the watermark horizon.  Pseudo-text derives from the
-    # synthetic value with a small vocabulary so real band collisions
-    # occur (~docs sharing value%97 collide), exercising emission.
+    # state within the watermark horizon.  Pseudo-text is UNIQUE per
+    # doc_id with a 2% twin rate (doc_id % 50 == 0 reuses its
+    # predecessor's text), so the pillar prices signing + band state +
+    # a bounded emission stream — a first cut with ~100 distinct texts
+    # made every arrival pair with every live predecessor (quadratic
+    # emission, never finished at 2M rows).
     from confluent_kafka_streams_examples_spark.streaming.neardup import (
         neardup_candidates_stream,
     )
@@ -275,8 +278,12 @@ def _p_neardup(spark, left, right):
     src = _read(spark, left).select(
         F.expr("CAST(substring(key, 2) AS LONG)").alias("doc_id"),
         F.expr(
-            "concat_ws(' ', transform(sequence(0, 9),"
-            " i -> concat('w', CAST((CAST(value AS LONG) % 97 + i * 7) % 211 AS STRING))))"
+            "concat_ws(' ', transform(sequence(0, 9), i -> concat('w',"
+            " CAST((CASE WHEN CAST(substring(key, 2) AS LONG) % 50 = 0"
+            "            AND CAST(substring(key, 2) AS LONG) > 0"
+            "       THEN CAST(substring(key, 2) AS LONG) - 1"
+            "       ELSE CAST(substring(key, 2) AS LONG) END) * 13 + i"
+            " AS STRING))))"
         ).alias("text"),
         F.col("ts"),
     )

@@ -8,7 +8,7 @@ signatures.  An ingest pipeline wants the same signal BEFORE landing:
 This module is that operator:
 
 1. Each arriving document is SIGNED in its own row projection —
-   `minhash_signature_exprs` computes the identical Carter-Wegman
+   `with_minhash_signatures` computes the identical Carter-Wegman
    signature the batch path stores, with array higher-order functions
    and no aggregation (a groupBy signature would be a second stateful
    operator and could not precede the LSH state in one query).
@@ -59,7 +59,7 @@ from pyspark.sql.types import (
 )
 
 from confluent_kafka_streams_examples_spark.operators.dedup import (
-    minhash_signature_exprs,
+    with_minhash_signatures,
 )
 
 PAIR_SCHEMA = StructType(
@@ -91,14 +91,15 @@ def neardup_candidates_stream(
     import pickle
 
     rows_per_band = num_hashes // bands
+    base = stream.withWatermark(ts_col, delay).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(ts_col).alias("__ts"),  # keep the watermark attribute
+        F.col(text_col),
+    )
     signed = (
-        stream.withWatermark(ts_col, delay)
-        .select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
-            F.col(ts_col).alias("__ts"),  # keep the watermark attribute
-            *minhash_signature_exprs(text_col, num_hashes, n),
-        )
+        with_minhash_signatures(base, text_col, num_hashes, n)
+        .drop(text_col)
         .filter(F.col("doc_id").isNotNull() & F.col("mh0").isNotNull())
     )
     band_structs = [

@@ -100,8 +100,8 @@ def test_minhash_signature_exprs_match_grouped(spark):
     on real documents (sf0.001) — same md5, same Carter-Wegman
     permutations, min-over-array == min-over-group."""
     from confluent_kafka_streams_examples_spark.operators.dedup import (
-        minhash_signature_exprs,
         minhash_signatures,
+        with_minhash_signatures,
     )
     from confluent_kafka_streams_examples_spark.session import load_table
 
@@ -114,9 +114,7 @@ def test_minhash_signature_exprs_match_grouped(spark):
     }
     perrow = {
         r["doc_id"]: tuple(r[f"mh{j}"] for j in range(16))
-        for r in docs.select(
-            "doc_id", *minhash_signature_exprs("text", 16, 3)
-        )
+        for r in with_minhash_signatures(docs, "text", 16, 3)
         .filter(F.col("mh0").isNotNull())
         .collect()
     }

@@ -90,6 +90,7 @@ def neardup_candidates_stream(
     parity contract."""
     import pickle
 
+    horizon_us = int(pd.Timedelta(delay).total_seconds() * 1_000_000)
     rows_per_band = num_hashes // bands
     base = stream.withWatermark(ts_col, delay).select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -140,7 +141,10 @@ def neardup_candidates_stream(
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         wm_us = state.getCurrentWatermarkMs() * 1000
-        store: dict = pickle.loads(state.get[0]) if state.exists else {}
+        if state.exists:
+            last_sweep, store = pickle.loads(state.get[0])
+        else:
+            last_sweep, store = 0, {}
         out_a: list[int] = []
         out_b: list[int] = []
         out_bi: list[int] = []
@@ -161,6 +165,17 @@ def neardup_candidates_stream(
             k = (bi, sig)
             prev = store.get(k)
             if prev is not None:
+                if len(prev) == 1:  # overwhelmingly common: fast path
+                    d, t = prev[0]
+                    if t >= wm_us:
+                        if d != doc:
+                            out_a.append(d)
+                            out_b.append(doc)
+                            out_bi.append(bi)
+                        prev.append((doc, ts_us))
+                    else:
+                        store[k] = [(doc, ts_us)]
+                    continue
                 live = [(d, t) for d, t in prev if t >= wm_us]
                 for d, _t in live:
                     if d == doc:
@@ -172,11 +187,18 @@ def neardup_candidates_stream(
                 store[k] = live
             else:
                 store[k] = [(doc, ts_us)]
-        # compact dead keys (all entries expired) so blobs shrink
-        for k in [k for k, v in store.items() if all(t < wm_us for _, t in v)]:
-            del store[k]
+        # dead-key compaction is a FULL-store walk: amortize it to once
+        # per half horizon of watermark progress (correctness does not
+        # depend on it — expired entries are filtered at match time —
+        # the sweep only bounds blob growth under key churn)
+        if wm_us - last_sweep >= horizon_us // 2:
+            for k in [
+                k for k, v in store.items() if all(t < wm_us for _, t in v)
+            ]:
+                del store[k]
+            last_sweep = wm_us
         state.update(
-            (pickle.dumps(store, protocol=pickle.HIGHEST_PROTOCOL),)
+            (pickle.dumps((last_sweep, store), protocol=pickle.HIGHEST_PROTOCOL),)
         )
         if out_a:
             yield pd.DataFrame(

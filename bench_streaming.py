@@ -275,17 +275,19 @@ def _p_neardup(spark, left, right):
         neardup_candidates_stream,
     )
 
-    src = _read(spark, left).select(
-        F.expr("CAST(substring(key, 2) AS LONG)").alias("doc_id"),
-        F.expr(
-            "concat_ws(' ', transform(sequence(0, 9), i -> concat('w',"
-            " CAST((CASE WHEN CAST(substring(key, 2) AS LONG) % 50 = 0"
-            "            AND CAST(substring(key, 2) AS LONG) > 0"
-            "       THEN CAST(substring(key, 2) AS LONG) - 1"
-            "       ELSE CAST(substring(key, 2) AS LONG) END) * 13 + i"
-            " AS STRING))))"
-        ).alias("text"),
-        F.col("ts"),
+    # per-ROW doc identity derived from the event time (the synthetic
+    # key recycles every 10k rows, which would make each band list a
+    # 30-deep duplicate chain scanned per arrival — measured 12k rows/s
+    # pricing that artifact instead of near-dup detection)
+    src = _read(spark, left).selectExpr(
+        "(unix_micros(ts) - 1704067200000000) div 100 AS doc_id",
+        "ts",
+    ).selectExpr(
+        "doc_id",
+        "concat_ws(' ', transform(sequence(0, 9), i -> concat('w',"
+        " CAST((CASE WHEN doc_id % 50 = 0 AND doc_id > 0"
+        "       THEN doc_id - 1 ELSE doc_id END) * 13 + i AS STRING)))) AS text",
+        "ts",
     )
     return (
         neardup_candidates_stream(

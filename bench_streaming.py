@@ -317,6 +317,9 @@ POLL_PILLARS = {"running_total_punctuated"}
 
 
 def main() -> None:
+    from bench import adjudicate_host, host_markers
+
+    host_start = host_markers("start")
     root = tempfile.mkdtemp(prefix="ckse_stream_bench_")
     try:
         spark = get_spark("ckse-bench-streaming-gen")
@@ -367,17 +370,21 @@ def main() -> None:
             finally:
                 spark.stop()
 
-        print(
-            json.dumps(
-                {
-                    "metric": "streaming_rows_per_sec",
-                    "value": min(results.values()),
-                    "unit": "rows/s",
-                    "pipelines": results,
-                    "rows": N_ROWS,
-                }
-            )
-        )
+        host_end = host_markers("end", idle_interval_s=0.0)
+        host_end["cpu_idle_pct"] = None
+        contaminated, reasons = adjudicate_host(host_start, host_end)
+        out = {
+            "metric": "streaming_rows_per_sec",
+            "value": min(results.values()),
+            "unit": "rows/s",
+            "pipelines": results,
+            "rows": N_ROWS,
+            "host": {"start": host_start, "end": host_end},
+            "contaminated": contaminated,
+        }
+        if contaminated:
+            out["contamination_reasons"] = reasons
+        print(json.dumps(out))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -122,6 +122,37 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 
 
+#: byte-unit suffixes accepted by Spark conf values (JavaUtils.byteStringAs);
+#: bare integers are bytes, per spark.sql.files.maxPartitionBytes docs
+_BYTE_SUFFIXES = {
+    "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": 1024 ** 2, "mb": 1024 ** 2,
+    "g": 1024 ** 3, "gb": 1024 ** 3,
+    "t": 1024 ** 4, "tb": 1024 ** 4,
+    "p": 1024 ** 5, "pb": 1024 ** 5,
+}
+
+
+def _parse_byte_string(raw: str, default: int) -> int:
+    """Parse a Spark byte-string conf value ('134217728', '128m', '1g')
+    with JavaUtils.byteStringAsBytes semantics.  Stripping non-digits —
+    the previous implementation — turned '128m' into 128 BYTES, which
+    inflated the estimated partition count ~10^6x and silently disabled
+    the fan-out guard (fails safe, but defeats the optimization)."""
+    s = raw.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or not num.isdigit():
+        return default
+    mult = _BYTE_SUFFIXES.get(suffix, 1 if suffix == "" else None)
+    if mult is None:
+        return default
+    return int(num) * mult
+
+
 def fan_out_small_scan(df: DataFrame, narrow: DataFrame) -> DataFrame:
     """Parallelism guard for row-amplifying projections (the profiler
     stack x explode multiplies each scanned row ~30x INSIDE the scan
@@ -151,7 +182,7 @@ def fan_out_small_scan(df: DataFrame, narrow: DataFrame) -> DataFrame:
     if not files:
         return narrow
     maxpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    maxpb = int("".join(ch for ch in str(maxpb_raw) if ch.isdigit()) or "134217728")
+    maxpb = _parse_byte_string(str(maxpb_raw), default=134217728)
     est_partitions = max(len(files), total // maxpb + 1)
     cores = spark.sparkContext.defaultParallelism
     if est_partitions * 2 < cores:

@@ -19,13 +19,22 @@ This module is that operator:
    band-key universe).
 3. Per bucket, `applyInPandasWithState` holds {(band_idx, band_sig):
    [(doc_id, ts_us), ...]} for documents inside the WATERMARK HORIZON
-   and emits a candidate pair (id_a = earlier arrival, id_b = new
-   document, band_idx) for every collision; entries older than the
+   and emits a candidate pair (id_a = already-stored document, id_b =
+   new document, band_idx) for every collision; entries older than the
    watermark are evicted on every visit, so state is bounded by
    rate x delay exactly like dropDuplicatesWithinWatermark — the
    near-in-time assumption is the same one the exact streaming dedup
    already makes (re-posts, mirrored feeds, crawl revisits cluster in
    time).
+
+Pair orientation: within a micro-batch the fold SORTS by (ts_us,
+doc_id) — Spark does not guarantee cross-partition row order after the
+bucket shuffle, so frame order is not arrival order — which makes
+id_a/id_b deterministic: id_a precedes id_b in event time within a
+batch, and was stored in an earlier batch across batches.  A
+re-delivered doc_id refreshes its stored timestamp and emits nothing
+(every pair involving it already emitted when the later member first
+arrived), so re-posts cannot flip orientation or duplicate entries.
 
 Contract vs batch: over an in-order replay whose horizon spans the
 whole stream, the DISTINCT {id_a, id_b} set equals
@@ -85,9 +94,10 @@ def neardup_candidates_stream(
     n_buckets: int = 1024,
 ) -> DataFrame:
     """Append-mode stream of (id_a, id_b, band_idx) MinHash-LSH
-    candidate pairs, id_a arrived earlier; state bounded by the
-    watermark horizon ``delay``.  See module docstring for the batch
-    parity contract."""
+    candidate pairs, id_a stored first (event-time order within a
+    micro-batch, batch order across micro-batches); state bounded by
+    the watermark horizon ``delay``.  See module docstring for the
+    batch parity contract."""
     import pickle
 
     horizon_us = int(pd.Timedelta(delay).total_seconds() * 1_000_000)
@@ -148,12 +158,16 @@ def neardup_candidates_stream(
         out_a: list[int] = []
         out_b: list[int] = []
         out_bi: list[int] = []
-        # arrival order within the batch = frame order (stable); evict
+        # frame order is NOT arrival order (the bucket shuffle merges
+        # upstream partitions in nondeterministic order), so pin the
+        # within-batch order to event time with doc_id tiebreak; evict
         # per touched key, not per batch — untouched keys age out the
         # next time their bucket is visited, which only delays RAM
         # reclaim, never changes emissions (expired entries can't be
         # matched: a new doc with ts >= wm never pairs under a key
         # whose stored docs are all < wm unless they are still listed)
+        if len(pdf) > 1:
+            pdf = pdf.sort_values(["ts_us", "doc_id"], kind="stable")
         for doc, ts_us, bi, sig in zip(
             pdf["doc_id"].tolist(),
             pdf["ts_us"].tolist(),
@@ -164,29 +178,35 @@ def neardup_candidates_stream(
                 continue  # late past the horizon: dropped, not signed
             k = (bi, sig)
             prev = store.get(k)
-            if prev is not None:
-                if len(prev) == 1:  # overwhelmingly common: fast path
-                    d, t = prev[0]
-                    if t >= wm_us:
-                        if d != doc:
-                            out_a.append(d)
-                            out_b.append(doc)
-                            out_bi.append(bi)
-                        prev.append((doc, ts_us))
-                    else:
-                        store[k] = [(doc, ts_us)]
-                    continue
-                live = [(d, t) for d, t in prev if t >= wm_us]
+            if prev is None:
+                store[k] = [(doc, ts_us)]
+                continue
+            if len(prev) == 1:  # overwhelmingly common: fast path
+                d, t = prev[0]
+                if d == doc:
+                    # re-delivery: refresh the entry in place — never a
+                    # second (doc, ts) tuple, never a re-emission
+                    prev[0] = (doc, max(t, ts_us))
+                elif t >= wm_us:
+                    out_a.append(d)
+                    out_b.append(doc)
+                    out_bi.append(bi)
+                    prev.append((doc, ts_us))
+                else:
+                    store[k] = [(doc, ts_us)]
+                continue
+            live = [(d, t) for d, t in prev if t >= wm_us]
+            for i, (d, t) in enumerate(live):
+                if d == doc:  # re-delivery: refresh, emit nothing
+                    live[i] = (doc, max(t, ts_us))
+                    break
+            else:
                 for d, _t in live:
-                    if d == doc:
-                        continue  # re-delivered id: no self-pair
                     out_a.append(d)
                     out_b.append(doc)
                     out_bi.append(bi)
                 live.append((doc, ts_us))
-                store[k] = live
-            else:
-                store[k] = [(doc, ts_us)]
+            store[k] = live
         # dead-key compaction is a FULL-store walk: amortize it to once
         # per half horizon of watermark progress (correctness does not
         # depend on it — expired entries are filtered at match time —

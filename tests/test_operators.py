@@ -625,3 +625,25 @@ def test_fan_out_small_scan_metadata_guard(spark, tmp_path):
     # a non-file source (createDataFrame) must pass through untouched
     mem = spark.createDataFrame([(1,)], "x int")
     assert fan_out_small_scan(mem, mem) is mem
+
+
+def test_parse_byte_string_suffixes():
+    """_parse_byte_string (session.py): Spark byte-string conf values carry
+    JavaUtils unit suffixes; '128m' must mean 128 MiB, not 128 bytes (the
+    old digit-strip parse inflated est_partitions ~10^6x and disabled the
+    fan-out guard whenever the conf was set with a suffix)."""
+    from confluent_kafka_streams_examples_spark.session import (
+        _parse_byte_string,
+    )
+
+    assert _parse_byte_string("134217728", default=1) == 134217728
+    assert _parse_byte_string("128m", default=1) == 128 * 1024 ** 2
+    assert _parse_byte_string("128MB", default=1) == 128 * 1024 ** 2
+    assert _parse_byte_string("1g", default=1) == 1024 ** 3
+    assert _parse_byte_string("64k", default=1) == 64 * 1024
+    assert _parse_byte_string(" 256m ", default=1) == 256 * 1024 ** 2
+    assert _parse_byte_string("12b", default=1) == 12
+    # malformed values fall back to the default, never to tiny bytes
+    assert _parse_byte_string("abc", default=42) == 42
+    assert _parse_byte_string("", default=42) == 42
+    assert _parse_byte_string("128x", default=42) == 42

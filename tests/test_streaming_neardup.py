@@ -151,6 +151,39 @@ def test_stream_candidates_match_batch_lsh(spark, tmp_path):
     assert expect  # the corpus genuinely has candidates
 
 
+def test_redelivery_is_idempotent(spark, tmp_path):
+    """A re-delivered doc_id refreshes its stored entry: no duplicate
+    state tuples, no re-emission, and — critically — no reversed
+    (id_b, id_a) orientation of a pair that already emitted."""
+    text = "a b c d e f g h i j"
+    batches = [
+        [(1, text, _s(0))],
+        [(1, text, _s(1)), (2, text, _s(5))],  # 1 re-posted, then 2
+        [(1, text, _s(6))],  # re-post AFTER 2 arrived: must emit nothing
+        [(3, text, _s(7))],  # new doc pairs once with each of 1 and 2
+    ]
+    rows = _drive(spark, tmp_path, batches, delay="1 hour")
+    pairs = [(r["id_a"], r["id_b"], r["band_idx"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), pairs  # no duplicate emissions
+    oriented = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in oriented
+    assert (2, 1) not in oriented, oriented
+    assert (1, 3) in oriented and (2, 3) in oriented
+    assert not any(b == a for a, b in oriented)
+
+
+def test_within_batch_order_is_event_time(spark, tmp_path):
+    """Frame order after the bucket shuffle is not arrival order; the
+    fold sorts by (ts_us, doc_id), so a batch delivered in reversed
+    event-time order still emits id_a = event-time-earlier doc."""
+    text = "a b c d e f g h i j"
+    # single batch, rows listed later-ts first
+    batches = [[(7, text, _s(10)), (6, text, _s(5))]]
+    rows = _drive(spark, tmp_path, batches, delay="1 hour")
+    oriented = {(r["id_a"], r["id_b"]) for r in rows}
+    assert oriented == {(6, 7)}, oriented
+
+
 def test_stream_candidates_respect_horizon(spark, tmp_path):
     """A near-dup arriving beyond the horizon of its twin does NOT
     pair (state evicted), and a late row (event time behind the

@@ -176,7 +176,14 @@ def running_total_bucketed(
 
     CAUTION (same as the per-key variant): an armed processing-time
     timeout continuously schedules micro-batches, so
-    ``processAllAvailable()`` never settles — poll the sink instead."""
+    ``processAllAvailable()`` never settles — poll the sink instead.
+
+    Toggling ``emit_every_ms`` between None and set requires a FRESH
+    checkpoint: the timeout adds an internal state column
+    (timeoutTimestamp), so Spark rejects recovery at state load with a
+    clear incompatibility error (pytest-pinned).  Defensively, the fold
+    also upgrades any legacy 2-tuple (total, n) entries to
+    (total, n, next_fire) before reading next-fire times."""
     import pickle
 
     stream = stream.filter(F.col(key_col).isNotNull())
@@ -207,6 +214,15 @@ def running_total_bucketed(
         totals: dict[str, tuple] = (
             pickle.loads(state.get[0]) if state.exists else {}
         )
+        if emit_every_ms is not None and totals:
+            # a checkpoint written in plain mode holds 2-tuples; when the
+            # punctuator is newly enabled on restart, upgrade them in
+            # place (first fire one full period from now) instead of
+            # raising IndexError on rec[2] below
+            totals = {
+                k: rec if len(rec) > 2 else (rec[0], rec[1], now + emit_every_ms)
+                for k, rec in totals.items()
+            }
         out_k: list[str] = []
         out_t: list[float] = []
         out_n: list[int] = []

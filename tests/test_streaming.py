@@ -704,6 +704,80 @@ def test_running_total_bucketed_punctuator_per_key_cadence(spark, tmp_path):
     assert all(r["total"] == 7.0 for r in rows if r["key"] == "b")
 
 
+def test_bucketed_punctuator_toggle_on_restart(spark, tmp_path):
+    """Toggling emit_every_ms ON over a checkpoint written in PLAIN mode
+    requires a FRESH checkpoint (ADVICE r10, documented on the operator):
+    Spark itself blocks the recovery — adding a timeout changes the
+    internal state schema (a timeoutTimestamp column) and the UnsafeRow
+    layout, so the query fails LOUDLY at state load (schema check, and
+    row-format validation even with stateSchemaCheck=false) rather than
+    reaching the fold with 2-tuple entries.  This pins that the failure
+    is Spark's clear state-incompatibility error, not a confusing
+    IndexError from inside the pickle blob; the fold additionally
+    upgrades any legacy 2-tuple entries in place as defense."""
+    import time as _time
+    import uuid as _uuid
+
+    from confluent_kafka_streams_examples_spark.streaming.processor import (
+        running_total_bucketed,
+    )
+
+    src = str(tmp_path / "src")
+    write_batch(spark, src, [("a", 5.0, ts(0)), ("c", 2.0, ts(0))])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    qname = f"tg{_uuid.uuid4().hex[:8]}"
+    ckpt = f"{tmp_path}/ckpt_{qname}"
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    # phase 1: plain mode writes 2-tuple entries into the checkpoint
+    # (foreachBatch, not the memory sink — memory cannot recover from a
+    # checkpoint, and phase 2 restarts from this one)
+    q = (
+        running_total_bucketed(stream, "key", "value", n_buckets=1)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert any(r["key"] == "a" for r in rows)
+    rows.clear()
+    # phase 2: same checkpoint, punctuator newly enabled — Spark must
+    # refuse with its state-incompatibility error
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    write_batch(spark, src, [("a", 1.0, ts(1))])
+    q2 = (
+        running_total_bucketed(
+            stream2, "key", "value", n_buckets=1, emit_every_ms=100
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    exc = None
+    try:
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            exc = q2.exception()
+            if exc is not None or not q2.isActive:
+                exc = exc or q2.exception()
+                break
+            _time.sleep(0.5)
+    finally:
+        q2.stop()
+    assert exc is not None, "toggle over a plain checkpoint must fail loudly"
+    msg = str(exc)
+    assert "STATE" in msg.upper() or "schema" in msg.lower(), msg
+    assert "IndexError" not in msg, msg
+
+
 @pytest.mark.parametrize("how", ["left_outer", "full_outer"])
 def test_outer_windowed_join_random_stream_matches_batch(spark, tmp_path, how):
     """Differential contract for J1b (VERDICT r9 #7): over a seeded

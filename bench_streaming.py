@@ -288,11 +288,61 @@ def _p_neardup(spark, left, right):
         " CAST((CASE WHEN doc_id % 50 = 0 AND doc_id > 0"
         "       THEN doc_id - 1 ELSE doc_id END) * 13 + i AS STRING)))) AS text",
         "ts",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # the repartition fans the NARROW rows out of the 4-file scan so the
+    # heavy per-row signing runs on every core, not 4 of 32 — the
+    # streaming twin of fan_out_small_scan (rig regime only; a real
+    # trigger has core-scale source partitions)
     return (
         neardup_candidates_stream(
             src, "doc_id", "text", "ts", delay="30 seconds"
         ),
+        "append",
+    )
+
+
+#: one-time corpus signature artifact for the corpus-gate pillar,
+#: shared across warm + reps (path in /tmp, regenerated per process)
+_CORPUS_SIG_PATH: list[str] = []
+
+
+def _p_neardup_corpus(spark, left, right):
+    # stream-static ingest gate: per-row signing + broadcast(batch) band
+    # join against a STORED corpus signature artifact (40k docs = every
+    # 50th doc id, so ~2% of arrivals hit, x4 bands).  Stateless — this
+    # pillar prices signing + the per-trigger corpus probe, isolating
+    # the join cost from the horizon operator's Python state fold.
+    from confluent_kafka_streams_examples_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from confluent_kafka_streams_examples_spark.streaming.neardup import (
+        neardup_vs_corpus_stream,
+    )
+
+    if not _CORPUS_SIG_PATH:
+        path = tempfile.mkdtemp(prefix="ckse_corpus_sig_") + "/sig"
+        corpus = spark.range(0, N_ROWS + 1, 50).selectExpr(
+            "id AS doc_id",
+            "concat_ws(' ', transform(sequence(0, 9), i -> concat('w',"
+            " CAST(id * 13 + i AS STRING)))) AS text",
+        )
+        minhash_signatures(corpus, "doc_id", "text", 16, 3).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _CORPUS_SIG_PATH.append(path)
+    corpus_sig = spark.read.parquet(_CORPUS_SIG_PATH[0])
+    src = _read(spark, left).selectExpr(
+        "(unix_micros(ts) - 1704067200000000) div 100 AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 9), i -> concat('w',"
+        " CAST(((unix_micros(ts) - 1704067200000000) div 100) * 13 + i"
+        " AS STRING)))) AS text",
+    ).repartition(spark.sparkContext.defaultParallelism)  # see _p_neardup
+    # broadcast_batch=False: this replay's 125k-row triggers x4 bands
+    # would build a 500k-row broadcast per trigger — the shuffle-hash
+    # path is the documented bulk-replay choice (the default targets
+    # production-sized triggers of thousands of rows)
+    return (
+        neardup_vs_corpus_stream(src, corpus_sig, broadcast_batch=False),
         "append",
     )
 
@@ -310,6 +360,7 @@ PIPELINES = [
     ("funnel_bucketed", _p_funnel_bucketed, N_ROWS),
     ("running_total_punctuated", _p_total_punctuated, N_ROWS),
     ("neardup_candidates", _p_neardup, N_ROWS),
+    ("neardup_corpus_gate", _p_neardup_corpus, N_ROWS),
 ]
 
 #: pipelines whose armed timers never let processAllAvailable settle

@@ -1020,7 +1020,13 @@ def with_minhash_signatures(
     at arrival: a groupBy signature would be a stateful aggregate and
     could not precede the stateful LSH-bucket operator in one query.
     Rows with fewer than ``n`` tokens get NULL signatures (the grouped
-    form simply has no row for them) — filter on ``mh0 IS NOT NULL``.
+    form simply has no row for them).  Drop them with the CHEAP
+    pre-projection predicate ``size(split(text, ' ')) >= n``, NOT a
+    post-projection ``mh0 IS NOT NULL``: Catalyst pushes that filter
+    below this projection (and any exchange under it), which inlines
+    the whole signing chain into the scan-stage filter and evaluates
+    it twice — measured 10x the entire streaming near-dup pillar
+    (SCALE.md r11).
 
     Two-stage projection on purpose: the (md5, conv) hash-pair array is
     materialized as ONE intermediate column and the 16 array_min folds

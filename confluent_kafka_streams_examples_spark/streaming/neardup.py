@@ -68,6 +68,7 @@ from pyspark.sql.types import (
 )
 
 from confluent_kafka_streams_examples_spark.operators.dedup import (
+    band_signatures,
     with_minhash_signatures,
 )
 
@@ -80,6 +81,27 @@ PAIR_SCHEMA = StructType(
 )
 
 _STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def _band_structs(num_hashes: int, bands: int) -> list:
+    """Per-row LSH band structs over mh0..mh{K-1} columns — the same
+    '|'-joined band_sig layout as the stored-artifact path
+    (operators/dedup.py band_signatures), so streamed band keys join
+    the persisted signature table exactly."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_sig"),
+        )
+        for bi in range(bands)
+    ]
 
 
 def neardup_candidates_stream(
@@ -101,31 +123,29 @@ def neardup_candidates_stream(
     import pickle
 
     horizon_us = int(pd.Timedelta(delay).total_seconds() * 1_000_000)
-    rows_per_band = num_hashes // bands
-    base = stream.withWatermark(ts_col, delay).select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
-        F.col(ts_col).alias("__ts"),  # keep the watermark attribute
-        F.col(text_col),
-    )
-    signed = (
-        with_minhash_signatures(base, text_col, num_hashes, n)
-        .drop(text_col)
-        .filter(F.col("doc_id").isNotNull() & F.col("mh0").isNotNull())
-    )
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("band_sig"),
+    base = (
+        stream.withWatermark(ts_col, delay)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+            F.col(ts_col).alias("__ts"),  # keep the watermark attribute
+            F.col(text_col),
         )
-        for bi in range(bands)
-    ]
+        # short/null docs have no signature (the grouped twin has no row
+        # for them) — gate on the CHEAP equivalent predicate BEFORE the
+        # signing projection.  A post-sign filter on mh0 IS NOT NULL
+        # gets predicate-pushed below the projection (and any exchange)
+        # and re-evaluates the ENTIRE 16-permutation chain inside the
+        # scan stage — measured 10x the whole pillar (SCALE.md r11)
+        .filter(
+            F.col("doc_id").isNotNull()
+            & (F.size(F.split(F.col(text_col), " ")) >= n)
+        )
+    )
+    signed = with_minhash_signatures(base, text_col, num_hashes, n).drop(
+        text_col
+    )
+    band_structs = _band_structs(num_hashes, bands)
     banded = signed.select(
         "doc_id",
         "ts_us",
@@ -232,3 +252,108 @@ def neardup_candidates_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def neardup_vs_corpus_stream(
+    stream: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Streaming ingest gate vs the WHOLE accepted corpus: each arriving
+    document's per-row band signatures stream-static-join the persisted
+    LSH signature artifact, emitting (id_a=new doc, id_b=matched corpus
+    id, band_idx) — the collision signal `neardup_candidates_stream`
+    cannot give beyond its watermark horizon (VERDICT r10 gap #2).
+
+    ``corpus_sig`` is the stored (id, mh0..mh{K-1}) signature table that
+    `incremental_minhash_pairs` / `dedup_incremental_persisted` already
+    maintain (~1e-4 the corpus bytes); it is banded here with the SAME
+    band_sig layout, so a streamed key equi-joins stored rows exactly.
+
+    Stateless by design: no watermark, no state store — the corpus side
+    carries the history.  A pair emits once per matching band per
+    DELIVERY (band_idx distinguishes bands; re-deliveries re-emit —
+    downstream dedup is a `.distinct()` away, same convention as the
+    horizon operator).  Reference analog: the stream–table enrichment
+    join (JoinsExample.scala:41-45) with the table side = the signature
+    store.
+
+    100 TB execution: ``broadcast_batch`` (default) broadcasts the
+    MICRO-BATCH side — thousands of banded rows per trigger — so the
+    multi-GB corpus signature table is never shuffled or sorted, just
+    scanned and probed per trigger; disable it for bulk replays whose
+    triggers are themselves huge, where a shuffle-hash join on band_sig
+    against a signature artifact bucketed by band_sig co-locates both
+    sides instead.
+    """
+    # cheap pre-sign short-doc gate, NOT a post-sign mh0 filter — see
+    # neardup_candidates_stream for the pushed-predicate double-compute
+    # this avoids (10x measured)
+    base = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+    ).filter(
+        F.col("doc_id").isNotNull()
+        & (F.size(F.split(F.col(text_col), " ")) >= n)
+    )
+    signed = with_minhash_signatures(base, text_col, num_hashes, n).drop(
+        text_col
+    )
+    banded_new = signed.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.array(*_band_structs(num_hashes, bands))).alias("band"),
+    ).select("id_a", F.col("band.band_idx"), F.col("band.band_sig"))
+    if broadcast_batch:
+        banded_new = banded_new.hint("broadcast")
+    banded_corpus = band_signatures(corpus_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_sig"
+    )
+    return banded_new.join(banded_corpus, ["band_idx", "band_sig"]).select(
+        "id_a", "id_b", "band_idx"
+    )
+
+
+def neardup_ingest_gate_stream(
+    stream: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    delay: str = "10 minutes",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The full production ingest gate = both collision sources in ONE
+    append-mode stream of (id_a, id_b, band_idx, match_src):
+
+    - ``match_src='corpus'``: the arriving doc collides with the stored
+      corpus signature artifact (stream-static band join, stateless);
+    - ``match_src='batch'``: it collides with another RECENT arrival
+      inside the watermark horizon (bucketed LSH state), canonicalized
+      to id_a < id_b — the orientation `incremental_minhash_pairs`
+      gives new-new pairs.
+
+    Over an in-order replay whose horizon spans the stream, the distinct
+    output equals the batch `incremental_minhash_pairs` candidate set on
+    (union of batches) vs the same corpus table (differential-tested).
+    Both branches read the one source stream; Spark runs them as two
+    branches of a self-union in the same micro-batch.
+    """
+    corpus_hits = neardup_vs_corpus_stream(
+        stream, corpus_sig, id_col, text_col, num_hashes, bands, n
+    ).withColumn("match_src", F.lit("corpus"))
+    batch_hits = neardup_candidates_stream(
+        stream, id_col, text_col, ts_col, num_hashes, bands, n, delay, n_buckets
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "band_idx",
+        F.lit("batch").alias("match_src"),
+    )
+    return corpus_hits.unionByName(batch_hits)

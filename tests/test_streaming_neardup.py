@@ -151,6 +151,119 @@ def test_stream_candidates_match_batch_lsh(spark, tmp_path):
     assert expect  # the corpus genuinely has candidates
 
 
+def _drive_gate(spark, tmp_path, batches, corpus_sig, delay="1 hour"):
+    from confluent_kafka_streams_examples_spark.streaming.neardup import (
+        neardup_ingest_gate_stream,
+    )
+
+    src = str(tmp_path / "gsrc")
+    qname = f"gate{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(batches[0], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = neardup_ingest_gate_stream(
+        stream, corpus_sig, "doc_id", "text", "ts", delay=delay, n_buckets=8
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {qname}").collect()
+
+
+def test_ingest_gate_matches_batch_incremental(spark, tmp_path):
+    """Differential for the full ingest gate (corpus stream-static join
+    + horizon state op): over an in-order replay whose horizon spans
+    the stream, the distinct (id_a, id_b, match_src) set equals the
+    batch incremental_minhash_pairs of (union of batches) vs the SAME
+    stored corpus signature table — collisions with the whole accepted
+    corpus are caught, not just within the watermark horizon."""
+    from confluent_kafka_streams_examples_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    docs = _mk_docs(seed=7, n_docs=120)
+    # first 60 docs form the accepted corpus; the last 60 arrive as the
+    # stream (ids disjoint); _mk_docs' 30% edit rate guarantees both
+    # corpus-vs-new and new-vs-new collisions exist
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in docs[:60]], "doc_id long, text string"
+    )
+    corpus_sig = minhash_signatures(corpus, "doc_id", "text", 16, 3)
+    # persist the artifact the way production does: stored table, re-read
+    sig_path = str(tmp_path / "corpus_sig")
+    corpus_sig.write.parquet(sig_path)
+    stored_sig = spark.read.parquet(sig_path)
+
+    new_docs = docs[60:]
+    batches = [
+        [(i, t, _s(i)) for i, t in new_docs[:30]],
+        [(i, t, _s(i)) for i, t in new_docs[30:]],
+    ]
+    rows = _drive_gate(spark, tmp_path, batches, stored_sig, delay="1 hour")
+    got = {(r["id_a"], r["id_b"], r["match_src"]) for r in rows}
+
+    new_df = spark.createDataFrame(
+        [(i, t) for i, t in new_docs], "doc_id long, text string"
+    )
+    expect = {
+        (r["id_a"], r["id_b"], r["match_src"])
+        for r in incremental_minhash_pairs(
+            new_df, stored_sig, "doc_id", "text"
+        ).collect()
+    }
+    assert got == expect
+    assert any(m == "corpus" for _, _, m in expect)  # both sources real
+    assert any(m == "batch" for _, _, m in expect)
+
+
+def test_corpus_gate_broadcasts_the_batch_side(spark, tmp_path):
+    """100 TB shape of the stream-static corpus join: the (small)
+    micro-batch side must be the broadcast BUILD side so the multi-GB
+    corpus signature artifact is scanned and probed, never shuffled or
+    sorted on the join key.  The operator is stateless, so the batch
+    plan is the per-trigger plan."""
+    from confluent_kafka_streams_examples_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from confluent_kafka_streams_examples_spark.streaming.neardup import (
+        neardup_vs_corpus_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    sig_path = str(tmp_path / "sig")
+    minhash_signatures(docs, "doc_id", "text", 16, 3).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+    plan = (
+        neardup_vs_corpus_stream(docs, stored)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BuildLeft" in plan, plan  # left = the arriving batch side
+    # the corpus side must not be exchanged on the band key
+    corpus_half = plan.split("BroadcastExchange")[-1]
+    assert "Exchange hashpartitioning(band" not in corpus_half, plan
+
+
 def test_redelivery_is_idempotent(spark, tmp_path):
     """A re-delivered doc_id refreshes its stored entry: no duplicate
     state tuples, no re-emission, and — critically — no reversed

@@ -111,7 +111,11 @@ def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     )
 
 
-def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+def profile_table_extended(
+    df: DataFrame,
+    cols: dict[str, Column],
+    quantile_ranges: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
     """The full day-one "describe extended", still in ONE scan: per
     column, row/null counts, corrected portable-HLL distinct estimate,
     numeric min/max, integer-exact average length (centi-chars), and a
@@ -152,6 +156,47 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     ~5x the profiler's per-value hash cost at sf0.1.)  The fused
     layout is bit-specified here and hash-checked end-to-end by the
     events_profile_extended oracle.
+
+    QUANTILES (p50/p95/p99, VERDICT r10 #3) ride the same scan as one
+    more row kind (-2): each numeric value lands in an integer-exact
+    histogram bucket, so any engine reproduces it bit-for-bit.  Two
+    bucket layouts, chosen per column:
+
+    - default, no prior knowledge: sign-aware 1/16-octave LOG buckets
+
+          a      = abs(greatest(v, -(2^63 - 1)))      -- magnitude
+          bl     = length of a's binary digits        -- a=0 -> 1
+          sub    = (a >> max(bl - 5, 0)) & 15         -- top 4 bits
+          bucket = sign(v) * (bl * 16 + sub)
+
+      monotone in v, at most ~2080 buckets span all of int64,
+      relative error <= 1/16 octave (~4.4%).  The failure regime is
+      VISIBLE in the output: a column whose whole range fits inside
+      one bucket (epoch timestamps: a month is ~0.2% of the epoch
+      offset) reports p50 == p95 == p99 == min_num — read that as
+      "narrow relative range, pass a range hint".
+
+    - ``quantile_ranges[name] = (lo, hi)``: LINEAR 101 buckets over
+      the caller's prior (the natural profiler input for timestamps
+      and bounded metrics — "this drop should be 2024" is knowledge a
+      platform has before scanning):
+
+          w      = (hi - lo) div 101 + 1
+          bucket = (clamp(v, lo, hi) - lo) div w      -- 0..100
+
+      absolute error <= (hi - lo)/101; out-of-range values clamp into
+      the edge buckets (their exact min still reported).
+
+    Every bucket's COUNT and exact MIN fall out of the same level-1
+    aggregation that already computes per-register counts.  Level 2
+    collapses each column's buckets into one sorted array (a few
+    hundred structs — the one object-buffer aggregate in the cascade,
+    over kilobytes), and the final projection walks it with an
+    ``aggregate`` fold: pXX_num = the exact min of the first bucket
+    where the cumulative count reaches ceil(q x n_num) — a REAL data
+    value <= the true quantile, bracketed by the bucket.  Columns
+    whose canonical form is not numeric (free text, JSON) report
+    NULL, same contract as min_num/max_num.
     """
     pairs: list[Column] = []
     for name, col in cols.items():
@@ -159,7 +204,45 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     stacked = fan_out_small_scan(
         df, df.select(F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val"))
     )
-    h = stacked.select("col_name", "val", F.md5("val").alias("h"))
+    h = stacked.select(
+        "col_name",
+        "val",
+        F.md5("val").alias("h"),
+        F.expr("try_cast(val AS BIGINT)").alias("nval"),
+    ).withColumns(
+        {
+            # quantile-histogram bucket pieces (see docstring): clamp
+            # guards the -2^63 negation edge; conv-to-binary LENGTH is
+            # the integer-exact bit length both engines agree on
+            "qmag": F.expr(
+                "abs(greatest(nval, CAST(-9223372036854775807 AS BIGINT)))"
+            ),
+        }
+    ).withColumn("qbl", F.length(F.conv(F.col("qmag"), 10, 2)))
+    log_bucket = (
+        F.when(F.col("nval") >= 0, F.lit(1)).otherwise(F.lit(-1))
+        * (
+            F.col("qbl") * 16
+            + F.expr(
+                "shiftright(qmag,"
+                " CASE WHEN qbl > 5 THEN qbl - 5 ELSE 0 END) & 15"
+            )
+        )
+    ).cast("int")
+    bucket_expr = log_bucket
+    for qname, (lo, hi) in (quantile_ranges or {}).items():
+        # linear 101-bucket layout over the caller's [lo, hi] prior;
+        # width computed driver-side so no in-plan division by range
+        w = (int(hi) - int(lo)) // 101 + 1
+        bucket_expr = F.when(
+            F.col("col_name") == F.lit(qname),
+            F.expr(
+                f"CAST((greatest(least(nval, CAST({int(hi)} AS BIGINT)),"
+                f" CAST({int(lo)} AS BIGINT)) - CAST({int(lo)} AS BIGINT))"
+                f" div CAST({w} AS BIGINT) AS INT)"
+            ),
+        ).otherwise(bucket_expr)
+    qbucket = F.when(F.col("nval").isNotNull(), bucket_expr)
     kinds = [
         F.struct(
             F.lit(-1).alias("kind"),
@@ -181,12 +264,23 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
                 F.lit(None).cast("string").alias("tail"),
             )
         )
+    # quantile-histogram rows: one per NUMERIC value, idx = log bucket
+    kinds.append(
+        F.struct(
+            F.lit(-2).alias("kind"),
+            qbucket.alias("idx"),
+            F.lit(None).cast("string").alias("tail"),
+        )
+    )
     ex = (
-        h.select("col_name", "val", F.explode(F.array(*kinds)).alias("k"))
-        .select("col_name", "val", "k.kind", "k.idx", "k.tail")
-        # null values carry no CMS rows (frequency of actual values);
-        # they still ride the HLL row at idx=-1 for the null count
-        .filter(~((F.col("kind") >= 0) & F.col("idx").isNull()))
+        h.select(
+            "col_name", "val", "nval", F.explode(F.array(*kinds)).alias("k")
+        )
+        .select("col_name", "val", "nval", "k.kind", "k.idx", "k.tail")
+        # null values carry no CMS rows (frequency of actual values) and
+        # non-numeric values no histogram rows; nulls still ride the
+        # HLL row at idx=-1 for the null count
+        .filter(~((F.col("kind") != -1) & F.col("idx").isNull()))
     )
     is_hll = F.col("kind") == -1
     rho = F.when(
@@ -200,7 +294,11 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             "kind",
             "idx",
             rho.alias("rho"),
-            F.when(is_hll, F.expr("try_cast(val AS BIGINT)")).alias("nval"),
+            # numeric value feeds min/max on the HLL row AND the
+            # per-bucket exact min on the histogram rows
+            F.when(is_hll | (F.col("kind") == -2), F.col("nval")).alias(
+                "nval"
+            ),
             F.when(is_hll, F.length("val")).alias("vlen"),
         )
         .groupBy("col_name", "kind", "idx")
@@ -230,6 +328,23 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         F.max("mx").alias("mx"),
         F.sum("slen").alias("slen_k"),
         F.max("cnt").alias("mx_cnt"),  # per-CMS-row max cell count
+        # the quantile histogram, collapsed to one ordered array per
+        # column (kind=-2 rows only; <= ~2080 structs of 3 ints — the
+        # single object-buffer aggregate in the cascade, over KB-scale
+        # level-1 output, so HashAggregate->ObjectHashAggregate here
+        # costs nothing and the data-volume level-1 stays codegen'd)
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("kind") == -2,
+                    F.struct(
+                        F.col("idx").alias("b"),
+                        F.col("cnt").alias("c"),
+                        F.col("mn").alias("m"),
+                    ),
+                )
+            )
+        ).alias("hist"),
     )
     is_hll2 = F.col("kind") == -1
     prof = lvl2.groupBy("col_name").agg(
@@ -240,9 +355,20 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         F.min(F.when(is_hll2, F.col("mn"))).alias("min_num"),
         F.max(F.when(is_hll2, F.col("mx"))).alias("max_num"),
         F.sum(F.when(is_hll2, F.col("slen_k"))).cast("bigint").alias("sum_len"),
-        F.min(F.when(~is_hll2, F.col("mx_cnt"))).cast("bigint").alias(
+        F.min(F.when(F.col("kind") >= 0, F.col("mx_cnt"))).cast("bigint").alias(
             "top_freq_est"
         ),
+        # exactly one kind=-2 row exists per column, so flattening the
+        # collected singletons is deterministic; collect_list (not
+        # max) keeps this ObjectHashAggregate — an array max has no
+        # mutable hash buffer and would regress the whole level to
+        # SortAggregate
+        F.flatten(
+            F.collect_list(F.when(F.col("kind") == -2, F.col("hist")))
+        ).alias("hist"),
+        F.sum(F.when(F.col("kind") == -2, F.col("n_rows_k")))
+        .cast("bigint")
+        .alias("n_num"),
     )
     raw = prof.select(
         "col_name",
@@ -270,7 +396,24 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
             " div (n_rows - n_null) AS BIGINT) END"
         ).alias("avg_len_e2"),
         "top_freq_est",
+        "hist",
+        "n_num",
     )
+
+    def q(p: int) -> Column:
+        # walk the ordered bucket array once: pXX = exact min of the
+        # first bucket whose cumulative count reaches ceil(p% x n_num)
+        return F.expr(
+            f"CASE WHEN n_num > 0 THEN aggregate(hist,"
+            f" named_struct('cum', CAST(0 AS BIGINT),"
+            f"              'ans', CAST(NULL AS BIGINT)),"
+            f" (acc, x) -> named_struct("
+            f"   'cum', acc.cum + x.c,"
+            f"   'ans', coalesce(acc.ans, CASE WHEN acc.cum + x.c >="
+            f"     (n_num * {p} + 99) div 100 THEN x.m END)),"
+            f" acc -> acc.ans) END"
+        ).alias(f"p{p}_num")
+
     return raw.select(
         "col_name",
         "n_rows",
@@ -283,4 +426,7 @@ def profile_table_extended(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         "max_num",
         "avg_len_e2",
         "top_freq_est",
+        q(50),
+        q(95),
+        q(99),
     )

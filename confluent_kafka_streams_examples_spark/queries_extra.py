@@ -2591,6 +2591,13 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantile range hint for the ts column (full 2024 in epoch micros) —
+#: shared by the Spark query and the oracle so the linear bucket width
+#: is the same integer on both sides
+_TS_QLO = 1704067200000000
+_TS_QHI = 1735689600000000
+_TS_QW = (_TS_QHI - _TS_QLO) // 101 + 1
+
 #: shared stacked-events CTE body for the two profiler oracles
 _PROFILE_STACK_SQL = """
       SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val FROM events
@@ -2659,21 +2666,75 @@ _PROFILE_STACK_SQL = """
     topf AS (
       SELECT col_name, CAST(min(mc) AS BIGINT) AS top_freq_est
       FROM rowmax GROUP BY 1
+    ),
+    -- quantile histograms (operators/profile.py kind=-2): linear
+    -- 101-bucket layout for the range-hinted ts column, sign-aware
+    -- 1/16-octave log buckets otherwise; integer-exact on both engines
+    qsrc AS (
+      SELECT col_name, TRY_CAST(val AS BIGINT) AS nv FROM stacked
+      WHERE TRY_CAST(val AS BIGINT) IS NOT NULL
+    ),
+    qbl AS (
+      SELECT col_name, nv, a, length(printf('%b', a)) AS bl
+      FROM (SELECT col_name, nv,
+              abs(greatest(nv, CAST(-9223372036854775807 AS BIGINT))) AS a
+            FROM qsrc)
+    ),
+    qbkt AS (
+      SELECT col_name, nv,
+        CASE WHEN col_name = 'ts' THEN
+          CAST((greatest(least(nv, {_TS_QHI}), {_TS_QLO}) - {_TS_QLO})
+               // {_TS_QW} AS INT)
+        ELSE
+          CAST((CASE WHEN nv >= 0 THEN 1 ELSE -1 END)
+               * (bl * 16 + ((a >> (CASE WHEN bl > 5 THEN bl - 5 ELSE 0 END))
+                             & 15)) AS INT)
+        END AS bucket
+      FROM qbl
+    ),
+    qh AS (
+      SELECT col_name, bucket, count(*) AS c, min(nv) AS m
+      FROM qbkt GROUP BY 1, 2
+    ),
+    qc AS (
+      SELECT col_name, bucket, m,
+             sum(c) OVER (PARTITION BY col_name ORDER BY bucket) AS cum,
+             sum(c) OVER (PARTITION BY col_name) AS total
+      FROM qh
+    ),
+    quant AS (
+      SELECT col_name,
+        CAST(min_by(m, bucket)
+             FILTER (WHERE cum >= (total * 50 + 99) // 100) AS BIGINT)
+          AS p50_num,
+        CAST(min_by(m, bucket)
+             FILTER (WHERE cum >= (total * 95 + 99) // 100) AS BIGINT)
+          AS p95_num,
+        CAST(min_by(m, bucket)
+             FILTER (WHERE cum >= (total * 99 + 99) // 100) AS BIGINT)
+          AS p99_num
+      FROM qc GROUP BY 1
     )
     SELECT c.col_name, c.n_rows, c.n_null, e.distinct_est, e.zero_registers,
-           c.min_num, c.max_num, c.avg_len_e2, t.top_freq_est
+           c.min_num, c.max_num, c.avg_len_e2, t.top_freq_est,
+           q.p50_num, q.p95_num, q.p99_num
     FROM counts c
     JOIN est e ON e.grp = c.col_name
     LEFT JOIN topf t ON t.col_name = c.col_name
+    LEFT JOIN quant q ON q.col_name = c.col_name
     """,
 )
 def events_profile_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The profiler's 'describe extended' (VERDICT r9 #5): everything
-    events_profile reports PLUS numeric min/max (exact for the four
-    integer-canonicalized columns, null for free-text), integer-exact
-    average canonical length (centi-chars), and a portable-CMS
-    heavy-hitter estimate per column — all fused into the SAME single
-    scan.  top_freq_est is the CMS upper bound on the modal value's
+    """The profiler's 'describe extended' (VERDICT r9 #5, quantiles
+    VERDICT r10 #3): everything events_profile reports PLUS numeric
+    min/max (exact for the four integer-canonicalized columns, null
+    for free-text), integer-exact average canonical length
+    (centi-chars), a portable-CMS heavy-hitter estimate, and
+    p50/p95/p99 from an integer-exact fixed-bucket histogram (linear
+    101-bucket for the range-hinted ts column, 1/16-octave log buckets
+    elsewhere; each pXX is the exact MIN of the bucket where the
+    cumulative count crosses ceil(q x n)) — all fused into the SAME
+    single scan.  top_freq_est is the CMS upper bound on the modal value's
     count (min over 4 hash rows of the row's max cell): the number
     that decides salt factors (operators/skew.py) and max_df caps
     (dedup) before any other job runs.  For a unique column it sits
@@ -2708,4 +2769,9 @@ def events_profile_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string"),
             "props": canonical(F.col("props")),
         },
+        # range hint: epoch offsets are the log-bucket failure regime
+        # (a month is ~0.2% of the offset — one bucket); "this drop is
+        # 2024" is a prior the platform has before scanning, and the
+        # linear layout turns it into ~3.6-day quantile resolution
+        quantile_ranges={"ts": (_TS_QLO, _TS_QHI)},
     )

@@ -666,6 +666,12 @@ def test_no_unbounded_bigint_multiply_over_corpus_aggregates(spark):
         # component, summed over 16/64 components — bounded by the
         # signature width, independent of corpus size
         "dedup_simhash": "bit x 2^i folds, signature-width bounded",
+        # quantile histogram (profile.py kind=-2): sign(+-1) x bucket
+        # where bucket <= 64*16+15 = 1039 by construction; and the
+        # quantile targets n_num * {50,95,99} — n_num is a row count,
+        # so the product overflows only past 9.3e16 rows of ONE
+        # column's values (~4 orders beyond the 1e12-row design point)
+        "events_profile_extended": "sign x bucket<=1039; rowcount x 99 to 9.3e16 rows",
     }
     # plan text carries COLUMN refs (doc_id#12L), never table names —
     # a table-name gate matches nothing and the walk below never runs

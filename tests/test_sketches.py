@@ -385,6 +385,30 @@ def test_events_profile_extended_single_scan_and_sane(spark):
     assert prof["event_id"]["avg_len_e2"] == exact["al"]
     # free-text columns carry no numeric range, by design
     assert prof["event_type"]["min_num"] is None
+    # quantiles (r11): pXX is an exact data value bracketing the true
+    # quantile from below, within one histogram bucket — 1/16 octave
+    # for log-bucketed columns, (hi-lo)/101 for the range-hinted ts
+    import math
+
+    ids = sorted(r[0] for r in ev.select("event_id").collect())
+    for p in (50, 95, 99):
+        exact = ids[max(0, math.ceil(len(ids) * p / 100) - 1)]
+        got = prof["event_id"][f"p{p}_num"]
+        assert got <= exact and exact <= got + max(got // 16, 16) + 1, (
+            p, got, exact,
+        )
+    ts_us = sorted(
+        r[0] for r in ev.select(F.unix_micros("ts")).collect()
+    )
+    w = (1735689600000000 - 1704067200000000) // 101 + 1
+    for p in (50, 95, 99):
+        exact = ts_us[max(0, math.ceil(len(ts_us) * p / 100) - 1)]
+        got = prof["ts"][f"p{p}_num"]
+        assert got <= exact <= got + w, (p, got, exact)
+    # the hinted column must NOT be in the degenerate all-one-bucket
+    # regime the raw epoch offset would produce under log buckets
+    assert prof["ts"]["p50_num"] > prof["ts"]["min_num"]
+    assert prof["event_type"]["p50_num"] is None
     # and the whole cascade must stay hash-aggregated: a string
     # min/max here regresses to SortAggregate and sorted 900M exploded
     # rows (18 GiB spill) at the x100 probe

@@ -356,6 +356,38 @@ def salt_epoch(cur_salt: str, update: bool = True) -> int:
     return next_round
 
 
+def epoch_freshness_violations(
+    epoch: int,
+    greens: dict[str, int],
+    verified_rounds: set[int],
+    n_queries: int,
+    window: int = WINDOW,
+) -> tuple[list[str], int]:
+    """Epoch-cycle honesty check (VERDICT r10 #8): once the rounds
+    verified at-or-after ``epoch`` could have covered the whole
+    registry (ceil(n/window) rounds — the cycle), NO query may still
+    carry only a pre-epoch green: its last verification ran under a
+    different Spark conf.  Returns (violations, debt):
+
+    - ``violations``: names whose latest green predates the epoch
+      after the cycle completed — each is a conf-stale green passing
+      as verified-current; must be empty.
+    - ``debt``: while the cycle is still running, how many pre-epoch
+      greens EXCEED the remaining window capacity — a positive debt
+      means the rotation mathematically cannot finish the cycle on
+      time; must be 0.
+    """
+    import math
+
+    rounds_since = sum(1 for r in verified_rounds if r >= epoch)
+    cycle = math.ceil(n_queries / window)
+    pre = sorted(n for n, g in greens.items() if 0 < g < epoch)
+    if rounds_since >= cycle:
+        return pre, 0
+    capacity = (cycle - rounds_since) * window
+    return [], max(0, len(pre) - capacity)
+
+
 def generate_order() -> tuple[list[str], list[str]]:
     """Returns (ordered names, head names).  Head = body-changed since
     the baseline snapshot or never green.  Conf-salt changes

@@ -280,3 +280,66 @@ def test_salt_epoch_resets_rotation_ranks(monkeypatch):
                 "fresh epoch (all greens stale-0)",
             )
         last_per_family[f] = reg_order[n]
+
+
+@pytest.mark.skipif(not _git_ok(), reason="needs the git history")
+def test_epoch_cycle_freshness_live():
+    """No pre-epoch green may survive as verified-current past the
+    rotation cycle (VERDICT r10 #8): once ceil(N/WINDOW) rounds have
+    verified at-or-after the active salt epoch, every query's latest
+    green must be >= the epoch — and while the cycle is still running,
+    the remaining window capacity must cover every pre-epoch green
+    (debt 0), so falling behind fails EARLY, not after the fact."""
+    import glob
+    import os
+    import re
+
+    import scripts.gen_verify_order as gvo
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+
+    epoch = gvo.salt_epoch(gvo.Snapshot(None).conf_salt(), update=False)
+    greens = gvo.latest_green_rounds()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(gvo.__file__)))
+    verified = {
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    }
+    violations, debt = gvo.epoch_freshness_violations(
+        epoch, greens, verified, len(QUERIES)
+    )
+    assert not violations, (
+        "greens verified under a PRE-epoch Spark conf are passing as "
+        f"verified-current after the rotation cycle: {violations}"
+    )
+    assert debt == 0, (
+        f"{debt} pre-epoch greens exceed the remaining window capacity "
+        "— the rotation cannot finish the epoch cycle on time"
+    )
+
+
+def test_epoch_cycle_freshness_logic():
+    """The pure check itself: a green predating the epoch is flagged
+    exactly when the post-epoch rounds could have re-verified the
+    registry, and in-cycle debt fires when capacity falls short."""
+    import scripts.gen_verify_order as gvo
+
+    greens = {"a": 11, "b": 12, "c": 13, "d": 14}
+    # epoch 12, window 2, 4 queries -> cycle = 2 rounds
+    # cycle complete (r12, r13 verified): 'a' (green 11) must be flagged
+    v, d = gvo.epoch_freshness_violations(12, greens, {11, 12, 13}, 4, window=2)
+    assert v == ["a"] and d == 0
+    # all greens at/after the epoch: clean
+    v, d = gvo.epoch_freshness_violations(11, greens, {11, 12, 13}, 4, window=2)
+    assert v == [] and d == 0
+    # cycle still running (one post-epoch round): no violation yet, and
+    # one remaining round x window 2 covers the single pre-epoch green
+    v, d = gvo.epoch_freshness_violations(12, greens, {11, 12}, 4, window=2)
+    assert v == [] and d == 0
+    # three pre-epoch greens, one round left, window 2: debt of 1
+    v, d = gvo.epoch_freshness_violations(
+        14, {"a": 11, "b": 12, "c": 13, "d": 14}, {13, 14}, 4, window=2
+    )
+    assert v == [] and d == 1
+    # never-green queries (rank 0) are the head's job, not the epoch's
+    v, d = gvo.epoch_freshness_violations(12, {"a": 0, "b": 12}, {12, 13}, 2, window=2)
+    assert v == [] and d == 0

@@ -294,3 +294,65 @@ def materialized(
         except OSError:
             pass  # raced with a sweeper; the read below surfaces it
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    max_files: int = 8,
+    target_files: int = 1,
+) -> list[str]:
+    """Small-files compaction for a partitioned artifact (VERDICT r10
+    #5): rewrite ONLY the partition directories whose parquet file
+    count exceeds ``max_files``, each into ``target_files`` files.
+
+    Daily appends (`_ivf_index_appended_table`'s pattern: one
+    ``mode=append`` write per batch into the same ``key=`` directories)
+    accrete one file per batch per partition — the classic small-files
+    decay: after 100 days every probe opens 100 footers per pruned
+    partition.  Compaction is the other half of that maintenance
+    story: untouched partitions are NEVER read or rewritten (cost
+    tracks the offending partitions only), directory names are
+    unchanged so consumers' partition pruning survives verbatim, and
+    each rewrite publishes via rename so a reader never sees a
+    half-written partition.
+
+    Single-session caveat, same as the appender and the GC: the
+    swap is two renames, so a concurrent reader could glimpse a
+    missing directory between them; production on an object store
+    runs this through a manifest-based table format (Iceberg/Delta
+    rewrite-data-files) where the swap is a metadata commit.  Returns
+    the rewritten partition directory names.
+    """
+    import glob as _glob
+
+    rewritten: list[str] = []
+    for part_dir in sorted(
+        _glob.glob(os.path.join(path, f"{partition_col}=*"))
+    ):
+        n_files = sum(
+            1 for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        if n_files <= max_files:
+            continue
+        staging = f"{part_dir}.compact.{os.getpid()}"
+        try:
+            # reading the partition DIRECTORY yields exactly the
+            # non-partition columns its files carry, so the rewrite
+            # preserves the original file schema
+            (
+                spark.read.parquet(part_dir)
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        trash = f"{part_dir}.old.{os.getpid()}"
+        os.rename(part_dir, trash)
+        os.rename(staging, part_dir)
+        shutil.rmtree(trash, ignore_errors=True)
+        rewritten.append(os.path.basename(part_dir))
+    return rewritten

@@ -700,65 +700,65 @@ from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,
 # ---------------------------------------------------------------------
 
 _VERIFY_FIRST = [
-    # GENERATED by scripts/gen_verify_order.py (round 10) — do not
+    # GENERATED by scripts/gen_verify_order.py (round 11) — do not
     # hand-edit; regenerate after any query/helper change and paste
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
-    "sketch_hll_distinct", "sketch_hll_incremental", "events_profile",
-    "similarity_ivf_append", "ivf_drift_stat", "sketch_hll_eval",
-    "events_profile_extended", "corpus_mixture_drift",
+    "sketch_hll_distinct", "events_profile", "sketch_hll_eval",
+    "events_profile_extended", "bpe_merge_rounds",
     # Tail: oldest green first.
-    "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
-    "vocab_coverage", "sql_interface", "user_sessions",
-    "primary_supplier_per_part", "corpus_split_assignment", "asof_join",
-    "ktable_latest", "sample_n_per_group", "dedup_simhash",
-    "similarity_topk_batch", "lm_unigram_score", "agg_running_total",
-    "windowed_hopping", "late_ship_priority", "corpus_stratified_sample",
-    "anti_join_users", "ktable_filter_extract", "skewed_event_rollup",
-    "dedup_exact_normalized", "similarity_ivf_probe", "bpe_pair_counts",
-    "json_props_extract", "funnel_conversion", "nation_pair_volume",
-    "decontaminate_train", "semi_join_parts",
-    "events_concurrent_degree_salted", "dedup_incremental_persisted",
-    "embedding_quantize", "ngram_novelty_scores", "agg_pricing_summary",
-    "user_running_value", "returned_item_customers", "pii_scrub",
-    "stream_stream_left_join", "events_concurrent_degree",
-    "doc_winnow_fingerprints", "semdedup_prune",
-    "quality_histogram_threshold",
+    "topk_per_key", "large_volume_orders", "corpus_chunk_documents",
+    "dedup_duplicate_spans", "semdedup_prune_scaled", "text_stats",
+    "rollup_pricing", "event_gaps", "stream_stream_outer_join",
+    "ktable_latest", "events_json_analytics", "market_share",
+    "pack_sequences", "dedup_span_removal", "hybrid_search",
+    "lang_profile", "cube_order_priority", "user_retention_cohorts",
+    "stream_stream_window_join", "ktable_filter_extract", "basic_pipeline",
+    "product_type_profit", "corpus_shard_export", "dedup_cdc_chunks",
+    "similarity_topk", "lang_id_heuristic", "setops_users",
+    "windowed_session", "stream_table_join", "forecast_revenue_change",
+    "important_part_value", "corpus_mixture_sample",
+    "dedup_bloom_prefilter", "similarity_pairs_label", "token_frequencies",
+    "distinct_parts_per_supplier", "windowed_tumbling", "asof_join",
+    "sql_interface", "late_shipment_priority_counts",
+    "pipeline_training_export", "doc_fingerprint_dups",
+    "embedding_dim_stats", "quality_repetition_signals",
+    "bucketed_revenue_by_priority",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "topk_per_key", "large_volume_orders", "market_share",
-    "product_type_profit", "important_part_value",
-    "late_shipment_priority_counts", "customer_order_distribution",
-    "promo_revenue", "top_supplier", "part_supplier_counts",
-    "small_quantity_revenue", "disjunctive_predicate_revenue",
-    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
-    "corpus_chunk_documents", "dedup_duplicate_spans",
-    "dedup_span_removal", "dedup_cdc_chunks", "events_json_analytics",
-    "pack_sequences", "semdedup_prune_scaled", "corpus_shard_export",
-    "hybrid_search", "similarity_topk", "dedup_bloom_prefilter",
-    "similarity_pairs_label", "text_stats", "doc_fingerprint_dups",
-    "lang_profile", "lang_id_heuristic", "token_frequencies",
-    "rollup_pricing", "cube_order_priority", "setops_users", "event_gaps",
-    "distinct_parts_per_supplier", "user_retention_cohorts",
-    "bucketed_revenue_by_priority", "neardup_verify_levenshtein",
-    "dedup_simhash64", "corpus_mixture_sample", "distinct_daily_users",
-    "embedding_dim_stats", "zorder_layout_stats", "kafka_wire_roundtrip",
-    "dedup_containment", "dedup_lsh_recall_eval",
-    "pipeline_training_export", "dedup_ngram_jaccard",
+    "customer_order_distribution", "promo_revenue", "top_supplier",
+    "part_supplier_counts", "small_quantity_revenue",
+    "disjunctive_predicate_revenue", "excess_suppliers",
+    "sole_late_supplier", "dormant_customer_balance",
+    "neardup_verify_levenshtein", "dedup_simhash64",
+    "distinct_daily_users", "zorder_layout_stats", "kafka_wire_roundtrip",
+    "dedup_containment", "dedup_lsh_recall_eval", "dedup_ngram_jaccard",
     "dedup_overlap_scores", "dedup_cluster_representatives",
     "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
     "pipeline_clean_corpus", "similarity_ivf_pruned",
     "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
-    "stream_stream_outer_join", "sketch_heavy_hitters", "windowed_session",
-    "value_percentiles", "dedup_embedding_cosine", "similarity_ann_lsh",
-    "quality_repetition_signals", "shipping_priority",
-    "source_overlap_matrix", "basic_pipeline", "windowed_tumbling",
-    "stream_stream_window_join", "scd2_user_history", "boilerplate_chunks",
-    "embedding_centroids", "top_terms_per_source", "regional_revenue",
-    "duplicate_rate_by_source", "forecast_revenue_change",
-    "rolling_user_stats", "stream_table_join", "merge_upsert_balances",
-    "dedup_exact", "ann_recall_eval", "bm25_search",
-    "local_supplier_volume", "multimodal_features",
+    "sketch_heavy_hitters", "value_percentiles", "dedup_embedding_cosine",
+    "similarity_ann_lsh", "shipping_priority", "source_overlap_matrix",
+    "scd2_user_history", "boilerplate_chunks", "embedding_centroids",
+    "top_terms_per_source", "regional_revenue", "duplicate_rate_by_source",
+    "rolling_user_stats", "merge_upsert_balances", "dedup_exact",
+    "ann_recall_eval", "bm25_search", "local_supplier_volume",
+    "multimodal_features", "sketch_hll_incremental",
+    "similarity_ivf_append", "ivf_drift_stat", "corpus_mixture_drift",
+    "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
+    "vocab_coverage", "user_sessions", "primary_supplier_per_part",
+    "corpus_split_assignment", "sample_n_per_group", "dedup_simhash",
+    "similarity_topk_batch", "lm_unigram_score", "agg_running_total",
+    "windowed_hopping", "late_ship_priority", "corpus_stratified_sample",
+    "anti_join_users", "skewed_event_rollup", "dedup_exact_normalized",
+    "similarity_ivf_probe", "bpe_pair_counts", "json_props_extract",
+    "funnel_conversion", "nation_pair_volume", "decontaminate_train",
+    "semi_join_parts", "events_concurrent_degree_salted",
+    "dedup_incremental_persisted", "embedding_quantize",
+    "ngram_novelty_scores", "agg_pricing_summary", "user_running_value",
+    "returned_item_customers", "pii_scrub", "stream_stream_left_join",
+    "events_concurrent_degree", "doc_winnow_fingerprints",
+    "semdedup_prune", "quality_histogram_threshold",
 ]
 
 

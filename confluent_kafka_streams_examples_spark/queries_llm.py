@@ -1385,6 +1385,57 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_rounds_oracle(rounds: int) -> str:
+    """Unrolled merge rounds in DuckDB, on the same double-spaced
+    padded-string representation as operators/text (every token owns
+    its flanking spaces, so replace() IS greedy leftmost
+    non-overlapping pair merging — run-parity exact)."""
+    parts = [
+        "WITH t0 AS (SELECT ' ' || replace(text, ' ', '  ') || ' ' AS s"
+        " FROM documents)"
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    p{k} AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT concat_ws(' ', tk[i], tk[i + 1]) AS pair FROM (
+          SELECT string_split(trim(s), '  ') AS tk FROM t{k - 1}),
+        unnest(range(1, greatest(len(tk), 1))) u(i))
+      WHERE pair != '' GROUP BY pair),
+    w{k} AS (
+      SELECT {k} AS round, pair, n,
+             string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r
+      FROM p{k} ORDER BY n DESC, pair LIMIT 1),
+    t{k} AS (
+      SELECT replace(s, ' ' || l || '  ' || r || ' ',
+                     ' ' || l || '##' || r || ' ') AS s
+      FROM t{k - 1}, w{k})""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT round, pair, n FROM w{k}" for k in range(1, rounds + 1)
+    )
+    return "\n".join(parts) + "\n    " + sel
+
+
+@query("bpe_merge_rounds", oracle=_bpe_rounds_oracle(3))
+def bpe_merge_rounds_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three merge rounds (VERDICT r10 #6):
+    round r's winner is the most frequent adjacent pair over the
+    corpus as rewritten by merges 1..r-1 — the rewrite-then-recount
+    loop that distinguishes training from the bpe_pair_counts
+    statistic.  Deterministic tie-breaks (count desc, pair asc);
+    greedy leftmost non-overlapping merge application as a JVM array
+    fold (operators/text._apply_merge — run-parity exact for
+    left == right pairs); each round's winner is a persisted 1-row
+    broadcast into the next round's rewrite, so the unrolled plan is
+    rounds x (one corpus scan + one vocabulary-sized shuffle) with no
+    driver collect anywhere.  The oracle unrolls the same three
+    rounds in SQL with the identical list fold.  Reference analog:
+    aggregate feeding the next topology stage
+    (AggregationsExample.scala:36-44), iterated."""
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    return text.bpe_merge_rounds(docs, "text", rounds=3)
+
+
 @query(
     "corpus_chunk_documents",
     oracle="""

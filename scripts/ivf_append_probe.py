@@ -84,6 +84,115 @@ def main() -> None:
             if "PartitionFilters" in ln
         )
         n_lists = len(glob.glob(os.path.join(path, "list_id=*")))
+
+        # --- compaction phase (VERDICT r10 #5): small-files decay ---
+        # replay the SAME day batch as N_DAYS slice appends into a copy
+        # of the corpus index (one parquet file per day per touched
+        # partition — what daily cadence actually accretes), measure
+        # the probe over the fragmented index, compact only the
+        # offending partitions, re-measure.
+        from pyspark.sql import functions as F
+
+        from confluent_kafka_streams_examples_spark.artifacts import (
+            compact_partitions,
+        )
+        from confluent_kafka_streams_examples_spark.session import load_table
+
+        N_DAYS = int(os.environ.get("CKSE_IVF_FRAG_DAYS", "20"))
+        frag = os.path.join(os.path.dirname(path), "frag_probe_idx")
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.copytree(path, frag)
+        emb_new = load_table(spark, "embeddings", sf_dir).filter(
+            F.expr(qx._IVF_NEW_PRED)
+        )
+        day = qx._ivf_assign(
+            qx._norm_bucket_base(emb_new),
+            qx._ivf_codebook_corpus_table(spark, sf_dir),
+        ).persist()
+        day.count()
+        for s in range(N_DAYS):
+            day.filter(
+                F.pmod(F.expr("vec_id div 10"), F.lit(N_DAYS)) == s
+            ).coalesce(1).write.mode("append").partitionBy(
+                "list_id"
+            ).parquet(frag)
+        day.unpersist()
+        files_per_list = [
+            sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            for d in glob.glob(os.path.join(frag, "list_id=*"))
+        ]
+
+        def probe_over(idx_path: str) -> tuple[float, int, bool]:
+            idx2 = spark.read.parquet(idx_path)
+            qbase = qx._norm_bucket_base(
+                load_table(spark, "embeddings", sf_dir)
+            ).filter(F.col("vec_id") < 5)
+            from pyspark.sql import Window
+
+            dist = qx._ivf_dist(
+                qbase, qx._ivf_codebook_corpus_table(spark, sf_dir)
+            )
+            wq = Window.partitionBy("query_id").orderBy("d2", "label")
+            pr = (
+                dist.select(
+                    F.col("vec_id").alias("query_id"), "label", "d2"
+                )
+                .withColumn("crn", F.row_number().over(wq))
+                .filter(F.col("crn") <= 2)
+                .select("query_id", F.col("label").alias("list_id"))
+            )
+            qf = qbase.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+            )
+            w2 = Window.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col("vec_id")
+            )
+            out2 = (
+                idx2.join(F.broadcast(pr), "list_id")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .join(F.broadcast(qf), "query_id")
+                .withColumn(
+                    "cos_sim",
+                    F.round(
+                        qx._dot(F.col("v"), F.col("qv"))
+                        / (F.col("nrm") * F.col("qnrm")),
+                        6,
+                    ),
+                )
+                .withColumn("rn", F.row_number().over(w2))
+                .filter(F.col("rn") <= 3)
+                .select("query_id", "vec_id", "cos_sim")
+            )
+            best, n2 = None, 0
+            for _ in range(3):
+                t1 = time.perf_counter()
+                n2 = out2.count()
+                took = time.perf_counter() - t1
+                best = took if best is None else min(best, took)
+            pl = explain_str(out2, "formatted")
+            pruned2 = any(
+                "list_id" in ln and "dynamicpruning" in ln
+                for ln in pl.splitlines()
+                if "PartitionFilters" in ln
+            )
+            return best, n2, pruned2
+
+        t_frag, rows_frag, pruned_frag = probe_over(frag)
+        t1 = time.perf_counter()
+        compacted = compact_partitions(
+            spark, frag, "list_id", max_files=4
+        )
+        t_compact = time.perf_counter() - t1
+        files_after = [
+            sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            for d in glob.glob(os.path.join(frag, "list_id=*"))
+        ]
+        t_comp, rows_comp, pruned_comp = probe_over(frag)
+        assert rows_comp == rows_frag, (rows_comp, rows_frag)
+        assert pruned_comp, "compaction must not break partition pruning"
+        shutil.rmtree(frag, ignore_errors=True)
         spark.stop()
 
         rec = {
@@ -98,6 +207,14 @@ def main() -> None:
             "probe_s": round(t_probe, 2),
             "probe_rows": rows,
             "probe_pruned": pruned,
+            "frag_days": N_DAYS,
+            "frag_files_max": max(files_per_list),
+            "frag_probe_s": round(t_frag, 2),
+            "compact_s": round(t_compact, 2),
+            "compacted_parts": len(compacted),
+            "compacted_files_max": max(files_after),
+            "compacted_probe_s": round(t_comp, 2),
+            "compacted_probe_pruned": pruned_comp,
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)
@@ -109,6 +226,15 @@ def main() -> None:
             f"| x{x['replicas']} | {x['n_vectors']:,} | {x['n_appended']:,} "
             f"| {x['build_s']} | {x['append_s']} | {x['append_over_build']} "
             f"| {x['probe_s']} ({x['probe_pruned']}) |"
+        )
+    print("\n| corpus | frag days | files/part | frag probe s | compact s | parts rewritten | files/part after | probe s after |")
+    print("|---|---|---|---|---|---|---|---|")
+    for x in results:
+        print(
+            f"| x{x['replicas']} | {x['frag_days']} | {x['frag_files_max']} "
+            f"| {x['frag_probe_s']} | {x['compact_s']} "
+            f"| {x['compacted_parts']} | {x['compacted_files_max']} "
+            f"| {x['compacted_probe_s']} |"
         )
 
 

@@ -357,3 +357,65 @@ def test_read_refresh_protects_just_read_artifact_from_sweep(
     os.utime(path, (old, old))
     removed = art.sweep_stale_artifacts()
     assert path in removed
+
+
+def test_compact_partitions_rewrites_only_offenders(spark, tmp_path):
+    """compact_partitions (artifacts.py): partitions past the file-count
+    threshold are rewritten to target_files each; partitions within it
+    keep their exact files (never read, never touched); the table's
+    rows are identical afterwards; directory names are unchanged so
+    partition pruning survives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.artifacts import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "idx")
+    base = spark.range(100).select(
+        (F.col("id") % 4).alias("list_id"), F.col("id").alias("vec_id")
+    )
+    base.repartition(1).write.partitionBy("list_id").parquet(path)
+    # 6 daily appends landing ONLY in lists 0 and 1
+    for day in range(6):
+        spark.range(100 + day * 10, 100 + day * 10 + 10).select(
+            (F.col("id") % 2).alias("list_id"), F.col("id").alias("vec_id")
+        ).repartition(1).write.mode("append").partitionBy(
+            "list_id"
+        ).parquet(path)
+
+    def files(part):
+        d = os.path.join(path, f"list_id={part}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {p: files(p) for p in range(4)}
+    assert len(before[0]) == 7 and len(before[1]) == 7
+    assert len(before[2]) == 1 and len(before[3]) == 1
+    expect = sorted(
+        (r["list_id"], r["vec_id"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+    done = compact_partitions(spark, path, "list_id", max_files=4)
+    assert done == ["list_id=0", "list_id=1"]
+    assert len(files(0)) == 1 and len(files(1)) == 1
+    # untouched partitions keep their exact files (not rewritten)
+    assert files(2) == before[2] and files(3) == before[3]
+    got = sorted(
+        (r["list_id"], r["vec_id"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == expect
+    # idempotent: nothing left over the threshold
+    assert compact_partitions(spark, path, "list_id", max_files=4) == []
+    # pruning still keys on the directory layout
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("list_id") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(list_id" in plan, plan

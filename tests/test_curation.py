@@ -447,3 +447,70 @@ def test_bloom_bit_set_is_broadcast(spark):
     p = explain_str(QUERIES["dedup_bloom_prefilter"](spark, SF_SMOKE), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_bpe_apply_merge_greedy_semantics(spark):
+    """_apply_merge (operators/text.py): greedy leftmost
+    non-overlapping merge, including the left==right run-parity case
+    and merges at array edges."""
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.operators.text import (
+        _apply_merge,
+    )
+
+    from confluent_kafka_streams_examples_spark.operators.text import (
+        _pad,
+        _padded_tokens,
+    )
+
+    cases = [
+        # (tokens, left, right, expected)
+        ("a b a b b a", "a", "b", ["a##b", "a##b", "b", "a"]),
+        ("a a a a", "a", "a", ["a##a", "a##a"]),
+        ("a a a", "a", "a", ["a##a", "a"]),
+        ("x y", "x", "y", ["x##y"]),
+        ("x y", "y", "x", ["x", "y"]),
+        ("q", "q", "q", ["q"]),
+        ("b a b a b", "a", "b", ["b", "a##b", "a##b"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, r) for i, (t, l, r, _) in enumerate(cases)],
+        "i int, t string, l string, r string",
+    )
+    out = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            _padded_tokens(
+                _apply_merge(_pad(F.col("t")), F.col("l"), F.col("r"))
+            ).alias("m"),
+        ).collect()
+    }
+    for i, (_, _, _, expect) in enumerate(cases):
+        assert out[i] == expect, (i, cases[i], out[i])
+
+
+def test_bpe_merge_rounds_rewrites_before_recount(spark):
+    """bpe_merge_rounds: round 2 counts the REWRITTEN corpus — after
+    merging the round-1 winner, a pair containing the merged token
+    becomes the next winner (the rewrite-then-recount loop that makes
+    this training, not the bpe_pair_counts statistic)."""
+    from confluent_kafka_streams_examples_spark.operators.text import (
+        bpe_merge_rounds,
+    )
+
+    # 'a b' wins round 1 (4x); after merging, 'a##b c' appears 3x and
+    # must win round 2; round 3 then merges 'a##b##c d' (2x)
+    docs = [
+        ("a b c d",),
+        ("a b c d",),
+        ("a b c x",),
+        ("a b x x",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    rows = {r["round"]: (r["pair"], r["n"]) for r in
+            bpe_merge_rounds(df, "text", rounds=3).collect()}
+    assert rows[1] == ("a b", 4)
+    assert rows[2] == ("a##b c", 3)
+    assert rows[3] == ("a##b##c d", 2)

@@ -40,6 +40,44 @@ def canonical(col: Column) -> Column:
     return col.cast("string")
 
 
+def _hashed_parts(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """(col_name, j, tail): the stacked + md5-split register rows both
+    the batch profiler and its streaming twin aggregate.  Nulls park
+    in register -1 with a NULL tail (they carry the null count)."""
+    pairs: list[Column] = []
+    for name, col in cols.items():
+        pairs += [F.lit(name), col]
+    stacked = fan_out_small_scan(
+        df, df.select(F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val"))
+    )
+    h = stacked.select("col_name", F.md5("val").alias("h"))
+    return h.select(
+        "col_name",
+        F.when(F.col("h").isNull(), F.lit(-1))
+        .otherwise(F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+        .alias("j"),
+        F.substring("h", 3, 15).alias("tail"),
+    )
+
+
+def profile_registers(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Level-1 profiler state: (col_name, j, cnt, R) — per-register
+    row count and rho maximum.  ONE built-in aggregation, so it runs
+    IDENTICALLY on a streaming DataFrame (count refines additively,
+    max monotonically — update-mode state is fixed at
+    n_cols x 257 rows regardless of stream length): this is the
+    profiler's streaming twin (VERDICT r10 #7), same pattern as
+    `hll_portable_registers`.  Feed the (latest) register rows to
+    :func:`profile_from_registers` for the finished profile."""
+    rho = F.expr(HLL_RHO_SQL.format(G=", 0"))
+    return (
+        _hashed_parts(df, cols)
+        .select("col_name", "j", rho.alias("rho"))
+        .groupBy("col_name", "j")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("rho").alias("R"))
+    )
+
+
 def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     """Profile ``cols`` (name -> canonicalized string Column) in one
     scan: (col_name, n_rows, n_null, distinct_est, zero_registers).
@@ -51,26 +89,15 @@ def profile_table(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     case) come out near-exact instead of biased.  ``zero_registers``
     still exposes the regime (V > 0 = linear-counting range).
     """
-    pairs: list[Column] = []
-    for name, col in cols.items():
-        pairs += [F.lit(name), col]
-    stacked = fan_out_small_scan(
-        df, df.select(F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val"))
-    )
-    h = stacked.select("col_name", F.md5("val").alias("h"))
-    parts = h.select(
-        "col_name",
-        F.when(F.col("h").isNull(), F.lit(-1))
-        .otherwise(F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
-        .alias("j"),
-        F.substring("h", 3, 15).alias("tail"),
-    )
-    rho = F.expr(HLL_RHO_SQL.format(G=", 0"))
-    lvl1 = (
-        parts.select("col_name", "j", rho.alias("rho"))
-        .groupBy("col_name", "j")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.max("rho").alias("R"))
-    )
+    return profile_from_registers(profile_registers(df, cols))
+
+
+def profile_from_registers(lvl1: DataFrame) -> DataFrame:
+    """Fold a (col_name, j, cnt, R) register table — the batch lvl1 or
+    a streaming twin's final state — into the profile rows
+    (col_name, n_rows, n_null, distinct_est, zero_registers).  A few
+    hundred input rows: cost-free, and the batch/streaming paths share
+    every estimate expression by construction."""
     prof = lvl1.groupBy("col_name").agg(
         F.sum("cnt").cast("bigint").alias("n_rows"),
         F.sum(F.when(F.col("j") == -1, F.col("cnt")).otherwise(F.lit(0)))

@@ -543,3 +543,80 @@ def test_tumbling_agg_random_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_profile_registers_stream_matches_batch_profile(spark, tmp_path):
+    """The profiler's streaming twin (VERDICT r10 #7):
+    profile_registers is ONE built-in aggregation, so it runs
+    unchanged on a replayed stream — cnt refines additively, R
+    monotonically, state fixed at n_cols x 257 rows — and folding the
+    final register state through profile_from_registers must equal
+    the BATCH events_profile rows over the same data, estimates,
+    null counts, linear-counting correction and all."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from confluent_kafka_streams_examples_spark.operators.profile import (
+        canonical,
+        profile_from_registers,
+        profile_registers,
+    )
+    from confluent_kafka_streams_examples_spark.queries import QUERIES
+    from confluent_kafka_streams_examples_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf)
+    src = str(tmp_path / "ev_replay")
+    # replay in two arbitrary slices
+    ev.filter("event_id % 2 = 0").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    cols = {
+        "event_id": canonical(F.col("event_id")),
+        "ts": F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        "user_id": canonical(F.col("user_id")),
+        "event_type": canonical(F.col("event_type")),
+        "value": F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .cast("string"),
+        "props": canonical(F.col("props")),
+    }
+    regs_s = profile_registers(stream, cols)
+    qname = f"pr{_uuid.uuid4().hex[:8]}"
+    q = (
+        regs_s.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_{qname}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter("event_id % 2 = 1").write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest refinement per key: both cnt and R are monotone
+    final: dict = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        k = (r["col_name"], r["j"])
+        prev = final.get(k, (0, None))
+        final[k] = (
+            max(prev[0], r["cnt"]),
+            r["R"] if prev[1] is None else max(prev[1], r["R"] or 0),
+        )
+    regs_df = spark.createDataFrame(
+        [(c, j, cnt, R) for (c, j), (cnt, R) in final.items()],
+        "col_name string, j int, cnt long, R int",
+    )
+    got = {
+        r["col_name"]: tuple(r)
+        for r in profile_from_registers(regs_df).collect()
+    }
+    expect = {
+        r["col_name"]: tuple(r)
+        for r in QUERIES["events_profile"](spark, sf).collect()
+    }
+    assert got == expect

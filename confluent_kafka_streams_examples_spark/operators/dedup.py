@@ -742,13 +742,21 @@ def minhash_lsh_pairs(
     corpus bytes) and every consumer bands the store instead of
     re-shingling text.
     """
-    if sig is None:
+    computed_here = sig is None
+    if computed_here:
         sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    # materialize before the self-join: the 16-agg signature pipeline
-    # would otherwise run twice (once per join side)
-    banded = band_signatures(sig, id_col, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    banded = band_signatures(sig, id_col, num_hashes, bands)
+    if computed_here:
+        # materialize before the self-join: the 16-agg signature
+        # pipeline would otherwise run twice (once per join side).  A
+        # caller-provided ``sig`` is a STORED table (parquet artifact /
+        # registered view, possibly subset by a semi-join): its band
+        # projection re-runs cheaply per join side and Spark's exchange
+        # reuse dedups the probe side, so the persist's materialization
+        # job buys nothing (A/B at sf0.1: wash on wall clock,
+        # OPTIMIZATION_r11.md) while pinning executor storage that a
+        # 100 TB run wants for the join itself.
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
     return (

@@ -253,6 +253,16 @@ def connected_components(
     )
 
     # ---- phase 2: bridge local components that share a node ----
+    # Single-bucket fast path: with one bucket every edge was in the
+    # same union-find, so no component can straddle buckets and the
+    # bridge graph is empty BY CONSTRUCTION — skip the gmin aggregate,
+    # the bridge materialization and the emptiness-probe job outright
+    # (three eager jobs of pure overhead at test scale; at corpus
+    # scale n_buckets > 1 and this branch never fires).  Phase 1
+    # already emits one (node, root) row per node in that case.
+    if n_buckets == 1:
+        return local.select("node", F.col("root").alias("component"))
+
     # node seen in k buckets with distinct roots r1..rk, gmin = min ri:
     # contraction edges (ri, gmin).  Two local components are globally
     # connected iff a chain of shared nodes links them, which is exactly

@@ -24,7 +24,8 @@ from confluent_kafka_streams_examples_spark.operators.sketches import (
     HLL_DEN,
     HLL_M,
     HLL_NUM,
-    HLL_RHO_SQL,
+    HLL_RHO_FROM_T_SQL,
+    HLL_TAIL_TRIM_EXPR,
     hll_est_sql,
 )
 
@@ -57,7 +58,7 @@ def _hashed_parts(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         .otherwise(F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
         .alias("j"),
         F.substring("h", 3, 15).alias("tail"),
-    )
+    ).withColumn("t", F.expr(HLL_TAIL_TRIM_EXPR))
 
 
 def profile_registers(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
@@ -69,7 +70,9 @@ def profile_registers(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     profiler's streaming twin (VERDICT r10 #7), same pattern as
     `hll_portable_registers`.  Feed the (latest) register rows to
     :func:`profile_from_registers` for the finished profile."""
-    rho = F.expr(HLL_RHO_SQL.format(G=", 0"))
+    # rho over the pre-trimmed tail (one ltrim vs three regexp_extract
+    # per value; register-identical — see sketches.HLL_RHO_FROM_T_SQL)
+    rho = F.expr(HLL_RHO_FROM_T_SQL)
     return (
         _hashed_parts(df, cols)
         .select("col_name", "j", rho.alias("rho"))
@@ -308,10 +311,13 @@ def profile_table_extended(
         # non-numeric values no histogram rows; nulls still ride the
         # HLL row at idx=-1 for the null count
         .filter(~((F.col("kind") != -1) & F.col("idx").isNull()))
+        # pre-trim once per exploded row (NULL tail on non-HLL rows is
+        # a no-op) so rho is one ltrim, not three regexp_extract
+        .withColumn("t", F.expr(HLL_TAIL_TRIM_EXPR))
     )
     is_hll = F.col("kind") == -1
     rho = F.when(
-        is_hll & (F.col("idx") >= 0), F.expr(HLL_RHO_SQL.format(G=", 0"))
+        is_hll & (F.col("idx") >= 0), F.expr(HLL_RHO_FROM_T_SQL)
     )
     # numeric-only aggregation buffers (see docstring): try_cast keeps
     # the whole cascade inside HashAggregate / whole-stage codegen

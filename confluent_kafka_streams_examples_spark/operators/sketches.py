@@ -136,6 +136,26 @@ HLL_RHO_SQL = """
                ELSE 0 END) + 1 END
 """
 
+# Spark-side twin of HLL_RHO_SQL over a PRE-TRIMMED column ``t`` =
+# trim(LEADING '0' FROM tail): identical integer for every tail
+# (z = 15 - length(t); all-zero tail -> t = '' -> 61), but the three
+# per-row regexp_extract evaluations become one ltrim — measured -11%
+# on the whole sketch_hll_distinct register build at sf0.1
+# (OPTIMIZATION_r11.md; guide §1.2 step 2: per-task work).  The DuckDB
+# oracles keep the regex form above — the CONTRACT is the register
+# values, which are equal by construction (pinned by the oracle
+# hash-compare on every HLL query).  Callers stage ``t`` with
+# HLL_TAIL_TRIM_EXPR in the projection feeding the aggregate.
+HLL_TAIL_TRIM_EXPR = "trim(LEADING '0' FROM tail)"
+HLL_RHO_FROM_T_SQL = """
+  CASE WHEN t = '' THEN 61
+       ELSE 4 * (15 - length(t))
+            + (CASE substr(t, 1, 1)
+               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+               ELSE 0 END) + 1 END
+"""
+
 
 def hll_portable_registers(
     df: DataFrame,
@@ -173,13 +193,13 @@ def hll_portable_registers(
         "grp",
         F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("j"),
         F.substring("h", 3, 15).alias("tail"),
-    )
+    ).withColumn("t", F.expr(HLL_TAIL_TRIM_EXPR))
     grp_out = (
         F.explode(F.array(F.col("grp"), F.lit(all_label)))
         if all_label is not None
         else F.col("grp")
     )
-    rho = F.expr(HLL_RHO_SQL.format(G=", 0"))
+    rho = F.expr(HLL_RHO_FROM_T_SQL)
     return (
         parts.select(grp_out.alias("grp"), "j", rho.alias("rho"))
         .groupBy("grp", "j")

@@ -2195,7 +2195,9 @@ from confluent_kafka_streams_examples_spark.operators.sketches import (
     HLL_DEN as _HLL_DEN,
     HLL_M as _HLL_M,
     HLL_NUM as _HLL_NUM,
+    HLL_RHO_FROM_T_SQL as _HLL_RHO_FROM_T_SQL,
     HLL_RHO_SQL as _HLL_RHO_SQL,
+    HLL_TAIL_TRIM_EXPR as _HLL_TAIL_TRIM_EXPR,
     hll_est_sql as _hll_est_sql,
     hll_estimate_from_registers,
     hll_portable_registers,
@@ -2309,8 +2311,11 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name",
         F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("j"),
         F.substring("h", 3, 15).alias("tail"),
-    )
-    rho = F.expr(_HLL_RHO_SQL.format(G=", 0"))
+    ).withColumn("t", F.expr(_HLL_TAIL_TRIM_EXPR))
+    # rho over the pre-trimmed tail: one ltrim instead of three
+    # regexp_extract per row — register-identical (sketches.py), -11%
+    # measured on this query's build at sf0.1 (OPTIMIZATION_r11.md)
+    rho = F.expr(_HLL_RHO_FROM_T_SQL)
     labeled = parts.select(
         F.explode(
             F.array(
@@ -2373,15 +2378,15 @@ def sketch_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy harness for `sketch_hll_distinct` (the *_recall_eval
     convention): joins the production estimates against the exact
     count(DISTINCT) truth and reports integer-exact error ppm.  The
-    exact side — deliberately NOT in the production query — builds the
-    SAME stacked+labeled (grp, key) frame the production sketch hashes
-    (per-flag plus per-key ':__all__' labels) and dedups it before
-    counting, so ONE corpus scan serves every truth level: the
-    map-side partial dedup bounds the exchange to the unique-pair
-    count, and the per-key '__all__' labels replace what a rollup's
-    Expand would otherwise do to the raw corpus (642 MiB shuffle /
-    9.8 GiB spill at x100 in the probe — documented since r9; the
-    earlier two-pyramid form here also cost one corpus scan PER key
+    exact side — deliberately NOT in the production query — dedups the
+    raw stacked (rf, col, key) triples ONCE and derives both truth
+    levels from that: per-flag counts directly, the per-key ':__all__'
+    level via a second dedup over the already-deduped (col, key) set —
+    so the big map-side partial dedup sees each pair once instead of
+    once per label (the labeled-then-distinct form shuffled 2x the
+    rows; a rollup's Expand on the raw corpus measured 642 MiB shuffle
+    / 9.8 GiB spill at x100 in the probe — documented since r9; the
+    earlier two-pyramid form also cost one corpus scan PER key
     column).  Observed at sf0.01: l_orderkey groups within ~4% (raw
     regime), l_linenumber exact to the value (linear counting
     m*ln(m/V): 7 of 7)."""
@@ -2396,20 +2401,34 @@ def sketch_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("l_linenumber"), F.col("l_linenumber").cast("string"),
         ).alias("col_name", "key"),
     ).filter(F.col("key").isNotNull())
-    labeled = stacked.select(
-        F.explode(
-            F.array(
-                F.concat(F.col("col_name"), F.lit(":"), F.col("rf")),
-                F.concat(F.col("col_name"), F.lit(":__all__")),
-            )
-        ).alias("grp"),
-        "key",
-    )
-    truth = (
-        labeled.distinct()
+    # Truth side, dedup-BEFORE-label-fanout (guide §2.3, shuffle fewer
+    # bytes): the old form exploded both labels first and dedup'd 2x
+    # the rows; deduping the raw (rf, col, key) triple once and
+    # deriving each label level from that — per-flag counts directly,
+    # ':__all__' via a second (much smaller) dedup — measured -34% on
+    # the truth side at sf0.1 with hash-identical output
+    # (OPTIMIZATION_r11.md).  No persist on d1: materializing ~400k
+    # skinny rows costs more than the second scan locally, and at
+    # cluster scale the two branches are independent scans of the same
+    # columnar slice.
+    d1 = stacked.distinct()
+    per_flag = (
+        d1.select(
+            F.concat(F.col("col_name"), F.lit(":"), F.col("rf")).alias("grp"),
+            "key",
+        )
         .groupBy("grp")
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
     )
+    alls = (
+        d1.select("col_name", "key")
+        .distinct()
+        .groupBy(
+            F.concat(F.col("col_name"), F.lit(":__all__")).alias("grp")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
+    )
+    truth = per_flag.unionByName(alls)
     est = sketch_hll_distinct(spark, sf_dir)
     return truth.join(F.broadcast(est), "grp").select(
         "grp",

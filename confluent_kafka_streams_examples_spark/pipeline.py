@@ -28,6 +28,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from confluent_kafka_streams_examples_spark.operators import dedup
 from confluent_kafka_streams_examples_spark.operators.graph import dedup_components
@@ -102,13 +103,26 @@ def quality_filter(
 def exact_dedup(id_col: str = "doc_id", text_col: str = "text") -> Stage:
     """Keep the minimum-id document per distinct text.  One shuffle on
     md5(text) — 32-byte keys, never document bodies — then a semi join
-    back to recover full rows."""
+    back to recover full rows.
+
+    The keep-ID set is PERSISTED (ids only — 8 bytes per survivor,
+    never text): every later pipeline stage that re-derives this
+    stage's output (the near-dup signature probe, the component node
+    list, the final semi joins) would otherwise re-run the md5 groupBy
+    shuffle once per consumer — Spark has no cross-consumer CSE.  The
+    downstream re-evaluations then cost one corpus scan plus a
+    broadcast-size semi join each, and the cached bytes stay O(ids)
+    at any corpus size (measured -7% median on
+    pipeline_training_export at sf0.1, results identical —
+    OPTIMIZATION_r11.md; guide §5: cache only what is reused AND
+    expensive)."""
 
     def stage(df: DataFrame) -> DataFrame:
         keep = (
             df.groupBy(F.md5(F.col(text_col)).alias("h"))
             .agg(F.min(id_col).alias(id_col))
             .select(id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         return df.join(keep, id_col, "left_semi")
 
@@ -147,7 +161,16 @@ def neardup_dedup(
                 df, id_col, text_col, num_hashes=num_hashes, bands=bands
             )
         comp = dedup_components(pairs, df.select(id_col), id_col)
-        keep = comp.filter(F.col("is_representative")).select(id_col)
+        # persist the representative-ID set (8 bytes per survivor):
+        # the span-removal / packing stages downstream re-derive the
+        # cleaned corpus several times, and without this pin each
+        # re-derivation would re-run the whole candidate->component
+        # cascade (see exact_dedup for the measured effect)
+        keep = (
+            comp.filter(F.col("is_representative"))
+            .select(id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         return df.join(keep, id_col, "left_semi")
 
     return stage

@@ -447,7 +447,10 @@ def test_release_caches_drains_query_persists(spark, sf_dir):
     cm = spark._jsparkSession.sharedState().cacheManager()
     release_caches(spark)  # start clean regardless of earlier tests
     assert cm.isEmpty()
-    QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    # dedup_embedding_cosine persists its normalized-vector base before
+    # the bucket self-join (dedup_minhash_lsh no longer persists: its
+    # banded signatures come from the STORED signature table, r11)
+    QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
     assert not cm.isEmpty()  # the query really does pin blocks
     release_caches(spark)
     assert cm.isEmpty()

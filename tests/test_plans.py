@@ -263,14 +263,21 @@ def test_duplicate_rate_no_body_shuffle(spark):
 
 def test_new_ml_queries_plan_discipline(spark):
     """k-means: vectors must never shuffle for a join (assignment is a
-    tiny-centroid broadcast); ann_recall/top_terms: rank-limits plan as
-    WindowGroupLimit; nothing plans a cartesian product."""
+    tiny-centroid broadcast) and the argmin is a partial-aggregated
+    min_by — no Window, no per-vector Sort (r11: the row_number form
+    shuffled k rows per vector and sorted each group; min_by collapses
+    to 1 row per vector map-side); ann_recall/top_terms: rank-limits
+    plan as WindowGroupLimit; nothing plans a cartesian product."""
     for name in ("top_terms_per_source", "embedding_kmeans_fixed", "ann_recall_eval"):
         p = plan(spark, name)
         assert "CartesianProduct" not in p, f"{name}\n{p}"
+    for name in ("top_terms_per_source", "ann_recall_eval"):
+        p = plan(spark, name)
         assert "WindowGroupLimit" in p, f"{name}: rank-limit must push partial top-k\n{p}"
     km = plan(spark, "embedding_kmeans_fixed")
     assert "SortMergeJoin" not in km, f"kmeans must broadcast centroids, never shuffle vectors\n{km}"
+    assert "min_by" in km, f"kmeans argmin must be the min_by hash aggregate\n{km}"
+    assert "Window" not in km, f"kmeans must not sort per vector for the argmin\n{km}"
 
 
 def test_quality_gate_is_shuffle_free(spark):

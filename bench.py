@@ -174,9 +174,24 @@ def main() -> None:
     # (~+70s wall for the full registry — well inside the harness budget)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    # per-query 1-minute loadavg at rep start: START/END markers cannot
+    # see MID-RUN interference, and r11's runs showed 3-5x spikes on a
+    # different random query subset each run (e.g. an untouched query
+    # at 6.75s vs 1.31s baseline).  With these markers a spiked query
+    # is adjudicated from the artifact itself: loadavg >> our own
+    # expected load at its timestamp = foreign contention, not a plan
+    # regression.  Detail-file only; the stdout contract is unchanged.
+    query_load: dict[str, list[float]] = {}
     for name in sorted(QUERIES):
         best = -1.0
         for _ in range(reps):
+            try:
+                with open("/proc/loadavg") as fh:
+                    query_load.setdefault(name, []).append(
+                        float(fh.read().split()[0])
+                    )
+            except Exception:
+                pass
             t0 = time.perf_counter()
             try:
                 df = QUERIES[name](spark, SF_DIR)
@@ -222,6 +237,7 @@ def main() -> None:
                 "reps": reps,
                 "n_queries": len(timings),
                 "host": {"start": host_start, "end": host_end},
+                "query_loadavg_1m": query_load,
                 "contaminated": contaminated,
                 "contamination_reasons": reasons,
             },

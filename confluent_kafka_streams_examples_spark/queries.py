@@ -706,6 +706,10 @@ _VERIFY_FIRST = [
     # Head: changed since the last verified snapshot or never green.
     "sketch_hll_distinct", "events_profile", "sketch_hll_eval",
     "events_profile_extended", "bpe_merge_rounds",
+    "pipeline_training_export", "neardup_verify_levenshtein",
+    "dedup_lsh_recall_eval", "dedup_cluster_representatives",
+    "dedup_clusters", "dedup_minhash_lsh", "pipeline_clean_corpus",
+    "sketch_hll_incremental", "embedding_kmeans_fixed",
     # Tail: oldest green first.
     "topk_per_key", "large_volume_orders", "corpus_chunk_documents",
     "dedup_duplicate_spans", "semdedup_prune_scaled", "text_stats",
@@ -719,38 +723,34 @@ _VERIFY_FIRST = [
     "windowed_session", "stream_table_join", "forecast_revenue_change",
     "important_part_value", "corpus_mixture_sample",
     "dedup_bloom_prefilter", "similarity_pairs_label", "token_frequencies",
-    "distinct_parts_per_supplier", "windowed_tumbling", "asof_join",
-    "sql_interface", "late_shipment_priority_counts",
-    "pipeline_training_export", "doc_fingerprint_dups",
-    "embedding_dim_stats", "quality_repetition_signals",
-    "bucketed_revenue_by_priority",
+    "distinct_parts_per_supplier",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "customer_order_distribution", "promo_revenue", "top_supplier",
-    "part_supplier_counts", "small_quantity_revenue",
-    "disjunctive_predicate_revenue", "excess_suppliers",
-    "sole_late_supplier", "dormant_customer_balance",
-    "neardup_verify_levenshtein", "dedup_simhash64",
-    "distinct_daily_users", "zorder_layout_stats", "kafka_wire_roundtrip",
-    "dedup_containment", "dedup_lsh_recall_eval", "dedup_ngram_jaccard",
-    "dedup_overlap_scores", "dedup_cluster_representatives",
-    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_verify",
-    "pipeline_clean_corpus", "similarity_ivf_pruned",
-    "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
-    "sketch_heavy_hitters", "value_percentiles", "dedup_embedding_cosine",
-    "similarity_ann_lsh", "shipping_priority", "source_overlap_matrix",
-    "scd2_user_history", "boilerplate_chunks", "embedding_centroids",
-    "top_terms_per_source", "regional_revenue", "duplicate_rate_by_source",
-    "rolling_user_stats", "merge_upsert_balances", "dedup_exact",
-    "ann_recall_eval", "bm25_search", "local_supplier_volume",
-    "multimodal_features", "sketch_hll_incremental",
-    "similarity_ivf_append", "ivf_drift_stat", "corpus_mixture_drift",
-    "pivot_event_counts", "dedup_incremental", "embedding_kmeans_fixed",
-    "vocab_coverage", "user_sessions", "primary_supplier_per_part",
-    "corpus_split_assignment", "sample_n_per_group", "dedup_simhash",
-    "similarity_topk_batch", "lm_unigram_score", "agg_running_total",
-    "windowed_hopping", "late_ship_priority", "corpus_stratified_sample",
-    "anti_join_users", "skewed_event_rollup", "dedup_exact_normalized",
+    "late_shipment_priority_counts", "customer_order_distribution",
+    "promo_revenue", "top_supplier", "part_supplier_counts",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
+    "doc_fingerprint_dups", "bucketed_revenue_by_priority",
+    "dedup_simhash64", "distinct_daily_users", "windowed_tumbling",
+    "embedding_dim_stats", "quality_repetition_signals",
+    "zorder_layout_stats", "kafka_wire_roundtrip", "dedup_containment",
+    "dedup_ngram_jaccard", "dedup_overlap_scores", "dedup_minhash_verify",
+    "similarity_ivf_pruned", "similarity_ivf_dynamic", "similarity_pq_adc",
+    "pq_recall_eval", "sketch_heavy_hitters", "value_percentiles",
+    "dedup_embedding_cosine", "similarity_ann_lsh", "shipping_priority",
+    "source_overlap_matrix", "scd2_user_history", "boilerplate_chunks",
+    "embedding_centroids", "top_terms_per_source", "regional_revenue",
+    "duplicate_rate_by_source", "rolling_user_stats",
+    "merge_upsert_balances", "dedup_exact", "ann_recall_eval",
+    "bm25_search", "local_supplier_volume", "multimodal_features",
+    "asof_join", "sql_interface", "similarity_ivf_append",
+    "ivf_drift_stat", "corpus_mixture_drift", "pivot_event_counts",
+    "dedup_incremental", "vocab_coverage", "user_sessions",
+    "primary_supplier_per_part", "corpus_split_assignment",
+    "sample_n_per_group", "dedup_simhash", "similarity_topk_batch",
+    "lm_unigram_score", "agg_running_total", "windowed_hopping",
+    "late_ship_priority", "corpus_stratified_sample", "anti_join_users",
+    "skewed_event_rollup", "dedup_exact_normalized",
     "similarity_ivf_probe", "bpe_pair_counts", "json_props_extract",
     "funnel_conversion", "nation_pair_volume", "decontaminate_train",
     "semi_join_parts", "events_concurrent_degree_salted",

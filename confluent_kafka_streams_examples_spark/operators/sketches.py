@@ -194,12 +194,36 @@ def hll_portable_registers(
         F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("j"),
         F.substring("h", 3, 15).alias("tail"),
     ).withColumn("t", F.expr(HLL_TAIL_TRIM_EXPR))
+    rho = F.expr(HLL_RHO_FROM_T_SQL)
+    if all_label is not None and not df.isStreaming:
+        # TWO-LEVEL merged sketch (r11, batch only): aggregate
+        # per-group registers first, then explode the (groups x 256)-
+        # row aggregate into the merged ``all_label`` rows and re-max —
+        # the fan-out no longer doubles every corpus row through the
+        # map-side hash-agg (max over registers is exact: the merge
+        # property executed on the aggregate instead of the raw
+        # stream).  Wash at sf0.1, -13% at x20 where agg updates
+        # dominate (OPTIMIZATION_r11.md).  Streaming frames keep the
+        # single-aggregate fan-out below: chained stateful aggregates
+        # are not supported in update mode, and one streaming
+        # aggregate with the row-level label explode IS the twin's
+        # contract (fixed (groups+1) x 256 state).
+        per_grp = (
+            parts.select("grp", "j", rho.alias("rho"))
+            .groupBy("grp", "j")
+            .agg(F.max("rho").alias("R"))
+        )
+        labeled = per_grp.select(
+            F.explode(F.array(F.col("grp"), F.lit(all_label))).alias("grp"),
+            "j",
+            "R",
+        )
+        return labeled.groupBy("grp", "j").agg(F.max("R").alias("R"))
     grp_out = (
         F.explode(F.array(F.col("grp"), F.lit(all_label)))
         if all_label is not None
         else F.col("grp")
     )
-    rho = F.expr(HLL_RHO_FROM_T_SQL)
     return (
         parts.select(grp_out.alias("grp"), "j", rho.alias("rho"))
         .groupBy("grp", "j")

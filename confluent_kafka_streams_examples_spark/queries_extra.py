@@ -2328,9 +2328,22 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("t", F.expr(_HLL_TAIL_TRIM_EXPR))
     # rho over the pre-trimmed tail: one ltrim instead of three
     # regexp_extract per row — register-identical (sketches.py), -11%
-    # measured on this query's build at sf0.1 (OPTIMIZATION_r11.md)
+    # measured on this query's build at sf0.1, -40% at x20
+    # (OPTIMIZATION_r11.md)
     rho = F.expr(_HLL_RHO_FROM_T_SQL)
-    labeled = parts.select(
+    # TWO-LEVEL register aggregation (r11): collapse to fine-grained
+    # (col, flag, j) registers FIRST — the label fan-out then explodes
+    # a few-thousand-row aggregate instead of doubling every corpus
+    # row through the map-side hash-agg, and the ':__all__' merge is
+    # a max over registers, which is exact by construction.  Wash at
+    # sf0.1 (exchange volume is bounded either way), -13% at x20
+    # where the agg updates dominate — the 100 TB regime.
+    fine = (
+        parts.select("col_name", "rf", "j", rho.alias("rho"))
+        .groupBy("col_name", "rf", "j")
+        .agg(F.max("rho").alias("R1"))
+    )
+    labeled = fine.select(
         F.explode(
             F.array(
                 F.concat(F.col("col_name"), F.lit(":"), F.col("rf")),
@@ -2338,9 +2351,9 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("grp"),
         "j",
-        rho.alias("rho"),
+        "R1",
     )
-    regs = labeled.groupBy("grp", "j").agg(F.max("rho").alias("R"))
+    regs = labeled.groupBy("grp", "j").agg(F.max("R1").alias("R"))
     return hll_estimate_from_registers(regs)
 
 

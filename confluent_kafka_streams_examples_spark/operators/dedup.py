@@ -727,6 +727,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     sig: DataFrame | None = None,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs.
 
@@ -741,7 +742,14 @@ def minhash_lsh_pairs(
     production keeps signatures as a first-class dataset (~1e-4 the
     corpus bytes) and every consumer bands the store instead of
     re-shingling text.
-    """
+
+    ``distinct_pairs=False`` skips the pair-dedup EXCHANGE — correct
+    whenever the consumer is duplicate-insensitive, which connected
+    components is (union-find absorbs a <= ``bands``x-duplicated edge
+    in O(alpha)): deduplicating a raw band-collision stream is the
+    same aggregate simhash64_candidates measured as its only spilling
+    node at x100, so the duplicate-tolerant consumer should always
+    prefer the raw stream (same posture; r11)."""
     computed_here = sig is None
     if computed_here:
         sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
@@ -759,12 +767,12 @@ def minhash_lsh_pairs(
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
-    return (
+    pairs = (
         a.join(b, ["band_idx", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    return pairs.distinct() if distinct_pairs else pairs
 
 
 def incremental_minhash_pairs(

@@ -150,15 +150,21 @@ def neardup_dedup(
     signed."""
 
     def stage(df: DataFrame) -> DataFrame:
+        # distinct_pairs=False: the only consumer here is connected
+        # components, whose union-find absorbs the <= bands-x duplicate
+        # edges — the pair-dedup exchange is pure cost on this path
+        # (dedup.minhash_lsh_pairs docstring; r11)
         if sig is not None:
             stage_sig = sig.join(df.select(id_col), id_col, "left_semi")
             pairs = dedup.minhash_lsh_pairs(
                 None, id_col, text_col,
                 num_hashes=num_hashes, bands=bands, sig=stage_sig,
+                distinct_pairs=False,
             )
         else:
             pairs = dedup.minhash_lsh_pairs(
-                df, id_col, text_col, num_hashes=num_hashes, bands=bands
+                df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+                distinct_pairs=False,
             )
         comp = dedup_components(pairs, df.select(id_col), id_col)
         # persist the representative-ID set (8 bytes per survivor):

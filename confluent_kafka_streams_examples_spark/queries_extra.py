@@ -315,17 +315,27 @@ def _dot(a, b) -> F.Column:
 
 def _norm_bucket_base(emb: DataFrame) -> DataFrame:
     """(vec_id, v, nrm, bucket): normalized vector + 4-bit hyperplane
-    LSH bucket — shared by the near-dup and ANN queries."""
+    LSH bucket — shared by the near-dup and ANN queries.
+
+    The four 64-element plane-sign arrays and their dot-product folds
+    are ONE ``F.expr`` string, not 256 ``F.lit`` Column constructions:
+    the chained form cost ~0.3 s of py4j round trips per construction
+    (profiled r12) across every query sharing this base.  ``0.0D`` /
+    ``1.0D`` literals pin DoubleType (bare ``0.0`` parses as DECIMAL
+    in SQL), so the fold arithmetic is bit-identical to the previous
+    ``F.lit(0.0)`` form."""
     v = F.col("embedding").cast("array<double>")
     base = emb.select(F.col("vec_id"), v.alias("v")).withColumn(
         "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
-    bucket_bits = []
-    for p in range(_PLANES):
-        plane = F.array(*[F.lit(s) for s in _plane_signs(p)])
-        proj = _dot(F.col("v"), plane)
-        bucket_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return base.withColumn("bucket", F.concat(*bucket_bits))
+    bits = ", ".join(
+        "CASE WHEN aggregate(zip_with(v, array("
+        + ", ".join(f"{s:.1f}D" for s in _plane_signs(p))
+        + "), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) >= 0"
+        " THEN '1' ELSE '0' END"
+        for p in range(_PLANES)
+    )
+    return base.withColumn("bucket", F.expr(f"concat({bits})"))
 
 
 @query(

@@ -87,11 +87,47 @@ def get_spark(app_name: str = "confluent-kafka-streams-examples-spark") -> Spark
     return spark
 
 
+def _resolved_schema(spark: SparkSession, path: str):
+    """Parquet schema for ``path``, resolved ONCE per (session, file
+    version) and cached on the session object.
+
+    ``spark.read.parquet`` with an inferred schema costs 60-90 ms of
+    driver-side work per call (file listing + footer read + relation
+    construction via py4j) — pure fixed overhead that a registry of
+    138 queries pays 1-4x per query per run.  Supplying the cached
+    schema explicitly (``spark.read.schema(s).parquet``) skips the
+    inference and drops the call to ~12 ms, exactly the
+    schemas-from-a-catalog shape a production metastore provides.
+
+    The cache key carries the file's mtime+size, so a regenerated
+    table re-infers instead of reading stale metadata.  Only the
+    SCHEMA is cached, never a DataFrame handle: every call still
+    builds a fresh relation with fresh attribute ids, so self-joins
+    of two load_table calls resolve exactly as before."""
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    cache = getattr(spark, "_ckse_schema_cache", None)
+    if cache is None:
+        cache = {}
+        spark._ckse_schema_cache = cache
+    key = (path, stamp)
+    schema = cache.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        cache[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one driver-generated parquet table.
 
-    Reads via ``spark.read.parquet`` so predicate pushdown / column pruning
-    reach the scan; callers should ``.select`` only needed columns.
+    Reads via ``spark.read.schema(...).parquet`` (schema resolved once
+    per session — see ``_resolved_schema``) so predicate pushdown /
+    column pruning reach the scan; callers should ``.select`` only
+    needed columns.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -104,8 +140,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # epoch_us over the same naive parquet values.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _resolved_schema(spark, path)
+    df = spark.read.schema(schema).parquet(path)
+    for field in schema.fields:
         if field.name != "ts":
             continue
         if field.dataType.typeName() == "long":

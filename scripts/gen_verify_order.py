@@ -55,8 +55,19 @@ WINDOW = 50
 #: they receive a live session and call load_table — so session.py's
 #: conf code is invisible to every query's own AST closure.  It is
 #: folded into every digest as a global salt instead (VERDICT r9 #1).
+#:
+#: load_table joined the salt in r12: it is the one helper EVERY query
+#: calls, so a per-closure treatment of an edit there flips all 138
+#: queries to "changed" at once — more than the 50-entry window can
+#: verify in a round, which the soundness abort correctly rejects.
+#: The situation is identical in kind to a get_spark conf edit (one
+#: change invalidates the whole registry), so it takes the identical
+#: remedy: the closure walk STOPS at load_table (queries no longer
+#: embed its body), and load_table's own transitive closure is folded
+#: into the global salt — any edit there starts a new epoch and the
+#: band rotation re-verifies the registry across following rounds.
 SESSION_REL = f"{PKG}/session.py"
-SALT_FUNC = "get_spark"
+SALT_FUNCS = ("get_spark", "load_table")
 #: committed salt-epoch record: {"salt": <hex>, "epoch_round": N}.
 #: A conf change invalidates ALL greens at once — far more than the
 #: 50-entry window can re-verify in one round — so instead of head
@@ -145,14 +156,22 @@ class Snapshot:
         self._conf_salt: str | None = None
 
     def conf_salt(self) -> str:
-        """Digest of ``get_spark``'s AST closure in this snapshot — the
-        global salt folded into every query digest, covering the Spark
-        conf block no query's own closure can reach."""
+        """Combined digest of the SALT_FUNCS' AST closures in this
+        snapshot — the global salt folded into every query digest,
+        covering the Spark conf block (get_spark) no query's closure
+        can reach and the universal table loader (load_table) every
+        query's closure deliberately stops at."""
         if self._conf_salt is None:
-            self._conf_salt = (
-                self._closure_digest_unsalted(SESSION_REL, SALT_FUNC)
+            parts = [
+                self._closure_digest_unsalted(
+                    SESSION_REL, fn, stop_at_salt=False
+                )
                 or "absent"
-            )
+                for fn in SALT_FUNCS
+            ]
+            self._conf_salt = hashlib.sha256(
+                "|".join(parts).encode()
+            ).hexdigest()
         return self._conf_salt
 
     def module(self, rel_path: str) -> ModuleIndex | None:
@@ -183,12 +202,16 @@ class Snapshot:
         ).hexdigest()
 
     def _closure_digest_unsalted(
-        self, rel_path: str, func_name: str
+        self, rel_path: str, func_name: str, stop_at_salt: bool = True
     ) -> str | None:
         """sha256 over the sorted ast.dump of the transitive closure of
         (functions + referenced module constants) reachable from one
         function.  None if the function does not exist in this
-        snapshot."""
+        snapshot.  With ``stop_at_salt`` (the default for per-query
+        digests) the walk does not descend into the SALT_FUNCS — their
+        bodies are covered by the global conf salt instead, so an edit
+        there epochs the whole registry rather than overflowing the
+        head (see the SALT_FUNCS comment)."""
         mod = self.module(rel_path)
         if mod is None or func_name not in mod.functions:
             return None
@@ -198,6 +221,13 @@ class Snapshot:
         while stack:
             mpath, fname = stack.pop()
             if (mpath, fname) in seen:
+                continue
+            if (
+                stop_at_salt
+                and mpath == SESSION_REL
+                and fname in SALT_FUNCS
+                and (mpath, fname) != (rel_path, func_name)
+            ):
                 continue
             seen.add((mpath, fname))
             m = self.module(mpath)

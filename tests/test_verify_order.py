@@ -170,8 +170,13 @@ def test_sentinel_band_stratifies_across_operator_families():
         f"families missing from the sentinel band: {tail_fams - band_fams}"
     )
     # within-family staleness order: a family's band members must be
-    # its stalest greens, in order
-    greens = gvo.latest_green_rounds()
+    # its stalest greens, in order — by the generator's EFFECTIVE rank
+    # (greens older than the active salt epoch count as stale-0)
+    epoch = gvo.salt_epoch(gvo.Snapshot(None).conf_salt(), update=False)
+    greens = {
+        n: (g if g >= epoch else 0)
+        for n, g in gvo.latest_green_rounds().items()
+    }
     for fam in band_fams:
         fam_band = [n for n in band if gvo.family(n) == fam]
         fam_all = sorted(
@@ -220,6 +225,42 @@ def test_conf_salt_flips_every_query_digest():
             rel, fname
         ) == mut._closure_digest_unsalted(rel, fname), (
             f"{name}: body digest must not depend on the salt"
+        )
+
+
+@pytest.mark.skipif(not _git_ok(), reason="needs the git history")
+def test_load_table_edit_salts_instead_of_flipping_heads():
+    """load_table is the one helper EVERY query calls: treating an edit
+    there as a per-query change floods the head past the 50-entry
+    window (protocol abort), so since r12 the closure walk stops at
+    load_table and its body is folded into the global salt — an edit
+    must flip the salt (epoch rotation) while leaving every query's
+    unsalted body digest unchanged."""
+    import os
+
+    import scripts.gen_verify_order as gvo
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(gvo.__file__)))
+    src = open(os.path.join(repo, gvo.SESSION_REL), encoding="utf-8").read()
+    needle = 'f"{name}.parquet"'
+    assert needle in src, "load_table body moved; update the test needle"
+    mutated_src = src.replace(needle, 'f"{name}.renamed.parquet"')
+
+    cur = gvo.Snapshot(None)
+    mut = gvo.Snapshot(None)
+    mut._modules[gvo.SESSION_REL] = gvo.ModuleIndex(
+        mutated_src, gvo.SESSION_REL
+    )
+    assert mut.conf_salt() != cur.conf_salt(), (
+        "a load_table edit must flip the global salt"
+    )
+    locs = gvo.query_locations()
+    sample = list(locs.items())[::17] or list(locs.items())
+    for name, (rel, fname) in sample:
+        assert cur._closure_digest_unsalted(
+            rel, fname
+        ) == mut._closure_digest_unsalted(rel, fname), (
+            f"{name}: body digest must stop at load_table (salted there)"
         )
 
 

@@ -117,17 +117,25 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT (Carter-Wegman h1 + j*h2 minima), so the parquet roundtrip
     is exact.  `dedup_incremental_persisted` keeps its own partial
     (corpus-minus-batch) table: its point is the daily write path."""
-    from confluent_kafka_streams_examples_spark.artifacts import materialized
+    from confluent_kafka_streams_examples_spark.artifacts import (
+        materialized,
+        parquet_row_count,
+    )
 
     def build() -> DataFrame:
         docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
         return dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=_MH)
 
+    # output size estimate from the SOURCE footer (driver-side, no
+    # job): one signature row per document at ~(1 + K) longs — the
+    # write parallelizes once that crosses a target file (guide §6)
+    n_docs = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
     return materialized(
         spark,
         os.path.join(sf_dir, "documents.parquet"),
         f"minhash_sig|mh={_MH}|n=3",
         build,
+        est_bytes=(n_docs or 0) * 9 * (_MH + 1),
     )
 
 
@@ -141,7 +149,10 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most expensive non-linear stage in the dedup path; running it
     once per corpus version instead of once per consumer is exactly
     why the assignment is a stored dataset."""
-    from confluent_kafka_streams_examples_spark.artifacts import materialized
+    from confluent_kafka_streams_examples_spark.artifacts import (
+        materialized,
+        parquet_row_count,
+    )
     from confluent_kafka_streams_examples_spark.operators.graph import (
         dedup_components,
     )
@@ -154,11 +165,15 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return dedup_components(pairs, docs, "doc_id")
 
+    # one ~17-byte assignment row per document (see minhash_signature_
+    # table for the footer-based estimate pattern)
+    n_docs = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
     return materialized(
         spark,
         os.path.join(sf_dir, "documents.parquet"),
         f"dedup_clusters|mh={_MH}|bands={_BANDS}",
         build,
+        est_bytes=(n_docs or 0) * 17,
     )
 
 
@@ -663,13 +678,26 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     a compacted changelog topic restoring a state store instead of
     replaying the source (KTableExample.scala:52-56)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from confluent_kafka_streams_examples_spark.artifacts import (
+        parquet_row_count,
+        write_partitions,
+    )
     from confluent_kafka_streams_examples_spark.queries_corpus import _bucket
 
     is_new = _bucket(F.col("doc_id")) < 10
     sig_path = _sig_table_path(sf_dir)
-    dedup.minhash_signatures(
+    corpus_sig_df = dedup.minhash_signatures(
         docs.filter(~is_new), "doc_id", "text", num_hashes=_MH
-    ).write.mode("overwrite").parquet(sig_path)
+    )
+    # file count scales with the corpus (guide §6): ~(1+K) longs per
+    # surviving document, estimated from the source footer — one file
+    # at bench scale (plan unchanged), a parallel write instead of a
+    # single-task funnel once the table crosses a target file
+    n_docs = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
+    n_parts = write_partitions((n_docs or 0) * 9 * (_MH + 1), spark)
+    if n_parts > 1:
+        corpus_sig_df = corpus_sig_df.repartition(n_parts)
+    corpus_sig_df.write.mode("overwrite").parquet(sig_path)
     corpus_sig = spark.read.parquet(sig_path)
     return dedup.incremental_minhash_pairs(
         docs.filter(is_new), corpus_sig, "doc_id", "text",

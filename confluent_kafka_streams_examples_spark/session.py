@@ -87,7 +87,7 @@ def get_spark(app_name: str = "confluent-kafka-streams-examples-spark") -> Spark
     return spark
 
 
-def _resolved_schema(spark: SparkSession, path: str):
+def _resolved_schema(spark: SparkSession, path: str, stamp_path: str | None = None):
     """Parquet schema for ``path``, resolved ONCE per (session, file
     version) and cached on the session object.
 
@@ -100,12 +100,15 @@ def _resolved_schema(spark: SparkSession, path: str):
     schemas-from-a-catalog shape a production metastore provides.
 
     The cache key carries the file's mtime+size, so a regenerated
-    table re-infers instead of reading stale metadata.  Only the
-    SCHEMA is cached, never a DataFrame handle: every call still
-    builds a fresh relation with fresh attribute ids, so self-joins
-    of two load_table calls resolve exactly as before."""
+    table re-infers instead of reading stale metadata.  ``stamp_path``
+    substitutes a different file for the staleness stamp — artifact
+    directories use their write-once manifest, because the directory's
+    own mtime is touched on every read-refresh.  Only the SCHEMA is
+    cached, never a DataFrame handle: every call still builds a fresh
+    relation with fresh attribute ids, so self-joins of two load_table
+    calls resolve exactly as before."""
     try:
-        st = os.stat(path)
+        st = os.stat(stamp_path if stamp_path is not None else path)
         stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
         stamp = None

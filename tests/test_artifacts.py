@@ -419,3 +419,50 @@ def test_compact_partitions_rewrites_only_offenders(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(list_id" in plan, plan
+
+
+def test_write_partitions_scales_with_estimate(spark):
+    """File-count scaling (guide §6 / VERDICT r11 #5): one file below a
+    target-file's worth of estimated bytes, ~est/target files above,
+    capped at 16x parallelism."""
+    from confluent_kafka_streams_examples_spark.artifacts import (
+        TARGET_FILE_BYTES,
+        write_partitions,
+    )
+
+    assert write_partitions(None, spark) == 1
+    assert write_partitions(0, spark) == 1
+    assert write_partitions(1000, spark) == 1
+    assert write_partitions(TARGET_FILE_BYTES - 1, spark) == 1
+    assert write_partitions(4 * TARGET_FILE_BYTES, spark) == 5
+    cap = 16 * spark.sparkContext.defaultParallelism
+    assert write_partitions(10**18, spark) == cap
+
+
+def test_materialized_write_parallelism_tracks_est_bytes(tmp_path, spark):
+    """The artifact writer's FILE COUNT must follow the size estimate:
+    a small estimate publishes without a repartition (single-digit
+    files from the plan's own partitioning), a large one publishes a
+    parallel multi-file layout — asserted at two probe estimates."""
+    from confluent_kafka_streams_examples_spark.artifacts import (
+        TARGET_FILE_BYTES,
+        materialized,
+    )
+
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+
+    def build():
+        return spark.range(0, 1000, 1, 2).selectExpr("id AS doc_id")
+
+    def parquet_files(df):
+        return {os.path.basename(f) for f in df.inputFiles()}
+
+    small = materialized(spark, str(src), "probe|small", build)
+    assert len(parquet_files(small)) <= 2
+
+    big = materialized(
+        spark, str(src), "probe|big", build,
+        est_bytes=3 * TARGET_FILE_BYTES,
+    )
+    assert len(parquet_files(big)) == 4

@@ -100,7 +100,11 @@ def quality_filter(
     return stage
 
 
-def exact_dedup(id_col: str = "doc_id", text_col: str = "text") -> Stage:
+def exact_dedup(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor: DataFrame | None = None,
+) -> Stage:
     """Keep the minimum-id document per distinct text.  One shuffle on
     md5(text) — 32-byte keys, never document bodies — then a semi join
     back to recover full rows.
@@ -115,7 +119,19 @@ def exact_dedup(id_col: str = "doc_id", text_col: str = "text") -> Stage:
     at any corpus size (measured -7% median on
     pipeline_training_export at sf0.1, results identical —
     OPTIMIZATION_r11.md; guide §5: cache only what is reused AND
-    expensive)."""
+    expensive).
+
+    ``anchor`` (r12): the pipeline's ORIGINAL corpus frame.  The keep
+    set is computed from this stage's input ``df`` as always, but the
+    row-recovery semi join applies to ``anchor`` instead of ``df``:
+    keep-IDs are a subset of every upstream gate's survivors and
+    ``id_col`` is unique in the corpus, so ``anchor ⋉ keep`` is
+    row-identical to ``df ⋉ keep`` — while every downstream
+    re-derivation of this stage's output drops the upstream gates'
+    per-row compute (the quality filter's array_sort + aggregate fold
+    is the most expensive per-row expression in the pipeline) from
+    its lineage (guide §1.2: don't recompute what the semi join
+    already proves)."""
 
     def stage(df: DataFrame) -> DataFrame:
         keep = (
@@ -124,7 +140,9 @@ def exact_dedup(id_col: str = "doc_id", text_col: str = "text") -> Stage:
             .select(id_col)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        return df.join(keep, id_col, "left_semi")
+        return (anchor if anchor is not None else df).join(
+            keep, id_col, "left_semi"
+        )
 
     return stage
 
@@ -135,6 +153,7 @@ def neardup_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     sig: DataFrame | None = None,
+    anchor: DataFrame | None = None,
 ) -> Stage:
     """Keep one representative (minimum id) per near-duplicate cluster:
     MinHash-LSH candidate pairs -> connected components -> drop
@@ -147,7 +166,13 @@ def neardup_dedup(
     survivors (one semi-join on 8-byte ids) yields exactly the
     signatures a recomputation over the survivors would produce — the
     cleaning pipeline never re-shingles text the platform already
-    signed."""
+    signed.
+
+    ``anchor``: same contract as exact_dedup's — the representative
+    semi join applies to the original corpus frame, dropping the whole
+    upstream gate/dedup lineage from every downstream re-derivation
+    (row-identical: representatives are a subset of this stage's
+    input ids)."""
 
     def stage(df: DataFrame) -> DataFrame:
         # distinct_pairs=False: the only consumer here is connected
@@ -177,7 +202,9 @@ def neardup_dedup(
             .select(id_col)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        return df.join(keep, id_col, "left_semi")
+        return (anchor if anchor is not None else df).join(
+            keep, id_col, "left_semi"
+        )
 
     return stage
 
@@ -193,9 +220,17 @@ def clean_corpus(
 ) -> DataFrame:
     """The canonical cleaning pipeline: cheap gates first, LSH last.
     ``sig`` (optional): a stored signature table for the corpus — the
-    near-dup stage then signs nothing itself (see neardup_dedup)."""
+    near-dup stage then signs nothing itself (see neardup_dedup).
+
+    Both dedup stages anchor their row-recovery semi joins on the RAW
+    ``docs`` frame (see exact_dedup): the keep decisions still flow
+    through the full gate -> exact -> near-dup cascade exactly once,
+    but the returned frame's lineage is just docs ⋉ keep-IDs, so each
+    downstream consumer of the cleaned corpus pays one scan plus one
+    broadcast semi join instead of replaying the quality fold and the
+    stacked semi joins per consumer."""
     return compose(
         quality_filter(id_col, text_col, min_tokens, max_tokens, max_top_token_frac),
-        exact_dedup(id_col, text_col),
-        neardup_dedup(id_col, text_col, sig=sig),
+        exact_dedup(id_col, text_col, anchor=docs),
+        neardup_dedup(id_col, text_col, sig=sig, anchor=docs),
     )(docs)

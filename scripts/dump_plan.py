@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for named queries to plans/r11/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to
+plans/$SPARK_GRAFT_PLANS_ROUND/<q>_<tag>.txt (round defaults to r12).
 
 Usage: python scripts/dump_plan.py <tag> <query> [<query> ...]
        python scripts/dump_plan.py <tag> --top N   (slowest N from BENCH_DETAIL.json)
@@ -28,7 +29,9 @@ def main() -> None:
         names = [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[:n]]
     spark = get_spark("plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(REPO, "plans", "r11")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, SF_DIR)

@@ -743,7 +743,13 @@ def minhash_lsh_pairs(
     ``sig`` lets a caller band a PRECOMPUTED (stored) signature table —
     production keeps signatures as a first-class dataset (~1e-4 the
     corpus bytes) and every consumer bands the store instead of
-    re-shingling text.
+    re-shingling text.  Contract note (ADVICE r11): a caller-provided
+    ``sig`` is NOT persisted here on the assumption that it is a cheap
+    stored relation (possibly behind a semi-join) whose band projection
+    re-evaluates per self-join side, with Spark's exchange reuse
+    deduplicating the probe side.  A caller passing an sig frame with
+    an EXPENSIVE lineage should persist it before calling, rather than
+    rely on exchange reuse surviving future AQE plan shapes.
 
     ``distinct_pairs=False`` skips the pair-dedup EXCHANGE — correct
     whenever the consumer is duplicate-insensitive, which connected

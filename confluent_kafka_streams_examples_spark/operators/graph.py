@@ -219,6 +219,12 @@ def connected_components(
     # must run exactly once)
     edges = ckpt(edges.select(id_expr(src).alias("a"), id_expr(dst).alias("b")))
     parallelism = spark.sparkContext.defaultParallelism
+    # NOTE (ADVICE r11): with a duplicate-tolerant pair source
+    # (minhash_lsh_pairs distinct_pairs=False) this count includes up
+    # to bands-x duplicated edges, so buckets/partitions are sized for
+    # the stream actually processed — slightly MORE buckets than the
+    # unique-edge count needs, which errs toward smaller (safer)
+    # union-find groups at the cost of a few more bridge rows.
     n_edges = edges.count()
     parts = max(1, min(parallelism * 8, 2 * n_edges // rows_per_partition + 1))
 

@@ -20,6 +20,14 @@ Reference parity: this composes the same per-record transform
 surface as the reference's topology-building (filter -> mapValues ->
 to, e.g. BasicStreams.scala:52-60) — a KStream chain is exactly this
 kind of stage composition, here over the batch corpus.
+
+Cache lifecycle (ADVICE r11): the dedup stages ``persist()`` their
+keep-ID sets (ids only, O(survivors) bytes) and do NOT unpersist them
+— the frames are referenced lazily by the returned plan, so the pin
+must outlive the stage call.  A consumer composing pipelines outside
+the bench/tests harness must call ``session.release_caches(spark)``
+(or ``spark.catalog.clearCache()``) once the results are consumed, or
+pinned executor storage accumulates per invocation.
 """
 
 from __future__ import annotations

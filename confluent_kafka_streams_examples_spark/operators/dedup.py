@@ -126,18 +126,29 @@ def shingles(
     or a semi-join probe): the distinct here shuffles (id, n-gram
     STRING) rows, the single most expensive exchange in the whole LSH
     family at corpus scale.
+
+    The token array is STAGED as a column before the window transform
+    (r12): ``element_at(tok, ...)`` inside the lambda otherwise
+    re-evaluates the whole ``split(text)`` per element — n splits per
+    position, O(tokens^2 x n) per document (the same staging lesson
+    measured 3x on with_minhash_signatures and 6x on the
+    duplicate-spans gram stage at x20; CollapseProject keeps the
+    staging projection because the array is referenced many times).
     """
-    tok = F.split(F.col(text_col), " ")
+    staged = _spread(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+    )
+    tk = F.col("_tk")
     # sequence(0, size-n) is inclusive => size-n+1 windows; guard size < n
     # (sequence(0,-1) would generate a DESCENDING range, not empty!)
     windows = F.when(
-        F.size(tok) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)]),
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = _spread(df).select(F.col(id_col), F.explode(windows).alias("shingle"))
+    out = staged.select(F.col(id_col), F.explode(windows).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -233,16 +244,20 @@ def winnow_fingerprints(
     (id, pos, hash) triples (per-partition sort, no global sort); the
     DISTINCT collapses map-side first.  Fingerprint tables then join
     like any inverted index — with the same ``max_df`` hot-key
-    discipline as the full-shingle path when self-joined."""
-    tok = F.split(F.col(text_col), " ")
+    discipline as the full-shingle path when self-joined.  The token
+    array is staged before the gram transform (see shingles)."""
+    staged = _spread(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+    )
+    tk = F.col("_tk")
     grams = F.when(
-        F.size(tok) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j + 1) for j in range(n)]),
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pos = _spread(df).select(
+    pos = staged.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     )
     h = F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("long")
@@ -306,19 +321,28 @@ def duplicate_spans(
     clean-corpus composition got SLOWER with it (4.4s vs 3.7s at sf0.1)
     because AQE had coalesced the upstream join's output to a handful
     of partitions, single-threading the gram explode — the exact shape
-    the spread exists to fix."""
-    tok = F.split(F.col(text_col), " ")
+    the spread exists to fix.
+
+    The token array is STAGED as a column before the gram transform
+    (r12): with ``element_at`` reading the unstaged ``split(text)``
+    inside the lambda, the split re-evaluated per element — measured
+    6x the whole pos stage at x20 (5.43s -> 0.94s staged, span sets
+    identical; see shingles)."""
+    staged = (_spread(df) if spread else df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+    )
+    tk = F.col("_tk")
     grams = F.when(
-        F.size(tok) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
+            F.sequence(F.lit(0), F.size(tk) - n),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(tok, i + j + 1) for j in range(n)]
+                " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     pos = (
-        (_spread(df) if spread else df)
+        staged
         .select(F.col(id_col), F.posexplode(grams).alias("pos0", "gram"))
         .select(
             F.col(id_col),
@@ -395,9 +419,14 @@ def remove_duplicate_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
+    # staged evaluation (r12): ``kept`` — the filter-with-exists probe
+    # over every token — is referenced twice (count + hash) and would
+    # be evaluated twice per row inline; staging it (and the token
+    # array) as columns makes each heavy array expression evaluate
+    # exactly once per document (see shingles for the mechanism)
     tok = F.split(F.col(text_col), " ")
     indexed = F.transform(
-        tok, lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))
+        F.col("_tk"), lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))
     )
     kept = F.filter(
         indexed,
@@ -414,12 +443,18 @@ def remove_duplicate_spans(
     )
     return (
         df.join(per_doc, id_col, "left")
+        .select(F.col(id_col), tok.alias("_tk"), F.col("_spans"))
+        .select(F.col(id_col), "_tk", kept.alias("_kept"))
         .select(
             F.col(id_col),
-            F.size(tok).cast("bigint").alias("n_tokens"),
-            (F.size(tok) - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.size(F.col("_tk")).cast("bigint").alias("n_tokens"),
+            (F.size(F.col("_tk")) - F.size(F.col("_kept")))
+            .cast("bigint")
+            .alias("n_removed"),
             F.md5(
-                F.concat_ws(" ", F.transform(kept, lambda x: x["t"]))
+                F.concat_ws(
+                    " ", F.transform(F.col("_kept"), lambda x: x["t"])
+                )
             ).alias("clean_hash"),
         )
     )
@@ -1051,20 +1086,22 @@ def with_minhash_signatures(
     it twice — measured 10x the entire streaming near-dup pillar
     (SCALE.md r11).
 
-    Two-stage projection on purpose: the (md5, conv) hash-pair array is
-    materialized as ONE intermediate column and the 16 array_min folds
-    read it — inlining the hash transform into each permutation
-    expression defeats common-subexpression elimination across lambda
-    functions and recomputes every digest 16x (measured 3.2x slower on
-    200k docs).
+    Three-stage projection on purpose: the token ARRAY is staged first
+    (r12 — ``element_at`` over an unstaged ``split`` re-evaluates the
+    split per element, O(tokens^2 x n) per row; see shingles), then
+    the (md5, conv) hash-pair array is materialized as ONE
+    intermediate column and the 16 array_min folds read it — inlining
+    the hash transform into each permutation expression defeats
+    common-subexpression elimination across lambda functions and
+    recomputes every digest 16x (measured 3.2x slower on 200k docs).
     """
-    tok = F.split(F.col(text_col), " ")
+    tk = F.col("__mh_tok")
     windows = F.when(
-        F.size(tok) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
+            F.sequence(F.lit(0), F.size(tk) - n),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(tok, i + j + 1) for j in range(n)]
+                " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -1079,7 +1116,9 @@ def with_minhash_signatures(
             .alias("h2"),
         ),
     )
-    staged = df.withColumn("__mh_hashes", hashes)
+    staged = df.withColumn(
+        "__mh_tok", F.split(F.col(text_col), " ")
+    ).withColumn("__mh_hashes", hashes)
     out = staged.select(
         *df.columns,
         *[

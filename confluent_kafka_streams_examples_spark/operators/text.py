@@ -125,14 +125,20 @@ def chunk_documents(
     array functions, explode; no shuffle, no Python, cost linear in
     corpus tokens times the overlap factor (chunk_size/stride)."""
     overlap = chunk_size - stride
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
+    # stage the token array first: the starts filter's lambda reads the
+    # token COUNT per candidate start, which re-evaluates the whole
+    # split per element when unstaged (see dedup.shingles, r12)
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+    )
+    tk = F.col("_tk")
+    n = F.size(tk)
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
         lambda s: (s == 0) | ((n - s) > overlap),
     )
     return (
-        df.select(F.col(id_col), toks.alias("_tk"), F.explode(starts).alias("_s"))
+        staged.select(F.col(id_col), "_tk", F.explode(starts).alias("_s"))
         .select(
             F.col(id_col),
             (F.col("_s") / stride).cast("bigint").alias("chunk_idx"),

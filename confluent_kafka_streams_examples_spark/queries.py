@@ -700,65 +700,67 @@ from confluent_kafka_streams_examples_spark import queries_corpus  # noqa: E402,
 # ---------------------------------------------------------------------
 
 _VERIFY_FIRST = [
-    # GENERATED by scripts/gen_verify_order.py (round 11) — do not
+    # GENERATED by scripts/gen_verify_order.py (round 12) — do not
     # hand-edit; regenerate after any query/helper change and paste
     # via scripts/paste_verify_order.py.
     # Head: changed since the last verified snapshot or never green.
-    "sketch_hll_distinct", "events_profile", "sketch_hll_eval",
-    "events_profile_extended", "bpe_merge_rounds",
     "pipeline_training_export", "neardup_verify_levenshtein",
     "dedup_lsh_recall_eval", "dedup_cluster_representatives",
     "dedup_clusters", "dedup_minhash_lsh", "pipeline_clean_corpus",
-    "sketch_hll_incremental", "embedding_kmeans_fixed",
+    "sketch_hll_incremental", "corpus_chunk_documents",
+    "dedup_duplicate_spans", "dedup_span_removal", "dedup_simhash64",
+    "dedup_containment", "dedup_ngram_jaccard", "dedup_overlap_scores",
+    "dedup_minhash_verify", "similarity_ivf_pruned",
+    "similarity_ivf_dynamic", "similarity_pq_adc", "pq_recall_eval",
+    "dedup_embedding_cosine", "similarity_ann_lsh",
+    "source_overlap_matrix", "ann_recall_eval", "similarity_ivf_append",
+    "ivf_drift_stat", "dedup_incremental", "dedup_simhash",
+    "similarity_ivf_probe", "bpe_pair_counts", "decontaminate_train",
+    "dedup_incremental_persisted", "ngram_novelty_scores",
+    "doc_winnow_fingerprints",
     # Tail: oldest green first.
-    "topk_per_key", "large_volume_orders", "corpus_chunk_documents",
-    "dedup_duplicate_spans", "semdedup_prune_scaled", "text_stats",
-    "rollup_pricing", "event_gaps", "stream_stream_outer_join",
-    "ktable_latest", "events_json_analytics", "market_share",
-    "pack_sequences", "dedup_span_removal", "hybrid_search",
-    "lang_profile", "cube_order_priority", "user_retention_cohorts",
-    "stream_stream_window_join", "ktable_filter_extract", "basic_pipeline",
-    "product_type_profit", "corpus_shard_export", "dedup_cdc_chunks",
-    "similarity_topk", "lang_id_heuristic", "setops_users",
-    "windowed_session", "stream_table_join", "forecast_revenue_change",
-    "important_part_value", "corpus_mixture_sample",
-    "dedup_bloom_prefilter", "similarity_pairs_label", "token_frequencies",
-    "distinct_parts_per_supplier",
+    "sketch_hll_distinct", "events_profile", "bpe_merge_rounds",
+    "embedding_kmeans_fixed", "topk_per_key", "event_gaps",
+    "stream_stream_outer_join", "ktable_latest", "pack_sequences",
+    "dedup_cdc_chunks", "sketch_hll_eval", "events_profile_extended",
+    "text_stats", "semdedup_prune_scaled", "events_json_analytics",
+    "user_retention_cohorts",
     # Past the 50-entry window from here: these stay green on
     # unchanged bodies and lead the next round's rotation.
-    "late_shipment_priority_counts", "customer_order_distribution",
-    "promo_revenue", "top_supplier", "part_supplier_counts",
-    "small_quantity_revenue", "disjunctive_predicate_revenue",
-    "excess_suppliers", "sole_late_supplier", "dormant_customer_balance",
+    "large_volume_orders", "rollup_pricing", "market_share",
+    "hybrid_search", "lang_profile", "cube_order_priority",
+    "stream_stream_window_join", "ktable_filter_extract", "basic_pipeline",
+    "product_type_profit", "corpus_shard_export", "similarity_topk",
+    "lang_id_heuristic", "setops_users", "windowed_session",
+    "stream_table_join", "forecast_revenue_change", "important_part_value",
+    "corpus_mixture_sample", "dedup_bloom_prefilter",
+    "similarity_pairs_label", "token_frequencies",
+    "distinct_parts_per_supplier", "late_shipment_priority_counts",
+    "customer_order_distribution", "promo_revenue", "top_supplier",
+    "part_supplier_counts", "small_quantity_revenue",
+    "disjunctive_predicate_revenue", "excess_suppliers",
+    "sole_late_supplier", "dormant_customer_balance",
     "doc_fingerprint_dups", "bucketed_revenue_by_priority",
-    "dedup_simhash64", "distinct_daily_users", "windowed_tumbling",
-    "embedding_dim_stats", "quality_repetition_signals",
-    "zorder_layout_stats", "kafka_wire_roundtrip", "dedup_containment",
-    "dedup_ngram_jaccard", "dedup_overlap_scores", "dedup_minhash_verify",
-    "similarity_ivf_pruned", "similarity_ivf_dynamic", "similarity_pq_adc",
-    "pq_recall_eval", "sketch_heavy_hitters", "value_percentiles",
-    "dedup_embedding_cosine", "similarity_ann_lsh", "shipping_priority",
-    "source_overlap_matrix", "scd2_user_history", "boilerplate_chunks",
+    "distinct_daily_users", "windowed_tumbling", "embedding_dim_stats",
+    "quality_repetition_signals", "zorder_layout_stats",
+    "kafka_wire_roundtrip", "sketch_heavy_hitters", "value_percentiles",
+    "shipping_priority", "scd2_user_history", "boilerplate_chunks",
     "embedding_centroids", "top_terms_per_source", "regional_revenue",
     "duplicate_rate_by_source", "rolling_user_stats",
-    "merge_upsert_balances", "dedup_exact", "ann_recall_eval",
-    "bm25_search", "local_supplier_volume", "multimodal_features",
-    "asof_join", "sql_interface", "similarity_ivf_append",
-    "ivf_drift_stat", "corpus_mixture_drift", "pivot_event_counts",
-    "dedup_incremental", "vocab_coverage", "user_sessions",
-    "primary_supplier_per_part", "corpus_split_assignment",
-    "sample_n_per_group", "dedup_simhash", "similarity_topk_batch",
-    "lm_unigram_score", "agg_running_total", "windowed_hopping",
-    "late_ship_priority", "corpus_stratified_sample", "anti_join_users",
-    "skewed_event_rollup", "dedup_exact_normalized",
-    "similarity_ivf_probe", "bpe_pair_counts", "json_props_extract",
-    "funnel_conversion", "nation_pair_volume", "decontaminate_train",
+    "merge_upsert_balances", "dedup_exact", "bm25_search",
+    "local_supplier_volume", "multimodal_features", "asof_join",
+    "sql_interface", "corpus_mixture_drift", "pivot_event_counts",
+    "vocab_coverage", "user_sessions", "primary_supplier_per_part",
+    "corpus_split_assignment", "sample_n_per_group",
+    "similarity_topk_batch", "lm_unigram_score", "agg_running_total",
+    "windowed_hopping", "late_ship_priority", "corpus_stratified_sample",
+    "anti_join_users", "skewed_event_rollup", "dedup_exact_normalized",
+    "json_props_extract", "funnel_conversion", "nation_pair_volume",
     "semi_join_parts", "events_concurrent_degree_salted",
-    "dedup_incremental_persisted", "embedding_quantize",
-    "ngram_novelty_scores", "agg_pricing_summary", "user_running_value",
+    "embedding_quantize", "agg_pricing_summary", "user_running_value",
     "returned_item_customers", "pii_scrub", "stream_stream_left_join",
-    "events_concurrent_degree", "doc_winnow_fingerprints",
-    "semdedup_prune", "quality_histogram_threshold",
+    "events_concurrent_degree", "semdedup_prune",
+    "quality_histogram_threshold",
 ]
 
 
